@@ -15,7 +15,13 @@ object SparkEntry {
   /** All operator modules contributing queries + oracles. */
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (WindowOps.queries, WindowOps.oracles))
+      (SourceSinkOps.queries, SourceSinkOps.oracles),
+      (RelationalOps.queries, RelationalOps.oracles),
+      (JoinOps.queries, JoinOps.oracles),
+      (AggOps.queries, AggOps.oracles),
+      (WindowOps.queries, WindowOps.oracles),
+      (SortSetOps.queries, SortSetOps.oracles),
+      (ScalarOps.queries, ScalarOps.oracles))
 
   /** Flagship query (OP-38 cumulative income); driver smoke-checks rows>0
     * on sf0.001.

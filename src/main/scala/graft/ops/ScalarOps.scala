@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8, OP-48..OP-53). Everything is
+  * built-in Column arithmetic — codegen'd, no UDFs — so these stay inside
+  * WholeStageCodegen spans at scale.
+  */
+object ScalarOps {
+
+  /** OP-48 string functions: split-and-index, lower, sha256 digest
+    * (reference: /root/reference/src/index_validator_handler.py:85,90 —
+    * `value.split('-')`; /root/reference/src/utils/sqs.py:31-32 — sha256 ids).
+    */
+  def op48StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        split(col("p_name"), " ").getItem(1).as("second_word"),
+        lower(col("p_brand")).as("brand_lower"),
+        sha2(col("p_name"), 256).as("name_sha"))
+      .orderBy("p_partkey")
+
+  /** OP-49 date/time functions: format, unix seconds, day arithmetic
+    * (reference: /root/reference/src/utils/apiUtils.py:52-53,
+    * /root/reference/src/api_handler.py:535-537).
+    */
+  def op49DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("order_epoch_s"),
+        date_format(date_sub(to_date(col("o_orderdate")), 1), "yyyy-MM-dd").as("prev_day"))
+      .orderBy("o_orderkey")
+
+  /** OP-50 math / unit conversions: fixed-denominator scaling, integer
+    * slot/epoch arithmetic, abs pct change, clamps
+    * (reference: /root/reference/src/extract_handler.py:109,
+    * /root/reference/src/index_validator_handler.py:52-54).
+    */
+  def op50MathUnits(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") / 1000.0, 6).as("price_k"),
+        floor(col("l_orderkey") / 32).as("epoch_of_slot"),
+        (col("l_orderkey") * 32 - 1).as("last_slot_of_epoch"),
+        round(abs(col("l_discount") - col("l_tax")) * 100.0, 6).as("abs_pct_diff"))
+      .orderBy("l_orderkey", "l_linenumber", "price_k", "abs_pct_diff")
+
+  /** OP-51 conditional tiers (CASE WHEN chains): score from thresholds
+    * (reference: /root/reference/src/api_handler.py:470-475 — validator
+    * score; :504-509 — red/amber/green colour tiers).
+    */
+  def op51CaseTiers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") >= 7000.0, lit(2L))
+          .when(col("c_acctbal") >= 3000.0, lit(1L))
+          .otherwise(lit(0L)).as("score"),
+        when(col("c_acctbal") < 1000.0, lit("red"))
+          .when(col("c_acctbal") < 5000.0, lit("Amber"))
+          .otherwise(lit("green")).as("colour"))
+      .orderBy("c_custkey")
+
+  /** OP-52 JSON access + construction
+    * (reference: /root/reference/src/utils/archive.py:25 — .get() chains;
+    * /root/reference/src/api_handler.py:639-649 — response assembly).
+    * Construction is manual concat so the byte-level output is engine-neutral.
+    */
+  def op52JsonAccess(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        concat(lit("{\"event_id\":"), col("event_id"),
+          lit(",\"k\":"), get_json_object(col("props"), "$.k").cast("long"),
+          lit("}")).as("payload"))
+      .orderBy("event_id")
+
+  /** OP-53 domain formulas: multi-input scalar over an aggregated join —
+    * the redemption-rate shape `(24e9*n + x)/(8e9*n - y + z)`
+    * (reference: /root/reference/src/api_handler.py:496-509).
+    */
+  def op53DomainFormula(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 6).as("total"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_custkey"),
+        round((lit(24.0e4) * col("n") + col("total"))
+          / (lit(8.0e4) * col("n") - col("c_acctbal") + col("total")), 6)
+          .as("redemption_rate"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op48_string_funcs" -> (op48StringFuncs _),
+    "op49_date_funcs" -> (op49DateFuncs _),
+    "op50_math_units" -> (op50MathUnits _),
+    "op51_case_tiers" -> (op51CaseTiers _),
+    "op52_json_access" -> (op52JsonAccess _),
+    "op53_domain_formula" -> (op53DomainFormula _))
+
+  val oracles: Map[String, String] = Map(
+    "op48_string_funcs" ->
+      """SELECT p_partkey,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       string_split(p_name, ' ')[2] AS second_word,
+        |       lower(p_brand) AS brand_lower,
+        |       sha256(p_name) AS name_sha
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "op49_date_funcs" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT) AS order_epoch_s,
+        |       strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "op50_math_units" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice / 1000.0, 6) AS price_k,
+        |       CAST(floor(l_orderkey / 32) AS BIGINT) AS epoch_of_slot,
+        |       l_orderkey * 32 - 1 AS last_slot_of_epoch,
+        |       round(abs(l_discount - l_tax) * 100.0, 6) AS abs_pct_diff
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_k, abs_pct_diff""".stripMargin,
+    "op51_case_tiers" ->
+      """SELECT c_custkey,
+        |       CAST(CASE WHEN c_acctbal >= 7000.0 THEN 2
+        |                 WHEN c_acctbal >= 3000.0 THEN 1 ELSE 0 END AS BIGINT) AS score,
+        |       CASE WHEN c_acctbal < 1000.0 THEN 'red'
+        |            WHEN c_acctbal < 5000.0 THEN 'Amber' ELSE 'green' END AS colour
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "op52_json_access" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       '{"event_id":' || event_id || ',"k":' ||
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "op53_domain_formula" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |       round((24.0e4 * n + total) / (8.0e4 * n - c_acctbal + total), 6)
+        |         AS redemption_rate
+        |FROM customer JOIN per_cust ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)
+}

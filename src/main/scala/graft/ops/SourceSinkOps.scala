@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, sources and sinks (SURVEY.md §2.1, OP-01..OP-10). The reference's
+  * REST/GraphQL/SQS/MySQL boundaries all become parquet-backed DataFrames;
+  * what survives as operators is the *shape*: projected/filtered scans,
+  * upsert merges, insert-if-absent, work-unit fan-out, response assembly,
+  * cursor reads.
+  */
+object SourceSinkOps {
+
+  private val dayEpoch = floor(unix_timestamp(col("ts")) / 86400L)
+
+  /** OP-01 source scan with projection+filter pushdown — the per-epoch
+    * validator-state scan (reference:
+    * /root/reference/src/extract_handler.py:109-127). `.explain` shows
+    * PushedFilters + a 3-column ReadSchema: at 100 TB only the needed
+    * row-groups/columns are read.
+    */
+  def op01SourceScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), dayEpoch.as("epoch"), col("value").as("balance"))
+      .orderBy("user_id", "epoch", "balance")
+
+  /** OP-02 nested-JSON flatten: parse a JSON payload column into typed
+    * fields (reference: /root/reference/src/utils/archive.py:19-33 —
+    * execution-payload withdrawals[] JSON).
+    */
+  def op02JsonFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("_p", from_json(col("props"), schema))
+      .select(col("event_id"), col("user_id"), col("_p.k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** OP-03 point lookup broadcast: the finalized-epoch scalar attached to
+    * every key (reference: /root/reference/src/extract_handler.py:139-149).
+    * A 1-row aggregate broadcast-joined — no shuffle of the big side.
+    */
+  def op03PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val finalized = ev.agg(max(dayEpoch).as("finalized_epoch"))
+    ev.groupBy("user_id").agg(max(dayEpoch).as("user_epoch"))
+      .crossJoin(broadcast(finalized))
+      .select(col("user_id"), col("user_epoch"), col("finalized_epoch"),
+        (col("finalized_epoch") - col("user_epoch")).as("epochs_behind"))
+      .orderBy("user_id")
+  }
+
+  /** OP-04 dimension scan with filter/order/page-cap — the GraphQL entity
+    * fetch shape, `first: 1000` (reference:
+    * /root/reference/src/utils/subgraph.py:14-30).
+    */
+  def op04DimensionScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .orderBy(col("c_custkey").asc)
+      .limit(1000)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** OP-05 full-table scan (the JDBC `SELECT *` analog,
+    * reference: /root/reference/src/api_handler.py:19-23).
+    */
+  def op05FullScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("n_nationkey")
+
+  /** OP-06 upsert sink (last-write-wins merge on PK): INSERT ... ON
+    * DUPLICATE KEY UPDATE (reference:
+    * /root/reference/src/utils/data_utils.py:10-15). Batch-precedence is
+    * explicit (_batch desc) so re-runs are idempotent (SURVEY.md §7.5#6).
+    */
+  def op06UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("_batch"))
+    val updates = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 6).as("o_totalprice"), lit(2L).as("_batch"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("_batch").desc)
+    base.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 6).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** OP-07 insert-if-absent sink: INSERT IGNORE (reference:
+    * /root/reference/src/validator_withdrawals_handler.py:21,107-108).
+    * Existing rows win; only genuinely-new keys are appended.
+    */
+  def op07InsertIfAbsent(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+        lit("existing").as("origin")).distinct()
+    val candidates = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        lit("inserted").as("origin")).distinct()
+    val inserted = candidates.join(existing.select("nationkey"), Seq("nationkey"), "left_anti")
+    existing.unionByName(inserted).orderBy("nationkey")
+  }
+
+  /** OP-08 queue fan-out: work units with sha256 dedup ids in chunks of 10
+    * (reference: /root/reference/src/utils/sqs.py:6-32,
+    * /root/reference/src/validator_income_handler.py:245-262). In Spark the
+    * queue disappears into partitioning; the observable output is the
+    * work-unit table itself.
+    */
+  def op08QueueFanout(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("user_id")
+    Tables.events(spark, dir)
+      .select("user_id").distinct()
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"),
+        sha2(col("user_id").cast("string"), 256).as("msg_id"),
+        floor((col("_rn") - 1) / 10).as("chunk"))
+      .orderBy("user_id")
+  }
+
+  /** OP-09 HTTP JSON response assembly at the serving edge
+    * (reference: /root/reference/src/api_handler.py:32-40). Byte-exact
+    * construction via concat so the oracle matches.
+    */
+  def op09ResponseAssembly(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"), count(lit(1)).as("n"))
+      .select(col("c_mktsegment"),
+        concat(lit("{\"segment\":\""), col("c_mktsegment"),
+          lit("\",\"avgBal\":"), col("avg_bal").cast("string"),
+          lit(",\"n\":"), col("n").cast("string"), lit("}")).as("body"))
+      .orderBy("c_mktsegment")
+
+  /** OP-10 cursor file / incremental read: rows strictly after the stored
+    * high-water mark (reference:
+    * /root/reference/back-fillers/validator-balances-backfiller.py:137-141,
+    * 177-183 — epoch.txt cursor).
+    */
+  def op10CursorRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cursor = ev.agg((max(dayEpoch) - lit(3L)).as("cursor"))
+    ev.select(col("event_id"), col("user_id"), dayEpoch.as("epoch"))
+      .crossJoin(broadcast(cursor))
+      .filter(col("epoch") > col("cursor"))
+      .select("event_id", "user_id", "epoch")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op01_source_scan" -> (op01SourceScan _),
+    "op02_json_flatten" -> (op02JsonFlatten _),
+    "op03_point_lookup" -> (op03PointLookup _),
+    "op04_dimension_scan" -> (op04DimensionScan _),
+    "op05_full_scan" -> (op05FullScan _),
+    "op06_upsert_merge" -> (op06UpsertMerge _),
+    "op07_insert_if_absent" -> (op07InsertIfAbsent _),
+    "op08_queue_fanout" -> (op08QueueFanout _),
+    "op09_response_assembly" -> (op09ResponseAssembly _),
+    "op10_cursor_read" -> (op10CursorRead _))
+
+  private val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "op01_source_scan" ->
+      s"""SELECT user_id, $epochExpr AS epoch, value AS balance
+         |FROM events WHERE event_type = 'purchase'
+         |ORDER BY user_id, epoch, balance""".stripMargin,
+    "op02_json_flatten" ->
+      """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "op03_point_lookup" ->
+      s"""WITH f AS (SELECT max($epochExpr) AS finalized_epoch FROM events),
+         |u AS (SELECT user_id, max($epochExpr) AS user_epoch FROM events GROUP BY user_id)
+         |SELECT user_id, user_epoch, finalized_epoch,
+         |       finalized_epoch - user_epoch AS epochs_behind
+         |FROM u CROSS JOIN f ORDER BY user_id""".stripMargin,
+    "op04_dimension_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0.0 ORDER BY c_custkey ASC LIMIT 1000""".stripMargin,
+    "op05_full_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "op06_upsert_merge" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS batch FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'F', round(o_totalprice * 1.1, 6), 2 FROM orders
+        |  WHERE o_orderstatus = 'O'),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) AS rn
+        |  FROM unioned)
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "op07_insert_if_absent" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey, 'existing' AS origin
+        |  FROM supplier),
+        |candidates AS (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey, 'inserted' AS origin
+        |  FROM customer)
+        |SELECT * FROM existing
+        |UNION ALL
+        |SELECT * FROM candidates c
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.nationkey = c.nationkey)
+        |ORDER BY nationkey""".stripMargin,
+    "op08_queue_fanout" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |r AS (SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn FROM u)
+        |SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS msg_id,
+        |       CAST(floor((rn - 1) / 10) AS BIGINT) AS chunk
+        |FROM r ORDER BY user_id""".stripMargin,
+    "op09_response_assembly" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal, count(*) AS n
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment,
+        |       '{"segment":"' || c_mktsegment || '","avgBal":' ||
+        |       CAST(avg_bal AS VARCHAR) || ',"n":' || CAST(n AS VARCHAR) || '}' AS body
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+    "op10_cursor_read" ->
+      s"""WITH c AS (SELECT max($epochExpr) - 3 AS cursor FROM events)
+         |SELECT event_id, user_id, $epochExpr AS epoch
+         |FROM events CROSS JOIN c
+         |WHERE $epochExpr > cursor ORDER BY event_id""".stripMargin)
+}

@@ -62,6 +62,66 @@ object WindowOps {
     IncomeKernel.cumulativeIncome(balancesFromEvents(spark, dir))
       .orderBy("user_id", "epoch")
 
+  /** OP-39 APR scalar from cumulative state — pure column arithmetic
+    * (reference: /root/reference/src/utils/financials.py:4-9).
+    */
+  def op39AprScalar(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch")
+    balancesFromEvents(spark, dir)
+      .withColumn("_d", round(col("balance") - lag(col("balance"), 1).over(w), IncomeKernel.Scale))
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("_d") > 0, col("_d")).otherwise(0.0)), IncomeKernel.Scale).as("earnings"),
+        (count(lit(1)) - 1).as("n_epochs"))
+      .select(col("user_id"), col("earnings"), col("n_epochs"),
+        IncomeKernel.aprColumn(col("earnings"), col("n_epochs")).as("apr"))
+      .orderBy("user_id")
+  }
+
+  /** OP-40 interval assignment / as-of resolve: each row takes the most
+    * recent preceding marker event's id per key
+    * (reference: /root/reference/src/index_validator_handler.py:66-96 —
+    * index transfers partition the epoch range; each epoch resolves to the
+    * index in force). Spark: last(ignoreNulls) over an ordered window — the
+    * classic as-of join collapsed into one pass, no range join needed.
+    */
+  def op40AsOfResolve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("asof_marker",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "event_type", "asof_marker")
+      .orderBy("event_id")
+  }
+
+  /** OP-41 epoch catch-up enumeration, capped per key
+    * (reference: /root/reference/src/extract_handler.py:54-90, cap at :24 —
+    * range(ref+1, current+1) limited to 10 epochs per run).
+    * sequence + explode is the built-in Generator form (SURVEY.md §2.10).
+    */
+  def op41SequenceEnum(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        explode(sequence(
+          to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 9))).as("d"))
+      .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("sync_date"))
+      .orderBy("o_orderkey", "sync_date")
+
+  /** OP-42 gap detection: expected epochs (min..max per key) minus observed
+    * (reference: /root/reference/back-fillers/validator-balances-backfiller.py:154).
+    */
+  def op42GapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val actual = balancesFromEvents(spark, dir).select("user_id", "epoch")
+    val expected = actual.groupBy("user_id")
+      .agg(min("epoch").as("lo"), max("epoch").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("epoch"))
+    expected.join(actual, Seq("user_id", "epoch"), "left_anti")
+      .orderBy("user_id", "epoch")
+  }
+
   /** Shared oracle CTE mirroring [[balancesFromEvents]] for DuckDB. */
   private val balCte =
     """WITH bal AS (
@@ -75,7 +135,11 @@ object WindowOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op36_lag_delta" -> (op36LagDelta _),
     "op37_delta_split_sums" -> (op37DeltaSplitSums _),
-    "op38_cumulative_income" -> (op38CumulativeIncome _))
+    "op38_cumulative_income" -> (op38CumulativeIncome _),
+    "op39_apr_scalar" -> (op39AprScalar _),
+    "op40_asof_resolve" -> (op40AsOfResolve _),
+    "op41_sequence_enum" -> (op41SequenceEnum _),
+    "op42_gap_detection" -> (op42GapDetection _))
 
   val oracles: Map[String, String] = Map(
     "op36_lag_delta" ->
@@ -119,5 +183,43 @@ object WindowOps {
          |                  THEN earnings * 82179.45 / (CAST(epochs_since_active AS DOUBLE) * 2400000.0)
          |                  ELSE 0 END, 6) AS apr,
          |       epochs_since_active
-         |FROM c ORDER BY user_id, epoch""".stripMargin)
+         |FROM c ORDER BY user_id, epoch""".stripMargin,
+    "op39_apr_scalar" ->
+      s"""$balCte, d AS (
+         |  SELECT user_id,
+         |         round(balance - lag(balance) OVER (PARTITION BY user_id ORDER BY epoch), 6) AS d
+         |  FROM bal),
+         |g AS (
+         |  SELECT user_id,
+         |         round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 6) AS earnings,
+         |         count(*) - 1 AS n_epochs
+         |  FROM d GROUP BY user_id)
+         |SELECT user_id, earnings, n_epochs,
+         |       round(CASE WHEN n_epochs > 0
+         |                  THEN earnings * 82179.45 / (CAST(n_epochs AS DOUBLE) * 2400000.0)
+         |                  ELSE 0 END, 6) AS apr
+         |FROM g ORDER BY user_id""".stripMargin,
+    "op40_asof_resolve" ->
+      """SELECT event_id, user_id, event_type,
+        |       last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_marker
+        |FROM events ORDER BY event_id""".stripMargin,
+    "op41_sequence_enum" ->
+      """SELECT o_orderkey,
+        |       strftime(unnest(generate_series(CAST(o_orderdate AS DATE),
+        |                                       CAST(o_orderdate AS DATE) + INTERVAL 9 DAY,
+        |                                       INTERVAL 1 DAY)), '%Y-%m-%d') AS sync_date
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey, sync_date""".stripMargin,
+    "op42_gap_detection" ->
+      s"""$balCte, bounds AS (
+         |  SELECT user_id, min(epoch) AS lo, max(epoch) AS hi
+         |  FROM bal GROUP BY user_id),
+         |expected AS (
+         |  SELECT user_id, unnest(generate_series(lo, hi)) AS epoch FROM bounds)
+         |SELECT e.user_id, e.epoch FROM expected e
+         |WHERE NOT EXISTS (SELECT 1 FROM bal b
+         |                  WHERE b.user_id = e.user_id AND b.epoch = e.epoch)
+         |ORDER BY user_id, epoch""".stripMargin)
 }
