@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators._
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -21,7 +22,11 @@ object SparkEntry {
       (AggOps.queries, AggOps.oracles),
       (WindowOps.queries, WindowOps.oracles),
       (SortSetOps.queries, SortSetOps.oracles),
-      (ScalarOps.queries, ScalarOps.oracles))
+      (ScalarOps.queries, ScalarOps.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (DedupOps.queries, DedupOps.oracles),
+      (SimilarityOps.queries, SimilarityOps.oracles),
+      (MultimodalOps.queries, MultimodalOps.oracles))
 
   /** Flagship query (OP-38 cumulative income); driver smoke-checks rows>0
     * on sf0.001.

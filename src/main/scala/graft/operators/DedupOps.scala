@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication operators over `documents` (builder brief +
+  * SURVEY.md §7.4): exact hash dedup, n-gram Jaccard near-dup, MinHash+LSH,
+  * and SimHash.
+  *
+  * Scale posture: exact dedup and the LSH variants are linear-ish (hash →
+  * bucket → within-bucket verify); only candidate pairs sharing a
+  * bucket/shingle are ever joined, never the full cross product. At 100 TB
+  * the shingle/band join partitions by the band hash, which is uniform by
+  * construction.
+  */
+object DedupOps {
+
+  /** Word-3-gram shingle set per doc (distinct), lowercased. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over pairs that share >=1 shingle. The shingle join IS
+    * the candidate pruning: disjoint docs never meet. When `candidates` is
+    * given (LSH pre-filter), only those pairs are verified — at 100 TB that
+    * is the difference between verifying O(LSH-candidates) and
+    * O(shingle-cooccurring pairs).
+    */
+  private def jaccardPairs(
+      docs: DataFrame, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles(docs).cache()
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val allPairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val common = candidates
+      .map(c => allPairs.join(c, Seq("doc_a", "doc_b"), "left_semi"))
+      .getOrElse(allPairs)
+    common
+      .join(card.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(card.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("ca") + col("cb") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact dedup: sha256 over normalized text; keep the smallest doc_id of
+    * each fingerprint group (deterministic survivor pick).
+    */
+  def nsDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(col("text")), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(normalized, 256).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs (exact, shingle-join pruned). */
+  def nsDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  private val NumHashes = 32
+  private val Bands = 8 // x 4 rows per band
+  private val Rows = NumHashes / Bands
+  private val Prime = 4294967311L // smallest prime > 2^32
+  // Deterministic affine hash parameters (a_i odd, from a fixed LCG).
+  // a,b are capped at 30 bits: x < 2^32, so a*x + b < 2^62 — no long
+  // overflow under ANSI arithmetic.
+  private val hashParams: Seq[(Long, Long)] = {
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Seq.fill(NumHashes)(((next() & 0x3fffffffL) | 1L, next() & 0x3fffffffL))
+  }
+
+  /** MinHash signatures: shingle -> murmur3 -> k affine hashes -> per-doc
+    * min. One explode + one groupBy; the k mins are k agg columns, not k
+    * passes.
+    */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+      .withColumn("x", hash(col("shingle")).cast("long").bitwiseAND(0xffffffffL))
+    val mins: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * a + b, lit(Prime))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH near-dup: band signatures, bucket-join candidates, verify
+    * with exact Jaccard. No DuckDB oracle (murmur3 isn't portable); checked
+    * by MinHashSpec against [[nsDedupJaccard]].
+    */
+  def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * Rows until (b + 1) * Rows).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardPairs(docs, 0.5, candidates = Some(candidates))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  private val SimBits = 64
+  // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
+  // untouched band (pigeonhole), so the <=6 output threshold has
+  // guaranteed recall.
+  private val SimBands = 8
+  private val SimHammingMax = 6
+
+  /** 64-bit SimHash per doc over word tokens (xxhash64 bits, +/-1 vote per
+    * bit weighted by term frequency).
+    */
+  private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes: Seq[Column] = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$j")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until SimBits).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup: band the 64 bits into 8x8, bucket-join, verify by
+    * hamming distance <= [[SimHammingMax]]. No oracle (xxhash64 not
+    * portable); checked by DedupSpec.
+    */
+  def nsDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandWidth = SimBits / SimBands
+    val mask = (1L << bandWidth) - 1L
+    val sig = simhashSignatures(Tables.documents(spark, dir))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandWidth).bitwiseAND(mask).as("bits"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("band").as("a_band"), col("bits").as("a_bits"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band").as("b_band"), col("bits").as("b_bits"))
+    a.join(b, col("a_band") === col("b_band") && col("a_bits") === col("b_bits")
+        && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= SimHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_dedup_exact" -> (nsDedupExact _),
+    "ns_dedup_jaccard" -> (nsDedupJaccard _),
+    "ns_dedup_minhash" -> (nsDedupMinhash _),
+    "ns_dedup_simhash" -> (nsDedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "ns_dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM f GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+    "ns_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN card ca ON doc_a = ca.doc_id
+        |JOIN card cb ON doc_b = cb.doc_id
+        |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star multimodal-column plumbing (builder brief): treat media as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction as a partition-batched typed pipeline.
+  *
+  * The container has no image/audio codecs, so [[StubDecoder.decode]] is a
+  * clearly-marked deterministic FAKE standing in for a real decoder; the
+  * Spark-side contract — binary payload column, typed metadata, Dataset
+  * encoder, per-partition batched map, explicit output schema — is real and
+  * oracle-checked. Swapping in a real decoder changes only the stub body.
+  *
+  * Scale posture: decode runs via mapPartitions so a real codec would be
+  * initialized once per partition (not per row), and payloads never pass
+  * through a shuffle — features are extracted before any wide operation.
+  */
+object MultimodalOps {
+
+  /** One media row: payload is the raw bytes, mime a typed tag. */
+  case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded features; in a real pipeline: dimensions, channels, frame
+    * count, embedding, ...
+    */
+  case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Long, height: Long, channels: Long)
+
+  /** STUB: a real implementation would decode the payload (JPEG/PNG/WAV...)
+    * and return true dimensions. This fake derives deterministic pseudo
+    * dimensions from the byte length so the full pipeline is testable and
+    * oracle-checkable offline.
+    */
+  object StubDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.payload.length.toLong
+      MediaFeatures(r.doc_id, r.mime, n,
+        width = n % 640L, height = (n * 7L) % 480L, channels = 3L)
+    }
+  }
+
+  /** documents.text bytes stand in for media payloads (binary column). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("mime"),
+        col("text").cast("binary").as("payload"))
+
+  /** Binary payload -> per-partition batched decode -> typed features. */
+  def nsMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        // Real decoders are initialized HERE, once per partition.
+        batch.map(StubDecoder.decode)
+      }
+      .toDF()
+      .select("doc_id", "mime", "n_bytes", "width", "height", "channels")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_features" -> (nsMultimodalFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "ns_multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

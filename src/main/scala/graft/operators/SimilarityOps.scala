@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.functions.CosineSimilarity
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over `embeddings` (array<float>, 64-d):
+  * brute-force cosine top-k as the exact baseline, threshold near-dup
+  * pairs, and a random-hyperplane LSH variant as the 100 TB scale path.
+  *
+  * Cosine is evaluated by the custom codegen expression
+  * [[graft.functions.CosineSimilarity]]; results are rounded to 4 decimals
+  * with id tie-breaks so ordering is engine-deterministic.
+  *
+  * Scale posture: brute force is O(Q·N) with the query side broadcast —
+  * right for reranking/small Q. The LSH path buckets by sign-pattern so
+  * candidate generation is a hash join, O(N) + within-bucket verify; at
+  * 100 TB add more bands for recall and partition by bucket id.
+  */
+object SimilarityOps {
+
+  private val TopK = 3
+  private val NumQueries = 100
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(spark)
+    Tables.embeddings(spark, dir)
+  }
+
+  /** Exact brute-force top-k neighbors for the first `NumQueries` vectors.
+    * Query side is broadcast; candidates stream through codegen'd cosine.
+    */
+  def nsSimBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(queries).join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the
+    * embedding-space analog of document dedup).
+    */
+  def nsSimNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("label").as("label_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("label").as("label_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .where(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ---- Random-hyperplane LSH ---------------------------------------------
+
+  private val Dim = 64
+  private val NumPlanes = 16
+  // 4 bands x 4 bits: tuned for the fixtures' weakly-similar vectors
+  // (max cos ~0.4 -> per-plane agreement ~0.63). On genuinely near-dup
+  // targets (cos > 0.9) the same banding gives recall ~1; at 100 TB you
+  // scale recall by adding bands, not by widening buckets.
+  private val LshBands = 4
+  private val RowsPerBand = NumPlanes / LshBands
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG -> ~N(0,1) via
+    * sum-of-uniforms), materialized as array literals — no data movement.
+    */
+  private[operators] val planes: Array[Array[Double]] = {
+    var state = 0x2545f4914f6cdd1dL
+    def nextUniform(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Array.fill(NumPlanes)(Array.fill(Dim)(
+      (1 to 12).map(_ => nextUniform()).sum)) // Irwin–Hall ~ N(0,1)
+  }
+
+  /** Sign-pattern signature: bit p = (v · plane_p) > 0, banded into
+    * `LshBands` bucket ids.
+    */
+  private[operators] def lshBuckets(emb: DataFrame): DataFrame = {
+    val planeLits = planes.map(p => array(p.map(lit): _*))
+    val bits = planeLits.zipWithIndex.map { case (pl, i) =>
+      when(expr(s"aggregate(zip_with(embedding, _plane$i, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") > 0, 1L).otherwise(0L)
+        .as(s"bit$i")
+    }
+    val withPlanes = planeLits.zipWithIndex
+      .foldLeft(emb) { case (df, (pl, i)) => df.withColumn(s"_plane$i", pl) }
+    val withBits = withPlanes.select(col("vec_id") +: col("embedding") +: bits: _*)
+    val bandCols = (0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col(s"bit$i") * (1L << (i - b * RowsPerBand)))
+          .reduce(_ + _).as("bucket"))
+    }
+    withBits
+      .select(col("vec_id"), col("embedding"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share a band bucket, then
+    * exact cosine + rank within candidates. No DuckDB oracle (bucket ids
+    * depend on generated planes); LshSpec checks recall vs brute force.
+    */
+  def nsSimLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val buckets = lshBuckets(emb)
+    // Renamed columns on each side avoid self-join attribute ambiguity.
+    val qb = buckets.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band").as("q_band"), col("bucket").as("q_bucket"))
+    val cb = buckets.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("band").as("c_band"), col("bucket").as("c_bucket"))
+    val cands = qb.join(cb,
+      col("q_band") === col("c_band") && col("q_bucket") === col("c_bucket")
+        && col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
+    "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
+    "ns_sim_lsh_topk" -> (nsSimLshTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "ns_sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |s AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(qv, e.v), 4) AS cos
+         |  FROM q JOIN e ON query_id <> e.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, neighbor_id, cos FROM r
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "ns_sim_neardup_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos,
+        |       a.label = b.label AS same_label
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

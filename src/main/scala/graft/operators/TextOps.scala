@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators over the `documents` table
+  * (builder brief + SURVEY.md §7.4): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. All pure column
+  * expressions — codegen'd, shuffle-free (per-row), trivially scalable.
+  */
+object TextOps {
+
+  /** Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    * single punctuation), the two standard token-count estimators.
+    */
+  def nsTextTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, mean token length, punctuation ratio,
+    * stopword ratio, and a composite score with tier labels — the shape of
+    * standard pretraining-corpus quality filters.
+    */
+  def nsTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("double")
+    val stopHits =
+      expr("size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','is','to','in')))")
+        .cast("double")
+    val punct =
+      expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0))").cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        toks.cast("long").as("n_tokens"),
+        round(length(col("text")) / toks, 6).as("mean_token_len"),
+        round(punct / length(col("text")), 6).as("punct_ratio"),
+        round(stopHits / toks, 6).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          col("stopword_ratio") * 2.0
+            + when(col("n_tokens") >= 20, 0.5).otherwise(0.0)
+            - col("punct_ratio")), 6))
+      .withColumn("tier",
+        when(col("quality_score") >= 0.7, "high")
+          .when(col("quality_score") >= 0.4, "medium")
+          .otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID via stopword-hit scoring (n-gram-free heuristic): count
+    * hits against per-language function-word lists, argmax with fixed
+    * precedence. Deterministic and engine-portable.
+    */
+  def nsTextLangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]): org.apache.spark.sql.Column =
+      expr(s"size(filter(split(lower(text), ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+        .cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("en_hits", hits(Seq("the", "a", "of", "and", "is")))
+      .withColumn("es_hits", hits(Seq("el", "la", "de", "los", "y")))
+      .withColumn("de_hits", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("fr_hits", hits(Seq("le", "la", "de", "les", "et")))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+          && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits")
+            && col("es_hits") > 0, "es")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("unknown"))
+      .select("doc_id", "lang", "predicted_lang", "en_hits", "es_hits", "de_hits", "fr_hits")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: sha256 over whitespace-normalized lowercase
+    * text, plus a 16-bit hex prefix bucket (the shard key a 100 TB dedup
+    * would partition on).
+    */
+  def nsTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(col("text")), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        sha2(normalized, 256).as("fingerprint"),
+        substring(sha2(normalized, 256), 1, 4).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_tokens" -> (nsTextTokens _),
+    "ns_text_quality" -> (nsTextQuality _),
+    "ns_text_langid" -> (nsTextLangId _),
+    "ns_text_fingerprint" -> (nsTextFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "ns_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns_text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |              t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) AS stop_hits,
+        |         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS punct,
+        |         CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(toks AS BIGINT) AS n_tokens,
+        |         round(chars / toks, 6) AS mean_token_len,
+        |         round(punct / chars, 6) AS punct_ratio,
+        |         round(stop_hits / toks, 6) AS stopword_ratio,
+        |         round(least(1.0, round(stop_hits / toks, 6) * 2.0 +
+        |               CASE WHEN toks >= 20 THEN 0.5 ELSE 0.0 END -
+        |               round(punct / chars, 6)), 6) AS quality_score
+        |  FROM q)
+        |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio, quality_score,
+        |       CASE WHEN quality_score >= 0.7 THEN 'high'
+        |            WHEN quality_score >= 0.4 THEN 'medium' ELSE 'low' END AS tier
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "ns_text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','de','los','y'))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','de','les','et'))) AS BIGINT) AS fr_hits
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |            WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |            WHEN fr_hits > 0 THEN 'fr'
+        |            ELSE 'unknown' END AS predicted_lang,
+        |       en_hits, es_hits, de_hits, fr_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "ns_text_fingerprint" ->
+      """SELECT doc_id,
+        |       sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |       substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+/** Cosine expression correctness + LSH recall vs exact brute force. */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine_sim expression matches an independent scala computation") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((Array.fill(16)(rng.nextFloat() - 0.5f),
+      Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+      .withColumn("cos", expr("cosine_sim(a, b)"))
+    val got = df.select("cos").collect().map(_.getDouble(0))
+    val want = vecs.map { case (x, y) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("cosine_sim handles zero vectors and is 1.0 on identical vectors") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),
+      (Array(3f, 4f), Array(3f, 4f))).toDF("a", "b")
+      .withColumn("cos", expr("cosine_sim(a, b)"))
+    val out = df.select("cos").collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k neighbors are a subset of candidates with valid ranks, decent recall") {
+    val exact = SimilarityOps.nsSimBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityOps.nsSimLshTopk(spark, sfDir).collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // ranks are 1..k per query
+    val byQuery = lsh.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val recall = exact.count(lshPairs.contains).toDouble / exact.size
+    // 16 hyperplanes / 4 bands on near-uniform vectors: modest but
+    // deterministic recall; the point is the bucketed plan shape.
+    assert(recall >= 0.3, s"LSH recall@3 = $recall")
+  }
+}
