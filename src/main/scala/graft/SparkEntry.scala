@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import graft.ops._
+import graft.pipeline.Pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +27,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
-      (MultimodalOps.queries, MultimodalOps.oracles))
+      (MultimodalOps.queries, MultimodalOps.oracles),
+      (Pipelines.queries, Pipelines.oracles))
 
   /** Flagship query (OP-38 cumulative income); driver smoke-checks rows>0
     * on sf0.001.

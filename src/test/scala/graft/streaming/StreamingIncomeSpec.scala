@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{IncomeKernel, WindowOps}
+import graft.streaming.StreamingIncome.{BalanceRow, IncomeUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming income == batch income, across micro-batch boundaries. */
+class StreamingIncomeSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[BalanceRow]]): Seq[IncomeUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BalanceRow]
+    val query = StreamingIncome.incomeStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("income_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table("income_out").as[IncomeUpdate].collect().toSeq
+      .sortBy(u => (u.user_id, u.epoch))
+  }
+
+  test("streaming matches batch kernel across micro-batch splits") {
+    import spark.implicits._
+    val rows = Seq(
+      BalanceRow(1, 10, 100.0, 0.0), BalanceRow(1, 11, 110.0, 5.0),
+      BalanceRow(1, 12, 108.0, 0.0), BalanceRow(1, 13, 140.0, 0.0),
+      BalanceRow(2, 10, 50.0, 0.0), BalanceRow(2, 11, 60.0, 0.0),
+      // user 2 then gaps: 11 -> 14 must halt processing
+      BalanceRow(2, 14, 999.0, 0.0), BalanceRow(2, 15, 1000.0, 0.0))
+    // Split mid-series for user 1 to prove state carries across batches.
+    val got = runStream(Seq(rows.take(3), rows.drop(3)))
+
+    val batch = IncomeKernel.cumulativeIncome(
+      rows.toDF("user_id", "epoch", "balance", "withdrawal"))
+      .orderBy("user_id", "epoch").collect()
+      .map(r => IncomeUpdate(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+
+    assert(got == batch)
+    assert(got.count(_.user_id == 2) == 2) // epochs 14,15 dropped by the gap halt
+  }
+
+  test("streaming on fixture-derived balances equals the batch kernel") {
+    import spark.implicits._
+    val bal = WindowOps.balancesFromEvents(spark, sfDir)
+      .as[BalanceRow].collect().toSeq.sortBy(b => (b.user_id, b.epoch))
+    val (b1, b2) = bal.splitAt(bal.length / 2)
+    val got = runStream(Seq(b1, b2))
+    val batch = IncomeKernel.cumulativeIncome(
+      bal.toDF("user_id", "epoch", "balance", "withdrawal"))
+      .orderBy("user_id", "epoch").collect()
+      .map(r => IncomeUpdate(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got.size == batch.size)
+    got.zip(batch).foreach { case (g, b) => assert(g == b, s"$g != $b") }
+  }
+
+  test("watermarked daily volume emits per-day sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val ds = input.toDS().toDF("ts", "user_id", "value")
+    val query = StreamingIncome.dailyVolume(spark, ds)
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 10.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 5.0),
+        (java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 1L, 7.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("daily_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).sorted
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 1L, 15.0),
+      ("2024-01-02 00:00:00.0", 1L, 7.0)))
+  }
+}
