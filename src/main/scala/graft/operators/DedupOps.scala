@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word-3-gram shingle set per doc (distinct), lowercased. */
+  /** Word-3-gram shingle set per doc (distinct), lowercased. The join key
+    * is the shingle's xxhash64, not the string: an 8-byte shuffle key
+    * instead of ~20-byte text (collision odds over ~10^6 distinct shingles
+    * are ~1e-7 — negligible vs the float canonicalization tolerance).
+    */
   private def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
@@ -24,6 +28,7 @@ object DedupOps {
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
 
   /** Exact Jaccard over pairs that share >=1 shingle. The shingle join IS
@@ -37,14 +42,19 @@ object DedupOps {
       candidates: Option[DataFrame] = None): DataFrame = {
     val sh = shingles(docs).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val allPairs = sh.as("a")
+    val joined = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pruning happens BEFORE the pair aggregation: the broadcast
+    // semi-join drops non-candidate rows as they stream out of the shingle
+    // join, so the groupBy only sees LSH-candidate pairs.
+    val pruned = candidates
+      .map(c => joined.join(broadcast(c), Seq("doc_a", "doc_b"), "left_semi"))
+      .getOrElse(joined)
+    val common = pruned
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    val common = candidates
-      .map(c => allPairs.join(c, Seq("doc_a", "doc_b"), "left_semi"))
-      .getOrElse(allPairs)
     common
       .join(card.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(card.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
@@ -92,7 +102,7 @@ object DedupOps {
     */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
-      .withColumn("x", hash(col("shingle")).cast("long").bitwiseAND(0xffffffffL))
+      .withColumn("x", col("sh").bitwiseAND(0xffffffffL))
     val mins: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(Prime))).as(s"h$i")
     }

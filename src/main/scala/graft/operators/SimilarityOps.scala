@@ -122,16 +122,26 @@ object SimilarityOps {
     val emb = embeddings(spark, dir)
     val buckets = lshBuckets(emb)
     // Renamed columns on each side avoid self-join attribute ambiguity.
+    // Candidate generation and dedup run on (id, id) pairs ONLY — the
+    // 64-float embeddings never pass through the bucket join or the
+    // distinct, and are re-attached afterwards (project-late: at 100 TB
+    // this is the difference between shuffling ids and shuffling vectors).
     val qb = buckets.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"),
         col("band").as("q_band"), col("bucket").as("q_bucket"))
     val cb = buckets.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("band").as("c_band"), col("bucket").as("c_bucket"))
-    val cands = qb.join(cb,
+      col("band").as("c_band"), col("bucket").as("c_bucket"))
+    val candIds = qb.join(cb,
       col("q_band") === col("c_band") && col("q_bucket") === col("c_bucket")
         && col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val qEmb = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cEmb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val cands = candIds
+      .join(broadcast(qEmb), "query_id")
+      .join(cEmb, "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands
