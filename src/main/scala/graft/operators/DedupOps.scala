@@ -165,22 +165,25 @@ object DedupOps {
   def nsDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val bandWidth = SimBits / SimBands
     val mask = (1L << bandWidth) - 1L
-    val sig = simhashSignatures(Tables.documents(spark, dir))
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val sig = simhashSignatures(Tables.documents(spark, dir)).cache()
+    // Project-late: bucket-join and dedup on bare ids, then re-attach the
+    // two signatures via broadcast joins for the hamming verify.
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until SimBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandWidth).bitwiseAND(mask).as("bits"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val a = banded.select(col("doc_id").as("doc_a"),
       col("band").as("a_band"), col("bits").as("a_bits"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+    val b = banded.select(col("doc_id").as("doc_b"),
       col("band").as("b_band"), col("bits").as("b_bits"))
     a.join(b, col("a_band") === col("b_band") && col("a_bits") === col("b_bits")
         && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .select("doc_a", "doc_b")
       .distinct()
+      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))), "doc_a")
+      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))), "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= SimHammingMax)
       .select("doc_a", "doc_b", "hamming")

@@ -152,10 +152,53 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  private val IvfClusters = 16
+  private val IvfProbes = 2
+
+  /** IVF approximate top-k: assign every vector to its nearest coarse
+    * centroid (inverted lists), probe the query's `IvfProbes` nearest
+    * centroids, exact-rerank within the probed lists. Centroids here are a
+    * deterministic seed subset (vec_id < 16) standing in for an offline
+    * k-means — the operator contract (assign → probe → rerank) is what
+    * scales: at 100 TB the inverted lists are partition keys and each query
+    * touches probes/clusters ≈ 1/8 of the data. No oracle (centroid choice
+    * is impl-defined); SimilaritySpec checks recall vs brute force.
+    */
+  def nsSimIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cents = emb.where(col("vec_id") < IvfClusters)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val scored = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("cosine_sim(embedding, cent_emb)"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val ranked = scored
+      .withColumn("crank", row_number().over(wAssign))
+    val assign = ranked.where(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cent_id").as("cluster"))
+    val probes = ranked.where(col("crank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assign, "cluster")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
-    "ns_sim_lsh_topk" -> (nsSimLshTopk _))
+    "ns_sim_lsh_topk" -> (nsSimLshTopk _),
+    "ns_sim_ivf_topk" -> (nsSimIvfTopk _))
 
   val oracles: Map[String, String] = Map(
     "ns_sim_bruteforce_topk" ->

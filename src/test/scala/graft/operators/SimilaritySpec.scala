@@ -53,4 +53,16 @@ class SimilaritySpec extends SparkSpec {
     // deterministic recall; the point is the bucketed plan shape.
     assert(recall >= 0.3, s"LSH recall@3 = $recall")
   }
+
+  test("IVF top-k probes 2/16 clusters with decent recall and valid ranks") {
+    val exact = SimilarityOps.nsSimBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.nsSimIvfTopk(spark, sfDir).collect()
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val recall = exact.count(ivfPairs.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@3 = $recall")
+  }
 }
