@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable last-write-wins merge — the engine's upsert sink primitive
+  * (reference: INSERT ... ON DUPLICATE KEY UPDATE,
+  * /root/reference/src/utils/data_utils.py:10-15, and INSERT IGNORE,
+  * /root/reference/src/validator_withdrawals_handler.py:21).
+  *
+  * Batch precedence is explicit so re-runs are idempotent (SURVEY.md
+  * §7.5#6). At scale: one shuffle on the primary key; write the result
+  * partitioned by the same key for idempotent overwrite-by-partition.
+  */
+object MergeSink {
+
+  /** Last-write-wins upsert of `updates` into `base` on `keys`; among
+    * duplicates the row with the highest `precedence` value wins, ties
+    * broken toward `updates`.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = base.select(cols.map(col): _*).withColumn("_src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
+  /** INSERT IGNORE: keep every base row; append only updates whose key is
+    * absent from base.
+    */
+  def insertIfAbsent(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    base.unionByName(
+      updates.select(cols.map(col): _*)
+        .join(base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Scale-path utilities: salting equivalence, merge-sink semantics, and
+  * bucketed co-located joins (the no-shuffle proof).
+  */
+class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("salted sum equals direct sum") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id").agg(sum("value").as("sum"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val salted = Skew.saltedSum(ev, "user_id", "value")
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case ((k1, v1), (k2, v2)) =>
+      assert(k1 == k2); assert(math.abs(v1 - v2) < 1e-6)
+    }
+  }
+
+  test("salted count-distinct equals direct count-distinct") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id").agg(countDistinct("event_type").as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val salted = Skew.saltedCountDistinct(ev, "user_id", "event_type")
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("upsert: updates win on key collision, base survives otherwise; idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val merged = MergeSink.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+    // Re-applying the same updates changes nothing (idempotent).
+    val again = MergeSink.upsert(MergeSink.upsert(base, updates, Seq("k")), updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(again.toSeq == merged.toSeq)
+  }
+
+  test("insertIfAbsent keeps existing rows and appends only new keys") {
+    import spark.implicits._
+    val base = Seq((1L, "keep"), (2L, "keep2")).toDF("k", "s")
+    val updates = Seq((2L, "IGNORED"), (3L, "new")).toDF("k", "s")
+    val out = MergeSink.insertIfAbsent(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "keep"), (2L, "keep2"), (3L, "new")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    ev.write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id").saveAsTable("ev_bucketed_a")
+    ev.groupBy("user_id").agg(sum("value").as("total"))
+      .write.mode("overwrite").bucketBy(8, "user_id")
+      .saveAsTable("ev_bucketed_b")
+    val joined = spark.table("ev_bucketed_a")
+      .join(spark.table("ev_bucketed_b"), "user_id")
+    val n = joined.count()
+    assert(n == ev.count()) // every event row matches its user's total
+    val shuffles = collect(joined.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join should be shuffle-free, found: ${shuffles.size}")
+  }
+}
