@@ -65,8 +65,32 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling (the video/audio chunking shape): each payload is cut
+    * into fixed 32-byte "frames", every 4th frame is sampled, and a
+    * deterministic stub feature is computed per sampled frame. The plumbing
+    * — explode of a computed frame index sequence, per-frame feature row,
+    * no payload through the shuffle — is the real contract; a codec would
+    * replace the feature arithmetic only.
+    */
+  def nsMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frameSize = 32L
+    val sampleEvery = 4L
+    mediaTable(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), floor((col("n_bytes") - 1) / frameSize))))
+      .where(pmod(col("frame_idx"), lit(sampleEvery)) === 0)
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * frameSize).as("byte_offset"),
+        pmod(col("n_bytes") * 31 + col("frame_idx") * 7, lit(256)).as("stub_feature"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ns_multimodal_features" -> (nsMultimodalFeatures _))
+    "ns_multimodal_features" -> (nsMultimodalFeatures _),
+    "ns_multimodal_frames" -> (nsMultimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "ns_multimodal_features" ->
@@ -75,5 +99,18 @@ object MultimodalOps {
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         |       CAST(3 AS BIGINT) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_bytes,
+        |         unnest(generate_series(0, CAST(floor((n_bytes - 1) / 32) AS BIGINT))) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, frame_idx,
+        |       frame_idx * 32 AS byte_offset,
+        |       (n_bytes * 31 + frame_idx * 7) % 256 AS stub_feature
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -77,10 +77,70 @@ object Pipelines {
       .orderBy("rank")
   }
 
+  /** The /userIncome endpoint composition (reference:
+    * /root/reference/src/api_handler.py:591-652): a user's portfolio =
+    * per-epoch AVG(apr) across their validators, joined to latest earnings
+    * and a left-outer "threat monitoring" default (OP-29 + OP-20 + OP-26 +
+    * OP-53 in one plan). supplier acctbal per nation stands in for the
+    * threat table.
+    */
+  def userIncome(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    // avg of 6-dp values lands exactly on half-way rounding points whenever
+    // sum*1e6 ≡ n/2 (mod n); float noise would then flip the 6th decimal
+    // between engines. Average in exact integer micro-units instead:
+    // round-half-up(K/n) = (2K + n) div 2n.
+    val perEpoch = income.groupBy("epoch")
+      .agg(
+        sum(round(col("apr") * 1e6).cast("long")).as("_k"),
+        count(lit(1)).as("_n"))
+      .select(col("epoch"),
+        expr("(_k * 2 + _n) div (_n * 2)").as("_micro"))
+      .select(col("epoch"), (col("_micro").cast("double") / 1e6).as("portfolio_apr"))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val latest = income
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("user_id"), col("epoch"), col("earnings"))
+    val threat = Tables.customer(spark, dir)
+      .join(Tables.supplier(spark, dir), col("c_nationkey") === col("s_nationkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(round(coalesce(sum(col("s_acctbal")), lit(1.0)), 6).as("threat_backing"))
+    latest
+      .join(perEpoch, "epoch")
+      .join(threat, col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("user_id"), col("epoch").as("latest_epoch"), col("earnings"),
+        col("portfolio_apr"),
+        round(coalesce(col("threat_backing"), lit(1.0)), 6).as("threat_backing"))
+      .orderBy("user_id")
+  }
+
+  /** Daily APR rollup (reference: /root/reference/src/apr_sync_handler.py
+    * :17-27,64-72): trailing-window earnings delta per key per day with the
+    * minimum-history gate, materialized like Validator_Daily_APR.
+    */
+  def dailyApr(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    income
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 7) // trailing window (1575-epoch analog at day grain)
+      .groupBy("user_id")
+      .agg(
+        round(max(col("earnings")) - min(col("earnings")), 6).as("window_earnings"),
+        round(max(col("losses")) - min(col("losses")), 6).as("window_losses"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 5) // MINIMUM_EPOCH_LEADERBOARD analog
+      .select(col("user_id"), col("window_earnings"), col("window_losses"),
+        IncomeKernel.aprColumn(col("window_earnings"), col("n") - 1).as("apr"), col("n"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_extract_catchup" -> (extractCatchup _),
     "pipe_income_snapshot" -> (incomeSnapshot _),
-    "pipe_leaderboard" -> (leaderboard _))
+    "pipe_leaderboard" -> (leaderboard _),
+    "pipe_user_income" -> (userIncome _),
+    "pipe_daily_apr" -> (dailyApr _))
 
   private val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
 
@@ -154,5 +214,44 @@ object Pipelines {
          |  WHERE rn = 1 GROUP BY c_mktsegment)
          |SELECT CAST(row_number() OVER (ORDER BY sum_earnings DESC, c_mktsegment ASC) AS BIGINT) AS rank,
          |       c_mktsegment, avg_apr, sum_earnings, sum_losses, n_validators
-         |FROM g ORDER BY rank""".stripMargin)
+         |FROM g ORDER BY rank""".stripMargin,
+    "pipe_user_income" ->
+      s"""$incomeCte, per_epoch_k AS (
+         |  SELECT epoch, sum(CAST(round(apr * 1e6) AS BIGINT)) AS k, count(*) AS n
+         |  FROM apr GROUP BY epoch),
+         |per_epoch AS (
+         |  SELECT epoch,
+         |         CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS portfolio_apr
+         |  FROM per_epoch_k),
+         |latest AS (
+         |  SELECT user_id, epoch, earnings,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |threat AS (
+         |  SELECT c_custkey, round(coalesce(sum(s_acctbal), 1.0), 6) AS threat_backing
+         |  FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey
+         |  GROUP BY c_custkey)
+         |SELECT user_id, latest.epoch AS latest_epoch, earnings, portfolio_apr,
+         |       round(coalesce(threat_backing, 1.0), 6) AS threat_backing
+         |FROM latest
+         |JOIN per_epoch ON latest.epoch = per_epoch.epoch
+         |LEFT JOIN threat ON user_id = c_custkey
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "pipe_daily_apr" ->
+      s"""$incomeCte, r AS (
+         |  SELECT user_id, earnings, losses,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |g AS (
+         |  SELECT user_id,
+         |         round(max(earnings) - min(earnings), 6) AS window_earnings,
+         |         round(max(losses) - min(losses), 6) AS window_losses,
+         |         count(*) AS n
+         |  FROM r WHERE rn <= 7 GROUP BY user_id HAVING count(*) >= 5)
+         |SELECT user_id, window_earnings, window_losses,
+         |       round(CASE WHEN n - 1 > 0
+         |                  THEN window_earnings * 82179.45 / (CAST(n - 1 AS DOUBLE) * 2400000.0)
+         |                  ELSE 0 END, 6) AS apr,
+         |       n
+         |FROM g ORDER BY user_id""".stripMargin)
 }
