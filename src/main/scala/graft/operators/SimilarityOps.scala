@@ -185,7 +185,7 @@ object SimilarityOps {
         col("cent_id").as("cluster"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(assign, "cluster")
+    broadcast(probes).join(assign, "cluster")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
