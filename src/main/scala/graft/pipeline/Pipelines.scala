@@ -135,12 +135,43 @@ object Pipelines {
       .orderBy("user_id")
   }
 
+  /** Cross-source watermark alignment (SURVEY.md §7.5#2): the safe upper
+    * processing bound per key is min(max balance-source epoch, max
+    * withdrawal-source epoch) — processing past the slower source would
+    * book deltas against missing withdrawals (reference:
+    * /root/reference/src/validator_income_handler.py:179,201).
+    */
+  def watermarkAlign(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val balanceMax = ev.groupBy("user_id").agg(max(dayEpoch).as("balance_max"))
+    val purchaseMax = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user")).agg(max(dayEpoch).as("withdrawal_max"))
+    balanceMax
+      .join(purchaseMax, col("user_id") === col("p_user"), "left_outer")
+      .select(col("user_id"), col("balance_max"),
+        col("withdrawal_max"),
+        least(col("balance_max"), coalesce(col("withdrawal_max"), col("balance_max")))
+          .as("safe_upper_bound"))
+      .orderBy("user_id")
+  }
+
+  /** Salted hot-key aggregation surfaced as a query: must equal the plain
+    * GROUP BY sum (the oracle is the UNSALTED query — equivalence is the
+    * whole point of [[graft.ops.Skew]]).
+    */
+  def saltedSum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSum(Tables.events(spark, dir), "user_id", "value", out = "_raw")
+      .select(col("user_id"), round(col("_raw"), 6).as("total_value"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_extract_catchup" -> (extractCatchup _),
     "pipe_income_snapshot" -> (incomeSnapshot _),
     "pipe_leaderboard" -> (leaderboard _),
     "pipe_user_income" -> (userIncome _),
-    "pipe_daily_apr" -> (dailyApr _))
+    "pipe_daily_apr" -> (dailyApr _),
+    "pipe_watermark_align" -> (watermarkAlign _),
+    "ops_salted_sum" -> (saltedSum _))
 
   private val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
 
@@ -253,5 +284,16 @@ object Pipelines {
          |                  THEN window_earnings * 82179.45 / (CAST(n - 1 AS DOUBLE) * 2400000.0)
          |                  ELSE 0 END, 6) AS apr,
          |       n
-         |FROM g ORDER BY user_id""".stripMargin)
+         |FROM g ORDER BY user_id""".stripMargin,
+    "pipe_watermark_align" ->
+      s"""WITH bm AS (SELECT user_id, max($epochExpr) AS balance_max FROM events GROUP BY user_id),
+         |pm AS (SELECT user_id AS p_user, max($epochExpr) AS withdrawal_max
+         |       FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT user_id, balance_max, withdrawal_max,
+         |       least(balance_max, coalesce(withdrawal_max, balance_max)) AS safe_upper_bound
+         |FROM bm LEFT JOIN pm ON user_id = p_user
+         |ORDER BY user_id""".stripMargin,
+    "ops_salted_sum" ->
+      """SELECT user_id, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
