@@ -39,4 +39,17 @@ object MergeSink {
       updates.select(cols.map(col): _*)
         .join(base.select(keys.map(col): _*).distinct(), keys, "left_anti"))
   }
+
+  /** Idempotent overwrite-by-partition write: with dynamic partition
+    * overwrite, re-running a batch replaces exactly the partitions it
+    * produces and leaves the rest of the table untouched — the parquet
+    * analog of the reference's PK upsert commit. `partitionCol` should be
+    * the natural batch key (a date / epoch-bucket column).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

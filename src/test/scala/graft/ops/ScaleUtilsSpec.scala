@@ -55,6 +55,22 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq((1L, "keep"), (2L, "keep2"), (3L, "new")))
   }
 
+  test("writePartitioned overwrites only the partitions present in the batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("k", "day", "v")
+    MergeSink.writePartitioned(day1, dir, "day")
+    // Re-run only day 2 with corrected data: day 1 must survive untouched.
+    val day2fix = Seq((2L, "2024-01-02", 99.0)).toDF("k", "day", "v")
+    MergeSink.writePartitioned(day2fix, dir, "day")
+    // Partition-column type inference reads `day` back as DATE; cast for
+    // a type-stable comparison.
+    val out = spark.read.parquet(dir)
+      .selectExpr("k", "CAST(day AS STRING) AS day", "v").orderBy("day")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("day"), r.getAs[Double]("v")))
+    assert(out.toSeq == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 99.0)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     ev.write.mode("overwrite").bucketBy(8, "user_id")
