@@ -94,4 +94,48 @@ object StreamingIncome {
       .groupBy(window(col("ts"), "1 day").as("day"), col("user_id"))
       .agg(round(sum(col("value")), IncomeKernel.Scale).as("volume"))
       .select(col("day.start").as("day_start"), col("user_id"), col("volume"))
+
+  /** readStream -> transform -> writeStream over the landed parquet
+    * directory: the full file-source pipeline (new fixture files arriving
+    * in `srcDir` are picked up by the checkpointed file index; with
+    * Trigger.AvailableNow the same pipeline doubles as an incremental
+    * batch job, which is exactly the reference's poll-loop semantics).
+    * Each micro-batch recomputes income for the keys it touches and
+    * upserts by day-epoch partition via foreachBatch + MergeSink.
+    */
+  def incomeFilePipeline(
+      spark: SparkSession,
+      srcDir: String,
+      outPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // File-source schema must be explicit; events.ts is TIMESTAMP(NANOS),
+    // readable only as a nanosecond Long (see graft.model.Tables).
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val balances = batch
+          .groupBy(col("user_id"),
+            floor(unix_timestamp(col("ts")) / 86400L).as("epoch"))
+          .agg(
+            round(sum(col("value")), IncomeKernel.Scale).as("balance"),
+            round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)),
+              IncomeKernel.Scale).as("withdrawal"))
+        val income = IncomeKernel.cumulativeIncome(balances)
+        graft.ops.MergeSink.writePartitioned(income, outPath, "epoch")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

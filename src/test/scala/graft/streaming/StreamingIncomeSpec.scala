@@ -65,6 +65,23 @@ class StreamingIncomeSpec extends SparkSpec {
     got.zip(batch).foreach { case (g, b) => assert(g == b, s"$g != $b") }
   }
 
+  test("file-source pipeline (readStream -> income -> partitioned sink) equals batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp").toString
+    val q = StreamingIncome.incomeFilePipeline(spark, sfDir, out, cp)
+    q.awaitTermination()
+    // epoch is a partition column on read-back: cast restores LongType.
+    val got = spark.read.parquet(out)
+      .selectExpr("user_id", "CAST(epoch AS BIGINT) AS epoch", "earnings",
+        "losses", "apr", "epochs_since_active")
+      .orderBy("user_id", "epoch").collect().map(_.toSeq)
+    val want = graft.ops.IncomeKernel.cumulativeIncome(
+      WindowOps.balancesFromEvents(spark, sfDir))
+      .orderBy("user_id", "epoch").collect().map(_.toSeq)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("watermarked daily volume emits per-day sums") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
