@@ -39,8 +39,9 @@ object DedupOps {
     */
   private def jaccardPairs(
       docs: DataFrame, threshold: Double,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingles(docs).cache()
+      candidates: Option[DataFrame] = None,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputed.getOrElse(shingles(docs).cache())
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val joined = sh.as("a")
       .join(sh.as("b"),
@@ -100,8 +101,8 @@ object DedupOps {
     * min. One explode + one groupBy; the k mins are k agg columns, not k
     * passes.
     */
-  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  private[operators] def minhashSignatures(sh0: DataFrame): DataFrame = {
+    val sh = sh0
       .withColumn("x", col("sh").bitwiseAND(0xffffffffL))
     val mins: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(Prime))).as(s"h$i")
@@ -115,7 +116,9 @@ object DedupOps {
     */
   def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = minhashSignatures(docs)
+    // One shared shingle set feeds both the signatures and the verify.
+    val sh = shingles(docs).cache()
+    val sig = minhashSignatures(sh)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * Rows until (b + 1) * Rows).map(i => col(s"h$i")): _*).as("bh"))
@@ -126,7 +129,7 @@ object DedupOps {
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs(docs, 0.5, candidates = Some(candidates))
+    jaccardPairs(docs, 0.5, candidates = Some(candidates), precomputed = Some(sh))
       .orderBy("doc_a", "doc_b")
   }
 
