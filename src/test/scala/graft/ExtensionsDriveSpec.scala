@@ -19,9 +19,15 @@ class ExtensionsDriveSpec extends AnyFunSuite {
     // JVM creates its first SparkContext (proved by running this suite
     // alone). With a context already up (full `sbt test`), exercise the
     // same class through the public builder.withExtensions hook instead.
+    // Static confs match SparkSpec's: if this suite runs first and creates
+    // the JVM's only SparkContext, later suites inherit a sane warehouse
+    // dir and the nanos-timestamp flag.
     val builder = SparkSession.builder()
-      .master("local[2]")
+      .master("local[4]")
       .appName("ext-drive")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_ext").toString)
       .config("spark.ui.enabled", "false")
     val s = (if (previous.isEmpty)
       builder.config("spark.sql.extensions", "graft.GraftExtensions")
