@@ -193,11 +193,53 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- Connected components (dedup survivorship) --------------------------
+
+  /** Connected components over the near-dup pair graph: every document gets
+    * the min doc_id reachable through near-dup edges as its component id —
+    * the survivorship key of a large-scale dedup (keep one doc per
+    * component). Iterative min-label propagation over the edge list; at
+    * 100 TB this is the standard alternating large/small-star pattern, here
+    * plain label joins since components are shallow. Iterations are bounded
+    * and stop early at fixpoint.
+    */
+  def nsDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairs(docs, 0.5).select("doc_a", "doc_b").cache()
+    // Undirected edges, both directions.
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 10) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("component")).as("n_min"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .where(col("component") =!= col("old")).limit(1).count() > 0
+      labels = updated
+      iter += 1
+    }
+    labels
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .select(col("component"), col("n_docs"), col("keep_doc_id"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_dedup_exact" -> (nsDedupExact _),
     "ns_dedup_jaccard" -> (nsDedupJaccard _),
     "ns_dedup_minhash" -> (nsDedupMinhash _),
-    "ns_dedup_simhash" -> (nsDedupSimhash _))
+    "ns_dedup_simhash" -> (nsDedupSimhash _),
+    "ns_dedup_components" -> (nsDedupComponents _))
 
   val oracles: Map[String, String] = Map(
     "ns_dedup_exact" ->
@@ -225,5 +267,33 @@ object DedupOps {
         |JOIN card ca ON doc_a = ca.doc_id
         |JOIN card cb ON doc_b = cb.doc_id
         |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ns_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jacc AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN card ca ON doc_a = ca.doc_id
+        |  JOIN card cb ON doc_b = cb.doc_id
+        |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM jacc
+        |  UNION ALL SELECT doc_b, doc_a FROM jacc),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.doc_id, edges.doc_b FROM reach JOIN edges ON reach.r = edges.doc_a),
+        |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+        |SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin)
 }
