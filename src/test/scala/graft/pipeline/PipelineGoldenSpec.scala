@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.ops.IncomeKernel
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test (SURVEY.md §5c): hand-built balances +
+  * withdrawals -> income kernel -> latest snapshot -> grouped leaderboard,
+  * every number checked against hand-computed expectations.
+  */
+class PipelineGoldenSpec extends SparkSpec {
+
+  test("balances -> income -> leaderboard matches hand-computed values") {
+    import spark.implicits._
+    // Two "indexes" (groups): users 1,2 in group A; user 3 in group B.
+    //   user 1: 100 -> 110 (+10) -> 105 (-5, plus 20 withdrawn at epoch 1 => delta +15)
+    //   user 2: 50 -> 45 (-5)
+    //   user 3: 10 -> 10 -> 40 (+30)
+    val balances = Seq(
+      (1L, 0L, 100.0, 0.0), (1L, 1L, 110.0, 20.0), (1L, 2L, 105.0, 0.0),
+      (2L, 0L, 50.0, 0.0), (2L, 1L, 45.0, 0.0),
+      (3L, 0L, 10.0, 0.0), (3L, 1L, 10.0, 0.0), (3L, 2L, 40.0, 0.0))
+      .toDF("user_id", "epoch", "balance", "withdrawal")
+
+    val income = IncomeKernel.cumulativeIncome(balances)
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val latest = income.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select("user_id", "earnings", "losses")
+
+    val got = latest.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // user 1: deltas +10, (105 + 20 - 110) = +15  => earnings 25, losses 0
+    // user 2: delta  -5                            => earnings 0,  losses 5
+    // user 3: deltas  0, +30                       => earnings 30, losses 0
+    assert(got.toSeq == Seq((1L, 25.0, 0.0), (2L, 0.0, 5.0), (3L, 30.0, 0.0)))
+
+    val dim = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("user_id", "grp")
+    val board = latest.join(dim, "user_id")
+      .groupBy("grp")
+      .agg(round(sum(col("earnings")), 6).as("sum_earn"),
+        round(sum(col("losses")), 6).as("sum_loss"),
+        count(lit(1)).as("n"))
+      .orderBy(col("sum_earn").desc)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(board.toSeq == Seq(("B", 30.0, 0.0, 1L), ("A", 25.0, 5.0, 2L)))
+  }
+}
