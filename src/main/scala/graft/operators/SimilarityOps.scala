@@ -152,6 +152,51 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---- k-means training for IVF centroids --------------------------------
+
+  /** Lloyd iterations as pure DataFrame ops: assign each vector to its
+    * nearest centroid (cosine), recompute centroids as the element-wise
+    * mean of their members via posexplode -> (cluster, dim) avg ->
+    * re-assembled array. Deterministic init (vec_id < k). Two shuffles per
+    * iteration, both keyed on small cardinalities (k, k x dim) — at 100 TB
+    * the assign step is a broadcast map-side pass over the data and only
+    * (cluster, dim, partial-sum) rows shuffle.
+    */
+  def trainCentroids(emb: DataFrame, k: Int = IvfClusters, iters: Int = 3): DataFrame = {
+    var cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cent_emb"))
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(embedding, cent_emb)"))
+        .withColumn("crank", row_number().over(wAssign))
+        .where(col("crank") === 1)
+        .select(col("cent_id"), col("embedding"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
+          .as("cent_emb"))
+    }
+    cents
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the (cosine)
+    * analog of k-means inertia; higher is tighter.
+    */
+  def assignmentQuality(emb: DataFrame, cents: DataFrame): Double = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("cosine_sim(embedding, cent_emb)"))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .agg(avg(col("ccos")))
+      .collect()(0).getDouble(0)
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
   private val IvfClusters = 16

@@ -65,4 +65,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count(ivfPairs.contains).toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
+
+  test("k-means training tightens centroid assignment vs seed centroids") {
+    import graft.model.Tables
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val seeds = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cent_emb"))
+    val before = SimilarityOps.assignmentQuality(emb, seeds)
+    val trained = SimilarityOps.trainCentroids(emb, k = 16, iters = 3)
+    assert(trained.count() == 16)
+    val after = SimilarityOps.assignmentQuality(emb, trained)
+    assert(after > before, s"inertia analog did not improve: $before -> $after")
+  }
 }
