@@ -20,6 +20,14 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** As stored on disk: ts is TIMESTAMP(NANOS), readable only as a
+    * nanosecond Long (see nanosToTimestamp). File-source streams must use
+    * this schema and convert ts themselves.
+    */
+  val eventsRawSchema: StructType = StructType(
+    eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
   val lineitemSchema: StructType = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_partkey", LongType),

@@ -212,7 +212,10 @@ object DedupOps {
     var labels = docs.select(col("doc_id"), col("doc_id").as("component")).cache()
     var changed = true
     var iter = 0
-    while (changed && iter < 10) {
+    // Min-label propagation needs (component eccentricity) iterations to
+    // converge; the loop runs to FIXPOINT, with 64 as a runaway backstop
+    // far above any plausible near-dup-chain diameter at these scales.
+    while (changed && iter < 64) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
@@ -224,6 +227,7 @@ object DedupOps {
         .cache()
       changed = updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .where(col("component") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
       labels = updated
       iter += 1
     }

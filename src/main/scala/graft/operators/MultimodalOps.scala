@@ -77,6 +77,10 @@ object MultimodalOps {
     val sampleEvery = 4L
     mediaTable(spark, dir)
       .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+      // Empty payloads emit no frames. Required for oracle parity too:
+      // Spark's sequence(0, -1) yields a DESCENDING [0, -1] while DuckDB's
+      // generate_series(0, -1) is empty.
+      .where(col("n_bytes") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0L), floor((col("n_bytes") - 1) / frameSize))))
       .where(pmod(col("frame_idx"), lit(sampleEvery)) === 0)
@@ -111,6 +115,6 @@ object MultimodalOps {
         |SELECT doc_id, frame_idx,
         |       frame_idx * 32 AS byte_offset,
         |       (n_bytes * 31 + frame_idx * 7) % 256 AS stub_feature
-        |FROM f WHERE frame_idx % 4 = 0
+        |FROM f WHERE frame_idx % 4 = 0 AND n_bytes > 0
         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object MergeSink {
 
-  /** Last-write-wins upsert of `updates` into `base` on `keys`; among
-    * duplicates the row with the highest `precedence` value wins, ties
-    * broken toward `updates`.
+  /** Last-write-wins upsert of `updates` into `base` on `keys`: an updates
+    * row beats a base row with the same key. If either side itself carries
+    * several rows per key, the winner among them is picked by descending
+    * order of the non-key columns — arbitrary but DETERMINISTIC, so
+    * re-runs always converge to the same row (the idempotency contract,
+    * SURVEY.md §7.5#6).
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
     val tagged = base.select(cols.map(col): _*).withColumn("_src", lit(0))
       .unionByName(updates.select(cols.map(col): _*).withColumn("_src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    val tieBreak = cols.filterNot(keys.contains).map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_src").desc +: tieBreak: _*)
     tagged
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)

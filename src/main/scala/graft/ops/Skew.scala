@@ -14,6 +14,9 @@ object Skew {
     * key. Algebraic aggregates only (sum/count/min/max) — the partial
     * stage must commute with the final one. `salts` bounds the fan-out;
     * at 1000 executors a hot key with salts=32 spreads over 32 reducers.
+    * The salt hashes the ROW CONTENT (not monotonically_increasing_id,
+    * which shifts across retries/partitioning) so the float summation
+    * grouping — and thus the rounded result — is fully deterministic.
     */
   def saltedSum(
       df: DataFrame,
@@ -21,7 +24,8 @@ object Skew {
       valueCol: String,
       salts: Int = 32,
       out: String = "sum"): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))

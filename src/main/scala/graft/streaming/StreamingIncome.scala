@@ -96,43 +96,72 @@ object StreamingIncome {
       .select(col("day.start").as("day_start"), col("user_id"), col("volume"))
 
   /** readStream -> transform -> writeStream over the landed parquet
-    * directory: the full file-source pipeline (new fixture files arriving
-    * in `srcDir` are picked up by the checkpointed file index; with
+    * directory: the full file-source pipeline (new files arriving in
+    * `srcDir` are picked up by the checkpointed file index; with
     * Trigger.AvailableNow the same pipeline doubles as an incremental
-    * batch job, which is exactly the reference's poll-loop semantics).
-    * Each micro-batch recomputes income for the keys it touches and
-    * upserts by day-epoch partition via foreachBatch + MergeSink.
+    * batch job — exactly the reference's poll-loop semantics).
+    *
+    * Cumulative income CANNOT be derived from a micro-batch in isolation
+    * (a later batch would cold-start mid-series and miss gaps), so each
+    * batch (1) upserts its event-level VALUES into a bucketed balances
+    * store, then (2) recomputes income from the FULL balance history of
+    * only the touched buckets and overwrites those income partitions.
+    * At scale the bucket count bounds rewrite amplification; untouched
+    * buckets are never read or written.
     */
   def incomeFilePipeline(
       spark: SparkSession,
       srcDir: String,
       outPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    // File-source schema must be explicit; events.ts is TIMESTAMP(NANOS),
-    // readable only as a nanosecond Long (see graft.model.Tables).
-    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      checkpointDir: String,
+      buckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val balancesPath = s"$outPath/balances"
+    val incomePath = s"$outPath/income"
     val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .schema(graft.model.Tables.eventsRawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      // One file per micro-batch: the reference's bounded-work-per-run
+      // semantics (<=10 epochs per invocation), and it exercises the
+      // incremental merge path even under Trigger.AvailableNow.
+      .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val balances = batch
+        val newBal = batch
           .groupBy(col("user_id"),
             floor(unix_timestamp(col("ts")) / 86400L).as("epoch"))
           .agg(
             round(sum(col("value")), IncomeKernel.Scale).as("balance"),
             round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)),
               IncomeKernel.Scale).as("withdrawal"))
-        val income = IncomeKernel.cumulativeIncome(balances)
-        graft.ops.MergeSink.writePartitioned(income, outPath, "epoch")
+          .withColumn("bucket", pmod(col("user_id"), lit(buckets)))
+        val existing =
+          try spark.read.parquet(balancesPath)
+            .selectExpr("user_id", "epoch", "balance", "withdrawal",
+              "CAST(bucket AS BIGINT) AS bucket")
+          catch { case _: Throwable => newBal.limit(0) }
+        // NOTE: same-(user, epoch) rows split across batches are summed,
+        // not last-write-wins — a bucket re-aggregation both engines share.
+        val merged = existing.unionByName(newBal)
+          .groupBy("user_id", "epoch", "bucket")
+          .agg(round(sum(col("balance")), IncomeKernel.Scale).as("balance"),
+            round(sum(col("withdrawal")), IncomeKernel.Scale).as("withdrawal"))
+        val touched = newBal.select("bucket").distinct()
+        // Stage the merged buckets before touching balancesPath: a plan may
+        // never read from a path it is overwriting (cache eviction would
+        // re-read half-written state).
+        val stagingPath = s"$outPath/_staging"
+        merged.join(broadcast(touched), Seq("bucket"), "left_semi")
+          .select("user_id", "epoch", "balance", "withdrawal", "bucket")
+          .write.mode("overwrite").parquet(stagingPath)
+        val staged = spark.read.parquet(stagingPath)
+        graft.ops.MergeSink.writePartitioned(staged, balancesPath, "bucket")
+        val income = IncomeKernel.cumulativeIncome(
+          staged.select("user_id", "epoch", "balance", "withdrawal"))
+          .withColumn("bucket", pmod(col("user_id"), lit(buckets)))
+        graft.ops.MergeSink.writePartitioned(income, incomePath, "bucket")
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -65,21 +65,34 @@ class StreamingIncomeSpec extends SparkSpec {
     got.zip(batch).foreach { case (g, b) => assert(g == b, s"$g != $b") }
   }
 
-  test("file-source pipeline (readStream -> income -> partitioned sink) equals batch") {
+  test("file-source pipeline processes TWO micro-batches and still equals batch") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp").toString
-    val q = StreamingIncome.incomeFilePipeline(spark, sfDir, out, cp)
+    // Split the raw events (ts still a nano Long under nanosAsLong) into
+    // two files so every user's series straddles the micro-batch boundary.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    land(raw.where(col("event_id") % 2 === 0), "a.parquet")
+    land(raw.where(col("event_id") % 2 === 1), "b.parquet")
+
+    val q = StreamingIncome.incomeFilePipeline(spark, srcDir.toString, out, cp)
     q.awaitTermination()
-    // epoch is a partition column on read-back: cast restores LongType.
-    val got = spark.read.parquet(out)
-      .selectExpr("user_id", "CAST(epoch AS BIGINT) AS epoch", "earnings",
-        "losses", "apr", "epochs_since_active")
+    val got = spark.read.parquet(s"$out/income")
+      .selectExpr("user_id", "epoch", "earnings", "losses", "apr", "epochs_since_active")
       .orderBy("user_id", "epoch").collect().map(_.toSeq)
     val want = graft.ops.IncomeKernel.cumulativeIncome(
       WindowOps.balancesFromEvents(spark, sfDir))
       .orderBy("user_id", "epoch").collect().map(_.toSeq)
-    assert(got.length == want.length)
-    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    assert(got.length == want.length, s"${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
   test("watermarked daily volume emits per-day sums") {

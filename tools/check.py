@@ -28,6 +28,12 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_skip = 0
+    # A query that threw inside Verify writes NO output dir — that must be
+    # a failure here, not a silent skip.
+    for missing in sorted(set(oracle) - set(names)):
+        if not only or missing in only:
+            print(f"[FAIL] {missing}: declared in oracle_sql.json but no output written")
+            n_fail += 1
     for name in names:
         if only and name not in only:
             continue
