@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: time named queries 3x each in one warm session at sf0.1 —
+  * separates first-call codegen/JIT cost from steady-state runtime.
+  * Usage: runMain graft.TimeQ <queryName> [...]
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val dir = "/root/testdata/sf0.1"
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -209,7 +209,20 @@ object DedupOps {
     // Undirected edges, both directions.
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).cache()
+    // Only nodes with at least one near-dup edge participate in the loop —
+    // the (overwhelming) singleton majority joins the result at the end.
+    // At 100 TB this keeps the iteration frames proportional to the dup
+    // graph, not the corpus.
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).cache()
+    // Labels only ever DECREASE, so the label sum is a strictly-decreasing
+    // convergence measure: one agg job per iteration both materializes the
+    // new labels cache and detects the fixpoint (no separate diff join).
+    // decimal(38,0) so the sum cannot overflow at any realistic id scale.
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+    var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
     // Min-label propagation needs (component eccentricity) iterations to
@@ -225,13 +238,17 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
         .cache()
-      changed = updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .where(col("component") =!= col("old")).limit(1).count() > 0
+      val newSum = labelSum(updated)
+      changed = newSum < prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = updated
       iter += 1
     }
-    labels
+    val singletons = docs.select("doc_id")
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    labels.unionByName(singletons)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .select(col("component"), col("n_docs"), col("keep_doc_id"))
