@@ -65,6 +65,17 @@ object AggOps {
       .distinct()
       .orderBy("user_id", "event_type")
 
+  /** OP-31 approx variant: HyperLogLog++ distinct counts — the
+    * cardinality-only form of DISTINCT (SURVEY.md §2.4 OP-31 mapping).
+    * Sketch implementations differ between engines, so this is rows-only;
+    * ApproxDistinctSpec bounds the error against the exact count.
+    */
+  def op31bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** OP-32 grouped mean over sorted groups — the reference pre-sorts for
     * itertools.groupby; Spark's hash agg needs no sort
     * (reference: /root/reference/src/utils/apiUtils.py:6-50).
@@ -124,6 +135,7 @@ object AggOps {
     "op29_grouped_avg" -> (op29GroupedAvg _),
     "op30_multi_agg" -> (op30MultiAgg _),
     "op31_distinct" -> (op31Distinct _),
+    "op31b_approx_distinct" -> (op31bApproxDistinct _),
     "op32_grouped_mean" -> (op32GroupedMean _),
     "op33_mean_of_means" -> (op33MeanOfMeans _),
     "op34_two_level_agg" -> (op34TwoLevelAgg _),
