@@ -220,8 +220,10 @@ object DedupOps {
     // new labels cache and detects the fixpoint (no separate diff join).
     // decimal(38,0) so the sum cannot overflow at any realistic id scale.
     def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0))
+      // sum over an empty frame is null: an edge-free graph must fall
+      // through to "all singletons", not NPE.
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
@@ -245,6 +247,9 @@ object DedupOps {
       labels = updated
       iter += 1
     }
+    // Wrong-but-silent is worse than loud: a graph needing more rounds
+    // than the backstop must fail the query, not emit split components.
+    require(!changed, s"component propagation did not converge in $iter iterations")
     val singletons = docs.select("doc_id")
       .join(nodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))

@@ -26,7 +26,13 @@ object MergeSink {
     val cols = base.columns.toSeq
     val tagged = base.select(cols.map(col): _*).withColumn("_src", lit(0))
       .unionByName(updates.select(cols.map(col): _*).withColumn("_src", lit(1)))
-    val tieBreak = cols.filterNot(keys.contains).map(c => col(c).desc)
+    // Only orderable column types participate in the tie-break (a map
+    // column would fail analysis); unorderable columns simply don't help
+    // disambiguate.
+    val orderable = base.schema.fields.filter(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(_.name).toSet
+    val tieBreak = cols.filterNot(keys.contains).filter(orderable).map(c => col(c).desc)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_src").desc +: tieBreak: _*)
     tagged

@@ -103,11 +103,13 @@ object StreamingIncome {
     *
     * Cumulative income CANNOT be derived from a micro-batch in isolation
     * (a later batch would cold-start mid-series and miss gaps), so each
-    * batch (1) upserts its event-level VALUES into a bucketed balances
-    * store, then (2) recomputes income from the FULL balance history of
-    * only the touched buckets and overwrites those income partitions.
-    * At scale the bucket count bounds rewrite amplification; untouched
-    * buckets are never read or written.
+    * batch (1) lands its unrounded per-(user, epoch) PARTIAL sums keyed by
+    * batch_id into a bucketed store — replays overwrite their own partials,
+    * making the sink idempotent under at-least-once delivery — then
+    * (2) recomputes income from the merged history of only the touched
+    * buckets and overwrites those income partitions. At scale the bucket
+    * count bounds rewrite amplification; untouched buckets are never read
+    * or written.
     */
   def incomeFilePipeline(
       spark: SparkSession,
@@ -127,38 +129,47 @@ object StreamingIncome {
       .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val newBal = batch
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // UNROUNDED per-batch partial sums keyed by (user, epoch, batch_id):
+        // - raw partials keep the merged view equal to the batch path
+        //   (rounding happens once, after cross-batch summation);
+        // - the batch_id key makes replays idempotent — a replayed batch
+        //   overwrites ITS OWN prior partials instead of double-counting.
+        val newPartials = batch
           .groupBy(col("user_id"),
             floor(unix_timestamp(col("ts")) / 86400L).as("epoch"))
           .agg(
-            round(sum(col("value")), IncomeKernel.Scale).as("balance"),
-            round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)),
-              IncomeKernel.Scale).as("withdrawal"))
+            sum(col("value")).as("balance"),
+            sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+              .as("withdrawal"))
+          .withColumn("batch_id", lit(batchId))
           .withColumn("bucket", pmod(col("user_id"), lit(buckets)))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        // Only a genuinely absent store means "first batch" — any other
+        // read failure must propagate, not silently wipe history.
         val existing =
-          try spark.read.parquet(balancesPath)
-            .selectExpr("user_id", "epoch", "balance", "withdrawal",
-              "CAST(bucket AS BIGINT) AS bucket")
-          catch { case _: Throwable => newBal.limit(0) }
-        // NOTE: same-(user, epoch) rows split across batches are summed,
-        // not last-write-wins — a bucket re-aggregation both engines share.
-        val merged = existing.unionByName(newBal)
-          .groupBy("user_id", "epoch", "bucket")
-          .agg(round(sum(col("balance")), IncomeKernel.Scale).as("balance"),
-            round(sum(col("withdrawal")), IncomeKernel.Scale).as("withdrawal"))
-        val touched = newBal.select("bucket").distinct()
-        // Stage the merged buckets before touching balancesPath: a plan may
-        // never read from a path it is overwriting (cache eviction would
-        // re-read half-written state).
+          if (fs.exists(new org.apache.hadoop.fs.Path(balancesPath)))
+            spark.read.parquet(balancesPath)
+              .selectExpr("user_id", "epoch", "balance", "withdrawal",
+                "batch_id", "CAST(bucket AS BIGINT) AS bucket")
+              .where(col("batch_id") =!= batchId) // drop a replayed batch's old partials
+          else newPartials.limit(0)
+        val touched = newPartials.select("bucket").distinct()
+        // Stage before touching balancesPath: a plan may never read from a
+        // path it is overwriting (cache eviction would re-read half-written
+        // state).
         val stagingPath = s"$outPath/_staging"
-        merged.join(broadcast(touched), Seq("bucket"), "left_semi")
-          .select("user_id", "epoch", "balance", "withdrawal", "bucket")
+        existing.unionByName(newPartials)
+          .join(broadcast(touched), Seq("bucket"), "left_semi")
           .write.mode("overwrite").parquet(stagingPath)
         val staged = spark.read.parquet(stagingPath)
         graft.ops.MergeSink.writePartitioned(staged, balancesPath, "bucket")
-        val income = IncomeKernel.cumulativeIncome(
-          staged.select("user_id", "epoch", "balance", "withdrawal"))
+        val mergedBalances = staged
+          .groupBy("user_id", "epoch")
+          .agg(round(sum(col("balance")), IncomeKernel.Scale).as("balance"),
+            round(sum(col("withdrawal")), IncomeKernel.Scale).as("withdrawal"))
+        val income = IncomeKernel.cumulativeIncome(mergedBalances)
           .withColumn("bucket", pmod(col("user_id"), lit(buckets)))
         graft.ops.MergeSink.writePartitioned(income, incomePath, "bucket")
         ()

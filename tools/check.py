@@ -29,10 +29,15 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_skip = 0
     # A query that threw inside Verify writes NO output dir — that must be
-    # a failure here, not a silent skip.
-    for missing in sorted(set(oracle) - set(names)):
+    # a failure here, not a silent skip. The queries.json manifest covers
+    # rows-only queries that have no oracle entry.
+    declared = set(oracle)
+    manifest = f"{out_dir}/queries.json"
+    if os.path.exists(manifest):
+        declared |= set(json.load(open(manifest)))
+    for missing in sorted(declared - set(names)):
         if not only or missing in only:
-            print(f"[FAIL] {missing}: declared in oracle_sql.json but no output written")
+            print(f"[FAIL] {missing}: declared but no output written")
             n_fail += 1
     for name in names:
         if only and name not in only:
