@@ -68,10 +68,13 @@ object Pipelines {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        round(avg(col("apr")), 6).as("avg_apr"),
+        sum(round(col("apr") * 1e6).cast("long")).as("_k"),
         round(sum(col("earnings")), 6).as("sum_earnings"),
         round(sum(col("losses")), 6).as("sum_losses"),
         count(lit(1)).as("n_validators"))
+      // exact integer micro-unit average — see userIncome for why
+      .withColumn("avg_apr",
+        expr("(_k * 2 + n_validators) div (n_validators * 2)").cast("double") / 1e6)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "c_mktsegment", "avg_apr", "sum_earnings", "sum_losses", "n_validators")
       .orderBy("rank")
@@ -164,7 +167,57 @@ object Pipelines {
       .select(col("user_id"), round(col("_raw"), 6).as("total_value"))
       .orderBy("user_id")
 
+  /** The /topIndexes endpoint: the leaderboard groups ranked three ways in
+    * one pass (reference: /root/reference/src/api_handler.py:306-310 —
+    * "top7" by earnings / losses / APR).
+    */
+  def topIndexes(spark: SparkSession, dir: String): DataFrame = {
+    val board = leaderboard(spark, dir)
+      .select("c_mktsegment", "avg_apr", "sum_earnings", "sum_losses")
+    def top(metric: String): DataFrame = {
+      val w = Window.orderBy(col(metric).desc, col("c_mktsegment").asc)
+      board.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 7)
+        .select(lit(metric).as("metric"), col("rank"), col("c_mktsegment"),
+          col(metric).cast("double").as("metric_value"))
+    }
+    top("sum_earnings").unionByName(top("sum_losses")).unionByName(top("avg_apr"))
+      .orderBy("metric", "rank")
+  }
+
+  /** The index_epoch_apr derivation: per-(group, epoch) multi-agg over the
+    * composite-key join of income and membership, then the neighbor spike
+    * filter (reference: /root/reference/src/index_epoch_apr_handler.py:48-93;
+    * OP-22 + OP-30 + OP-19 composed). c_mktsegment again stands in for the
+    * index.
+    */
+  def indexEpochApr(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val grouped = income
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("idx"), col("epoch"))
+      .agg(
+        sum(round(col("apr") * 1e6).cast("long")).as("_k"),
+        count(lit(1)).as("_n"),
+        round(sum(col("earnings")), 6).as("earnings"),
+        round(sum(col("losses")), 6).as("losses"))
+      // exact integer micro-unit average — see userIncome for why
+      .withColumn("apr", expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6)
+    val w = Window.partitionBy("idx").orderBy("epoch")
+    grouped
+      .withColumn("_prev", lag(col("apr"), 1).over(w))
+      .withColumn("_next", lead(col("apr"), 1).over(w))
+      .filter(!(col("_prev").isNotNull && col("_next").isNotNull
+        && abs(col("apr") - col("_prev")) > abs(col("_prev")) * 0.1
+        && abs(col("apr") - col("_next")) > abs(col("_next")) * 0.1))
+      .select("idx", "epoch", "apr", "earnings", "losses")
+      .orderBy("idx", "epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_top_indexes" -> (topIndexes _),
+    "pipe_index_epoch_apr" -> (indexEpochApr _),
     "pipe_extract_catchup" -> (extractCatchup _),
     "pipe_income_snapshot" -> (incomeSnapshot _),
     "pipe_leaderboard" -> (leaderboard _),
@@ -237,15 +290,20 @@ object Pipelines {
          |  FROM apr),
          |g AS (
          |  SELECT c_mktsegment,
-         |         round(avg(apr), 6) AS avg_apr,
+         |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
          |         round(sum(earnings), 6) AS sum_earnings,
          |         round(sum(losses), 6) AS sum_losses,
          |         count(*) AS n_validators
          |  FROM latest JOIN customer ON user_id = c_custkey
-         |  WHERE rn = 1 GROUP BY c_mktsegment)
+         |  WHERE rn = 1 GROUP BY c_mktsegment),
+         |g2 AS (
+         |  SELECT c_mktsegment,
+         |         CAST((k * 2 + n_validators) // (n_validators * 2) AS DOUBLE) / 1e6 AS avg_apr,
+         |         sum_earnings, sum_losses, n_validators
+         |  FROM g)
          |SELECT CAST(row_number() OVER (ORDER BY sum_earnings DESC, c_mktsegment ASC) AS BIGINT) AS rank,
          |       c_mktsegment, avg_apr, sum_earnings, sum_losses, n_validators
-         |FROM g ORDER BY rank""".stripMargin,
+         |FROM g2 ORDER BY rank""".stripMargin,
     "pipe_user_income" ->
       s"""$incomeCte, per_epoch_k AS (
          |  SELECT epoch, sum(CAST(round(apr * 1e6) AS BIGINT)) AS k, count(*) AS n
@@ -295,5 +353,61 @@ object Pipelines {
          |ORDER BY user_id""".stripMargin,
     "ops_salted_sum" ->
       """SELECT user_id, round(sum(value), 6) AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "pipe_top_indexes" ->
+      s"""$incomeCte, latest AS (
+         |  SELECT user_id, earnings, losses, apr,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |g AS (
+         |  SELECT c_mktsegment,
+         |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
+         |         round(sum(earnings), 6) AS sum_earnings,
+         |         round(sum(losses), 6) AS sum_losses,
+         |         count(*) AS n
+         |  FROM latest JOIN customer ON user_id = c_custkey
+         |  WHERE rn = 1 GROUP BY c_mktsegment),
+         |board AS (
+         |  SELECT c_mktsegment,
+         |         CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS avg_apr,
+         |         sum_earnings, sum_losses
+         |  FROM g),
+         |t1 AS (SELECT 'sum_earnings' AS metric,
+         |              CAST(row_number() OVER (ORDER BY sum_earnings DESC, c_mktsegment ASC) AS BIGINT) AS rank,
+         |              c_mktsegment, CAST(sum_earnings AS DOUBLE) AS metric_value FROM board),
+         |t2 AS (SELECT 'sum_losses' AS metric,
+         |              CAST(row_number() OVER (ORDER BY sum_losses DESC, c_mktsegment ASC) AS BIGINT) AS rank,
+         |              c_mktsegment, CAST(sum_losses AS DOUBLE) AS metric_value FROM board),
+         |t3 AS (SELECT 'avg_apr' AS metric,
+         |              CAST(row_number() OVER (ORDER BY avg_apr DESC, c_mktsegment ASC) AS BIGINT) AS rank,
+         |              c_mktsegment, CAST(avg_apr AS DOUBLE) AS metric_value FROM board)
+         |SELECT metric, rank, c_mktsegment, metric_value
+         |FROM (SELECT * FROM t1 WHERE rank <= 7
+         |      UNION ALL SELECT * FROM t2 WHERE rank <= 7
+         |      UNION ALL SELECT * FROM t3 WHERE rank <= 7)
+         |ORDER BY metric, rank""".stripMargin,
+    "pipe_index_epoch_apr" ->
+      s"""$incomeCte, g AS (
+         |  SELECT c_mktsegment AS idx, epoch,
+         |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
+         |         count(*) AS n,
+         |         round(sum(earnings), 6) AS earnings,
+         |         round(sum(losses), 6) AS losses
+         |  FROM apr JOIN customer ON user_id = c_custkey
+         |  GROUP BY 1, 2),
+         |ga AS (
+         |  SELECT idx, epoch,
+         |         CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS apr,
+         |         earnings, losses
+         |  FROM g),
+         |nb AS (
+         |  SELECT idx, epoch, apr, earnings, losses,
+         |         lag(apr)  OVER (PARTITION BY idx ORDER BY epoch) AS prev,
+         |         lead(apr) OVER (PARTITION BY idx ORDER BY epoch) AS next
+         |  FROM ga)
+         |SELECT idx, epoch, apr, earnings, losses FROM nb
+         |WHERE NOT (prev IS NOT NULL AND next IS NOT NULL
+         |           AND abs(apr - prev) > abs(prev) * 0.1
+         |           AND abs(apr - next) > abs(next) * 0.1)
+         |ORDER BY idx, epoch""".stripMargin)
 }
