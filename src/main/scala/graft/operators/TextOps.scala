@@ -36,6 +36,9 @@ object TextOps {
     val punct =
       expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0))").cast("double")
     Tables.documents(spark, dir)
+      // Empty docs would divide by zero (Spark: null/NaN, DuckDB: inf —
+      // engines disagree); quality scoring is undefined for them anyway.
+      .where(length(col("text")) > 0)
       .select(
         col("doc_id"),
         toks.cast("long").as("n_tokens"),
@@ -114,7 +117,7 @@ object TextOps {
         |              t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) AS stop_hits,
         |         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS punct,
         |         CAST(length(text) AS DOUBLE) AS chars
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |s AS (
         |  SELECT doc_id,
         |         CAST(toks AS BIGINT) AS n_tokens,
