@@ -26,13 +26,19 @@ object MergeSink {
     val cols = base.columns.toSeq
     val tagged = base.select(cols.map(col): _*).withColumn("_src", lit(0))
       .unionByName(updates.select(cols.map(col): _*).withColumn("_src", lit(1)))
-    // Only orderable column types participate in the tie-break (a map
-    // column would fail analysis); unorderable columns simply don't help
-    // disambiguate.
+    // Only orderable column types participate directly in the tie-break (a
+    // map column would fail analysis); a JSON rendering of the non-key
+    // columns is appended as the final tie-break so the pick stays
+    // deterministic even when NO column is orderable.
     val orderable = base.schema.fields.filter(f =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       .map(_.name).toSet
-    val tieBreak = cols.filterNot(keys.contains).filter(orderable).map(c => col(c).desc)
+    val nonKey = cols.filterNot(keys.contains)
+    // keys-only frames need no tie-break: duplicate rows are identical.
+    val tieBreak =
+      if (nonKey.isEmpty) Nil
+      else nonKey.filter(orderable).map(c => col(c).desc) :+
+        to_json(struct(nonKey.map(col): _*)).desc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_src").desc +: tieBreak: _*)
     tagged

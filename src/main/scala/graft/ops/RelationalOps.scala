@@ -107,9 +107,11 @@ object RelationalOps {
       .orderBy("l_orderkey", "l_linenumber", "gain", "loss")
 
   /** OP-19 neighbor-outlier (spike) filter: drop row i iff its value
-    * differs >10% from BOTH original neighbors i-1 and i+1
+    * differs >10% of the CURRENT row's value from BOTH original neighbors
     * (reference: /root/reference/src/index_epoch_apr_handler.py:87-93 —
-    * we implement the declared rule, not the list.pop() quirk; SURVEY.md §4).
+    * the current row is the denominator, a zero denominator keeps the row
+    * (bare except: pass), and we implement the declared rule over original
+    * neighbors, not the list.pop() quirk; SURVEY.md §4).
     */
   def op19SpikeFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("epoch")
@@ -117,8 +119,9 @@ object RelationalOps {
       .withColumn("_prev", lag(col("balance"), 1).over(w))
       .withColumn("_next", lead(col("balance"), 1).over(w))
       .filter(!(col("_prev").isNotNull && col("_next").isNotNull
-        && abs(col("balance") - col("_prev")) > col("_prev") * 0.1
-        && abs(col("balance") - col("_next")) > col("_next") * 0.1))
+        && col("balance") =!= 0.0
+        && abs(col("balance") - col("_prev")) > col("balance") * 0.1
+        && abs(col("balance") - col("_next")) > col("balance") * 0.1))
       .select("user_id", "epoch", "balance")
       .orderBy("user_id", "epoch")
   }
@@ -192,7 +195,8 @@ object RelationalOps {
         |  FROM bal)
         |SELECT user_id, epoch, balance FROM n
         |WHERE NOT (prev IS NOT NULL AND next IS NOT NULL
-        |           AND abs(balance - prev) > prev * 0.1
-        |           AND abs(balance - next) > next * 0.1)
+        |           AND balance <> 0.0
+        |           AND abs(balance - prev) > balance * 0.1
+        |           AND abs(balance - next) > balance * 0.1)
         |ORDER BY user_id, epoch""".stripMargin)
 }

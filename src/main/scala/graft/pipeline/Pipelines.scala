@@ -172,8 +172,16 @@ object Pipelines {
     * "top7" by earnings / losses / APR).
     */
   def topIndexes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The board is a handful of rows at the serving edge (the reference
+    // collects it into a JSON response anyway): materialize it ONCE locally
+    // so the three ranking branches don't re-execute the whole income
+    // pipeline per metric.
     val board = leaderboard(spark, dir)
       .select("c_mktsegment", "avg_apr", "sum_earnings", "sum_losses")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toDF("c_mktsegment", "avg_apr", "sum_earnings", "sum_losses")
     def top(metric: String): DataFrame = {
       val w = Window.orderBy(col(metric).desc, col("c_mktsegment").asc)
       board.withColumn("rank", row_number().over(w).cast("long"))
@@ -204,13 +212,17 @@ object Pipelines {
         round(sum(col("losses")), 6).as("losses"))
       // exact integer micro-unit average — see userIncome for why
       .withColumn("apr", expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6)
+    // Reference formula: the CURRENT row's apr is the denominator, and a
+    // zero denominator keeps the row (the reference's bare except: pass on
+    // ZeroDivisionError, index_epoch_apr_handler.py:87-92).
     val w = Window.partitionBy("idx").orderBy("epoch")
     grouped
       .withColumn("_prev", lag(col("apr"), 1).over(w))
       .withColumn("_next", lead(col("apr"), 1).over(w))
       .filter(!(col("_prev").isNotNull && col("_next").isNotNull
-        && abs(col("apr") - col("_prev")) > abs(col("_prev")) * 0.1
-        && abs(col("apr") - col("_next")) > abs(col("_next")) * 0.1))
+        && col("apr") =!= 0.0
+        && abs(col("apr") - col("_prev")) > col("apr") * 0.1
+        && abs(col("apr") - col("_next")) > col("apr") * 0.1))
       .select("idx", "epoch", "apr", "earnings", "losses")
       .orderBy("idx", "epoch")
   }
@@ -407,7 +419,8 @@ object Pipelines {
          |  FROM ga)
          |SELECT idx, epoch, apr, earnings, losses FROM nb
          |WHERE NOT (prev IS NOT NULL AND next IS NOT NULL
-         |           AND abs(apr - prev) > abs(prev) * 0.1
-         |           AND abs(apr - next) > abs(next) * 0.1)
+         |           AND apr <> 0.0
+         |           AND abs(apr - prev) > apr * 0.1
+         |           AND abs(apr - next) > apr * 0.1)
          |ORDER BY idx, epoch""".stripMargin)
 }

@@ -144,16 +144,27 @@ object StreamingIncome {
               .as("withdrawal"))
           .withColumn("batch_id", lit(batchId))
           .withColumn("bucket", pmod(col("user_id"), lit(buckets)))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        // Only a genuinely absent store means "first batch" — any other
-        // read failure must propagate, not silently wipe history.
+        // Resolve the filesystem FROM the path (the default FS may differ
+        // from outPath's scheme). Only a genuinely absent store means
+        // "first batch" — any other read failure must propagate, not
+        // silently wipe history.
+        val balancesHPath = new org.apache.hadoop.fs.Path(balancesPath)
+        val fs = balancesHPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(balancesPath)))
+          if (fs.exists(balancesHPath))
             spark.read.parquet(balancesPath)
               .selectExpr("user_id", "epoch", "balance", "withdrawal",
                 "batch_id", "CAST(bucket AS BIGINT) AS bucket")
               .where(col("batch_id") =!= batchId) // drop a replayed batch's old partials
+              // Batches < batchId are checkpoint-committed and can never
+              // replay, so their partials compact into one row per cell
+              // (batch_id = -1): the store stays O(cells), not O(batches),
+              // and per-batch rewrite work stays bounded.
+              .groupBy("user_id", "epoch", "bucket")
+              .agg(sum(col("balance")).as("balance"),
+                sum(col("withdrawal")).as("withdrawal"))
+              .withColumn("batch_id", lit(-1L))
+              .select("user_id", "epoch", "balance", "withdrawal", "batch_id", "bucket")
           else newPartials.limit(0)
         val touched = newPartials.select("bucket").distinct()
         // Stage before touching balancesPath: a plan may never read from a

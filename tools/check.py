@@ -43,6 +43,12 @@ def main():
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            # An aborted write leaves the dir present but empty: that's a
+            # failed query, not a missing one.
+            print(f"[FAIL] {name}: output dir exists but contains no parquet (query threw?)")
+            n_fail += 1
+            continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
