@@ -37,12 +37,24 @@ object SparkEntry {
     WindowOps.op38CumulativeIncome(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.iterator.map(_._1).reduce(_ ++ _)
+    // A duplicate query name across modules would silently shadow an earlier
+    // query (and its oracle) while every gate still passes — fail loudly.
+    require(merged.size == modules.map(_._1.size).sum,
+      s"duplicate query names across modules: ${
+        modules.flatMap(_._1.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = {
+    val merged = modules.iterator.map(_._2).reduce(_ ++ _)
+    require(merged.size == modules.map(_._2.size).sum,
+      s"duplicate oracle names across modules: ${
+        modules.flatMap(_._2.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 }

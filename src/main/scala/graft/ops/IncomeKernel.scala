@@ -22,7 +22,21 @@ import org.apache.spark.sql.functions._
   *    ("Backfiller Needed", validator_income_handler.py:109-111) — rows at
   *    or after the first gap are excluded;
   *  - apr_i = earnings_i / epochs_since_active_i scaled by a constant
-  *    annualization factor (financials.py:4-9, constants.py:1-6).
+  *    annualization factor (financials.py:4-9, constants.py:1-6):
+  *    apr = earnings * ONE_GWEI / n * EPOCHS_PER_YEAR / DETH_PRINCIPAL * 100
+  *        = earnings * 82179.45 / (n * 2.4e8).
+  *
+  * DOCUMENTED DEVIATIONS from row-level parity with the reference's
+  * Validator_Epoch_Income (deliberate simplifications, not bugs):
+  *
+  *  - the kernel EMITS a seed row per key (first observed epoch, with
+  *    earnings = losses = 0 and epochs_since_active = 0); the reference's
+  *    loop starts output at balances[1] and never writes the seed;
+  *  - epochs_since_active is rebased to the FIRST OBSERVED epoch
+  *    (row_number - 1), whereas the reference's cold-start path seeds it
+  *    with balances[0].epoch - activation_epoch (validator_income_handler
+  *    .py:141-149); consumers needing activation-based ages must join the
+  *    activation epoch and add the offset.
   *
   * Spark-first design: everything is window functions over a single
   * shuffle on `key` — the per-row Python loop of the reference becomes
@@ -78,7 +92,7 @@ object IncomeKernel {
     */
   def aprColumn(earnings: Column, nEpochs: Column): Column =
     round(
-      when(nEpochs > 0, earnings * EpochsPerYear / (nEpochs.cast("double") * 2400000.0))
+      when(nEpochs > 0, earnings * EpochsPerYear / (nEpochs.cast("double") * 240000000.0))
         .otherwise(0.0),
       Scale)
 }

@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Semantics match [[graft.ops.IncomeKernel]] batch-for-batch (same 6-dp
   * canonicalization, same withdrawal-at-lower-epoch indexing, same halt at
   * the first epoch gap > 1, the reference's "Backfiller Needed") — verified
-  * by StreamingIncomeSpec against the batch kernel.
+  * by StreamingIncomeSpec against the batch kernel. Unlike the batch kernel
+  * (which recomputes from scratch and so heals gaps implicitly), the
+  * streaming halt parks per-key state at the high-water mark and RESUMES
+  * when the backfilled contiguous epoch (lastEpoch + 1) arrives, converging
+  * the two paths after a backfill.
   *
   * Scale posture: state is ~40 bytes/key in the state store, keys are
   * hash-partitioned, and each micro-batch touches only arriving keys.
@@ -39,7 +43,7 @@ object StreamingIncome {
       .setScale(IncomeKernel.Scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private def apr(earnings: Double, epochs: Long): Double =
-    if (epochs > 0) r6(earnings * IncomeKernel.EpochsPerYear / (epochs.toDouble * 2400000.0))
+    if (epochs > 0) r6(earnings * IncomeKernel.EpochsPerYear / (epochs.toDouble * 240000000.0))
     else 0.0
 
   /** Fold newly-arrived (ordered) balance rows for one key into the
@@ -54,13 +58,21 @@ object StreamingIncome {
       IncomeState(Long.MinValue, 0.0, 0.0, 0.0, 0.0, -1L, halted = false))
     val out = Seq.newBuilder[IncomeUpdate]
     sorted.foreach { r =>
-      if (!st.halted && r.epoch > st.lastEpoch) {
-        if (st.epochs >= 0 && r.epoch - st.lastEpoch > 1) {
-          // First gap: the reference prints "Backfiller Needed" and stops.
+      if (r.epoch > st.lastEpoch) {
+        val coldStart = st.epochs < 0
+        if (!coldStart && r.epoch - st.lastEpoch > 1) {
+          // Gap: the reference prints "Backfiller Needed" and stops consuming
+          // (validator_income_handler.py:109-111). The gapped row is NOT
+          // consumed; state parks at the high-water mark. The halt is
+          // RECOVERABLE: the reference's poll loop re-reads from the mark
+          // each invocation and heals once the backfiller fills the gap —
+          // here, a later delivery of epoch == lastEpoch + 1 resumes
+          // processing (the gapped epochs themselves must be re-delivered
+          // by the backfill, as the reference re-reads them from storage).
           st = st.copy(halted = true)
         } else {
           val (earn, loss) =
-            if (st.epochs < 0) (0.0, 0.0) // cold start: first observed epoch
+            if (coldStart) (0.0, 0.0) // cold start: first observed epoch
             else {
               val delta = r6(r.balance + st.lastWithdrawal - st.lastBalance)
               (r6(st.earnings + math.max(0.0, delta)),

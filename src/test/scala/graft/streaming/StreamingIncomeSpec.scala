@@ -50,6 +50,30 @@ class StreamingIncomeSpec extends SparkSpec {
     assert(got.count(_.user_id == 2) == 2) // epochs 14,15 dropped by the gap halt
   }
 
+  test("gap halt resumes once the backfiller delivers the contiguous epoch") {
+    import spark.implicits._
+    val live = Seq(
+      BalanceRow(7, 10, 100.0, 0.0), BalanceRow(7, 11, 110.0, 0.0),
+      // gap 11 -> 14: halt, rows 14..15 dropped
+      BalanceRow(7, 14, 150.0, 0.0), BalanceRow(7, 15, 160.0, 0.0))
+    // Backfill re-delivers the gap range AND the previously-dropped rows,
+    // exactly what the reference's poll loop re-reads from storage.
+    val backfill = Seq(
+      BalanceRow(7, 12, 120.0, 0.0), BalanceRow(7, 13, 130.0, 0.0),
+      BalanceRow(7, 14, 150.0, 0.0), BalanceRow(7, 15, 160.0, 0.0))
+    val got = runStream(Seq(live, backfill))
+
+    val full = (live.take(2) ++ backfill)
+    val batch = IncomeKernel.cumulativeIncome(
+      full.toDF("user_id", "epoch", "balance", "withdrawal"))
+      .orderBy("user_id", "epoch").collect()
+      .map(r => IncomeUpdate(r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+
+    assert(got == batch, s"$got != $batch")
+    assert(got.map(_.epoch) == Seq(10L, 11L, 12L, 13L, 14L, 15L))
+  }
+
   test("streaming on fixture-derived balances equals the batch kernel") {
     import spark.implicits._
     val bal = WindowOps.balancesFromEvents(spark, sfDir)
