@@ -144,19 +144,23 @@ object DedupOps {
 
   /** 64-bit SimHash per doc over word tokens (xxhash64 bits, +/-1 vote per
     * bit weighted by term frequency).
+    *
+    * A tf-weighted vote per DISTINCT token equals a +/-1 vote per
+    * OCCURRENCE, so the signature needs only ONE aggregation (doc_id ->
+    * 64 bit-sums + a count), not a (doc_id, tok) tf pass first: bit j's
+    * vote is 2*sum(bit_j) - n. One shuffle instead of two, and the
+    * generated aggregate is 64 plain bit-sums instead of 64 conditionals.
     */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes: Seq[Column] = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$j")
-    }
-    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums: Seq[Column] = (0 until SimBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"s$j")
+    } :+ count(lit(1)).as("n")
+    val votes = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until SimBits).map { j =>
-      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      when(col(s"s$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), sig.as("simhash"))
   }
@@ -198,60 +202,121 @@ object DedupOps {
   /** Connected components over the near-dup pair graph: every document gets
     * the min doc_id reachable through near-dup edges as its component id —
     * the survivorship key of a large-scale dedup (keep one doc per
-    * component). Iterative min-label propagation over the edge list; at
-    * 100 TB this is the standard alternating large/small-star pattern, here
-    * plain label joins since components are shallow. Iterations are bounded
-    * and stop early at fixpoint.
+    * component).
     */
   def nsDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = jaccardPairs(docs, 0.5).select("doc_a", "doc_b").cache()
-    // Undirected edges, both directions.
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    // Only nodes with at least one near-dup edge participate in the loop —
-    // the (overwhelming) singleton majority joins the result at the end.
-    // At 100 TB this keeps the iteration frames proportional to the dup
-    // graph, not the corpus.
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("component")).cache()
-    // Labels only ever DECREASE, so the label sum is a strictly-decreasing
-    // convergence measure: one agg job per iteration both materializes the
-    // new labels cache and detects the fixpoint (no separate diff join).
-    // decimal(38,0) so the sum cannot overflow at any realistic id scale.
-    def labelSum(df: DataFrame): BigDecimal =
-      // sum over an empty frame is null: an edge-free graph must fall
-      // through to "all singletons", not NPE.
-      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    var prevSum = labelSum(labels)
-    var changed = true
-    var iter = 0
-    // Min-label propagation needs (component eccentricity) iterations to
-    // converge; the loop runs to FIXPOINT, with 64 as a runaway backstop
-    // far above any plausible near-dup-chain diameter at these scales.
-    while (changed && iter < 64) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
-        .agg(min(col("component")).as("n_min"))
-      val updated = labels
-        .join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
-        .cache()
-      val newSum = labelSum(updated)
-      changed = newSum < prevSum
-      prevSum = newSum
-      labels.unpersist()
-      labels = updated
-      iter += 1
+    val pairs = jaccardPairs(docs, 0.5).select("doc_a", "doc_b")
+    componentsFromEdges(docs.select("doc_id"), pairs)
+  }
+
+  /** Min-id connected components over an undirected pair list.
+    *
+    * Scale design (two-level): while the edge list is larger than
+    * `driverMaxEdges`, run distributed CONTRACTION rounds — relabel every
+    * node to the minimum id in its closed neighborhood, pointer-jump the
+    * resulting min-forest to its roots (log-depth self-joins of the
+    * node-sized label map), rewrite edges through the root labels, and
+    * drop the (many) edges that collapse into self-loops. Each round
+    * contracts every node to a LOCAL minimum, at least halving the
+    * surviving node count along any chain, so even adversarially deep
+    * graphs converge in O(log diameter) rounds; every frame involved is
+    * proportional to the DUP GRAPH, not the corpus. Once the residual fits
+    * (near-dup edges above a 0.5 Jaccard threshold are orders of magnitude
+    * rarer than documents, so this is usually round 0), finish with a
+    * driver union-find and broadcast the labels back. The (overwhelming)
+    * singleton majority never enters any of this — it unions in at the
+    * end. localCheckpoint truncates lineage each round — iterative plans
+    * otherwise nest exponentially.
+    */
+  private[operators] def componentsFromEdges(
+      allNodes: DataFrame,
+      pairs: DataFrame,
+      driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
+    val spark = allNodes.sparkSession
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().cache()
+    // Composition of per-round relabelings for every original edge node;
+    // null until the first contraction round runs (the common case).
+    var mapping: DataFrame = null
+    var n = edges.count()
+    var round = 0
+    while (n > driverMaxEdges) {
+      require(round < 64, s"component contraction did not converge in $round rounds")
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      // lbl(x) = min(x, min(N(x))) — a forest of min-pointers (lbl(x) <= x).
+      var lbl = sym.groupBy(col("u").as("node"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("lbl"))
+        .localCheckpoint()
+      // Pointer-jump to the forest roots: lbl := lbl(lbl) until fixpoint.
+      // Depth halves per jump — O(log depth) node-map self-joins.
+      var jumping = true
+      while (jumping) {
+        val next = lbl.as("x")
+          .join(lbl.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+          .select(col("node"), least(col("lbl"), col("lbl2")).as("lbl"),
+            (col("lbl2") < col("lbl")).as("moved"))
+          .localCheckpoint()
+        jumping = next.where(col("moved")).limit(1).count() > 0
+        lbl = next.select("node", "lbl")
+      }
+      val lu = lbl.select(col("node").as("u"), col("lbl").as("lu"))
+      val lv = lbl.select(col("node").as("v"), col("lbl").as("lv"))
+      val contracted = edges.join(lu, "u").join(lv, "v")
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      mapping =
+        if (mapping == null) lbl
+        else {
+          // mapping: orig -> label_k; lbl: label_k -> label_{k+1}. A label
+          // absent from lbl had no remaining edges and stays as-is.
+          val step = lbl.select(col("node").as("lbl"), col("lbl").as("next"))
+          mapping.join(step, Seq("lbl"), "left_outer")
+            .select(col("node"), coalesce(col("next"), col("lbl")).as("lbl"))
+            .localCheckpoint()
+        }
+      edges.unpersist()
+      edges = contracted
+      val n2 = edges.count()
+      require(n2 < n, s"component contraction stalled at $n edges")
+      n = n2
+      round += 1
     }
-    // Wrong-but-silent is worse than loud: a graph needing more rounds
-    // than the backstop must fail the query, not emit split components.
-    require(!changed, s"component propagation did not converge in $iter iterations")
-    val singletons = docs.select("doc_id")
-      .join(nodes, Seq("doc_id"), "left_anti")
+    // Driver finish: union-find with per-root minimum over the residual
+    // edge list (<= driverMaxEdges rows — bounded memory by construction).
+    val edgeArr = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // Union by id: the smaller id becomes the root, so every root IS the
+      // minimum id of its set — the component label, with no second pass.
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val resolved = edgeArr.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => (x, find(x)))
+    import spark.implicits._
+    val residualLabels = spark.createDataset(resolved.toSeq).toDF("lbl", "component")
+    // Compose: orig node -> (contraction labels) -> union-find component.
+    // A label with no residual edges is already its component's min id.
+    val labels =
+      (if (mapping == null) residualLabels.select(col("lbl").as("doc_id"), col("component"))
+       else mapping.join(broadcast(residualLabels), Seq("lbl"), "left_outer")
+         .select(col("node").as("doc_id"), coalesce(col("component"), col("lbl")).as("component")))
+        .cache()
+    val singletons = allNodes.select("doc_id")
+      .join(broadcast(labels.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
     labels.unionByName(singletons)
       .groupBy("component")

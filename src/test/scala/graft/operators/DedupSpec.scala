@@ -38,4 +38,19 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getString(0)).distinct.length == out.length)
     assert(out.map(_.getLong(2)).forall(_ >= 1))
   }
+
+  test("distributed contraction path equals the driver union-find path") {
+    import spark.implicits._
+    // Chain 1-2-...-8 (diameter 7), a triangle {20,21,22}, and singletons.
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((21L, 20L), (21L, 22L), (20L, 22L))).toDF("doc_a", "doc_b")
+    val nodes = ((1L to 8L) ++ (20L to 22L) ++ Seq(40L, 41L)).toDF("doc_id")
+    def run(threshold: Long) =
+      DedupOps.componentsFromEdges(nodes, pairs, driverMaxEdges = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq((1L, 8L, 1L), (20L, 3L, 20L), (40L, 1L, 40L), (41L, 1L, 41L))
+    assert(run(1000000) == expected) // pure driver path
+    assert(run(1) == expected) // forces O(log diameter) contraction rounds
+    assert(run(4) == expected) // mixed: contract once, then driver finish
+  }
 }
