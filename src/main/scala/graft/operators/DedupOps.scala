@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Word-3-gram shingle set per doc (distinct), lowercased. The join key
-    * is the shingle's xxhash64, not the string: an 8-byte shuffle key
-    * instead of ~20-byte text (collision odds over ~10^6 distinct shingles
-    * are ~1e-7 — negligible vs the float canonicalization tolerance).
+    * is a 60-bit sha256-prefix fingerprint, not the string: an 8-byte
+    * shuffle key instead of ~20-byte text (collision odds over ~10^6
+    * distinct shingles are ~1e-7 — negligible vs the float
+    * canonicalization tolerance). sha256 rather than xxhash64 so the
+    * MinHash base fingerprint derived from it is REPRODUCIBLE in the
+    * DuckDB oracle (`('0x' || substring(sha256(s), 1, 15))::BIGINT`).
     */
   private def shingles(docs: DataFrame): DataFrame =
     docs
@@ -28,7 +31,8 @@ object DedupOps {
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
       .distinct()
 
   /** Exact Jaccard over pairs that share >=1 shingle. The shingle join IS
@@ -97,9 +101,9 @@ object DedupOps {
     Seq.fill(NumHashes)(((next() & 0x3fffffffL) | 1L, next() & 0x3fffffffL))
   }
 
-  /** MinHash signatures: shingle -> murmur3 -> k affine hashes -> per-doc
-    * min. One explode + one groupBy; the k mins are k agg columns, not k
-    * passes.
+  /** MinHash signatures: shingle fingerprint -> 32-bit base -> k affine
+    * hashes -> per-doc min. One explode + one groupBy; the k mins are k
+    * agg columns, not k passes.
     */
   private[operators] def minhashSignatures(sh0: DataFrame): DataFrame = {
     val sh = sh0
@@ -111,8 +115,10 @@ object DedupOps {
   }
 
   /** MinHash LSH near-dup: band signatures, bucket-join candidates, verify
-    * with exact Jaccard. No DuckDB oracle (murmur3 isn't portable); checked
-    * by MinHashSpec against [[nsDedupJaccard]].
+    * with exact Jaccard. The band key is the struct of the band's raw min
+    * values (not a hash of them), so the whole pipeline is reproducible in
+    * ANSI SQL — the DuckDB oracle replays fingerprint, affine mins,
+    * band-join, and verify exactly.
     */
   def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -121,7 +127,8 @@ object DedupOps {
     val sig = minhashSignatures(sh)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * Rows until (b + 1) * Rows).map(i => col(s"h$i")): _*).as("bh"))
+        struct((b * Rows until (b + 1) * Rows).map(i =>
+          col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
     val candidates = banded.as("a")
@@ -152,11 +159,17 @@ object DedupOps {
     * generated aggregate is 64 plain bit-sums instead of 64 conditionals.
     */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    // Token bits come from the first 16 hex nibbles of sha256(token):
+    // bit j = nibble(j/4) >> (j%4) & 1. Nibble-at-a-time parsing keeps
+    // every value far from 64-bit overflow AND is replayable in the
+    // DuckDB oracle (('0x' || substring(sha256(t), k, 1))::INT).
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id") +: (0 until SimBits / 4).map { k =>
+        conv(substring(sha2(col("tok"), 256), k + 1, 1), 16, 10).cast("int").as(s"nib$k")
+      }: _*)
     val bitSums: Seq[Column] = (0 until SimBits).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"s$j")
+      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(1)).as(s"s$j")
     } :+ count(lit(1)).as("n")
     val votes = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until SimBits).map { j =>
@@ -166,8 +179,9 @@ object DedupOps {
   }
 
   /** SimHash near-dup: band the 64 bits into 8x8, bucket-join, verify by
-    * hamming distance <= [[SimHammingMax]]. No oracle (xxhash64 not
-    * portable); checked by DedupSpec.
+    * hamming distance <= [[SimHammingMax]]. sha256-nibble token bits make
+    * the whole pipeline reproducible in the DuckDB oracle; recall vs the
+    * exact-Jaccard truth is additionally checked by DedupSpec.
     */
   def nsDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val bandWidth = SimBits / SimBands
@@ -332,7 +346,112 @@ object DedupOps {
     "ns_dedup_simhash" -> (nsDedupSimhash _),
     "ns_dedup_components" -> (nsDedupComponents _))
 
+  /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
+    * pair/cardinality scaffolding of the Jaccard verify.
+    */
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+      |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Generated MinHash oracle: replays the sha256-prefix base fingerprint,
+    * the 32 affine mins, the 8x4 band join, and the exact-Jaccard verify.
+    */
+  private def minhashOracle: String = {
+    val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((x*$a+$b)%$Prime) AS h$i"
+    }.mkString(",\n         ")
+    val bandOr = (0 until Bands).map { band =>
+      (band * Rows until (band + 1) * Rows)
+        .map(i => s"a.h$i=b.h$i").mkString("(", " AND ", ")")
+    }.mkString("\n    OR ")
+    s"""WITH $shingleCte,
+       |fp AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(sha256(shingle), 1, 15))::BIGINT & 4294967295 AS x
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM fp GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |    $bandOr)),
+       |pc AS (SELECT p.* FROM p JOIN cand USING (doc_a, doc_b))
+       |SELECT doc_a, doc_b,
+       |       round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+       |FROM pc
+       |JOIN card ca ON doc_a = ca.doc_id
+       |JOIN card cb ON doc_b = cb.doc_id
+       |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Generated SimHash oracle: sha256-nibble bit votes, majority signature,
+    * 8x8 band join, hamming verify — column-for-column the Spark plan.
+    */
+  private def simhashOracle: String = {
+    val bandWidth = SimBits / SimBands
+    val nibCols = (0 until SimBits / 4).map { k =>
+      s"('0x' || substring(sha256(t), ${k + 1}, 1))::INT AS nib$k"
+    }.mkString(",\n         ")
+    val sumCols = (0 until SimBits).map { j =>
+      s"sum((nib${j / 4} >> ${j % 4}) & 1) AS s$j"
+    }.mkString(",\n         ")
+    val bitCols = (0 until SimBits).map { j =>
+      s"(CASE WHEN 2*s$j > n THEN 1 ELSE 0 END) AS v$j"
+    }.mkString(",\n         ")
+    val bandCols = (0 until SimBands).map { band =>
+      (0 until bandWidth)
+        .map(k => s"${1 << k}*v${band * bandWidth + k}").mkString(" + ") + s" AS b$band"
+    }.mkString(",\n         ")
+    val bandOr = (0 until SimBands).map(b => s"a.b$b=b.b$b").mkString(" OR ")
+    val hamming = (0 until SimBits)
+      .map(j => s"(CASE WHEN x.v$j <> y.v$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |nib AS (
+       |  SELECT doc_id,
+       |         $nibCols
+       |  FROM tok),
+       |sig AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         $sumCols
+       |  FROM nib GROUP BY doc_id),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitCols
+       |  FROM sig),
+       |band AS (
+       |  SELECT doc_id,
+       |         $bandCols
+       |  FROM bits),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.doc_id < b.doc_id AND ($bandOr)),
+       |ham AS (
+       |  SELECT doc_a, doc_b, $hamming AS hamming
+       |  FROM cand
+       |  JOIN bits x ON doc_a = x.doc_id
+       |  JOIN bits y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM ham WHERE hamming <= $SimHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ns_dedup_minhash" -> minhashOracle,
+    "ns_dedup_simhash" -> simhashOracle,
     "ns_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -115,8 +115,10 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed approximate top-k: candidates share a band bucket, then
-    * exact cosine + rank within candidates. No DuckDB oracle (bucket ids
-    * depend on generated planes); LshSpec checks recall vs brute force.
+    * exact cosine + rank within candidates. The hyperplanes are
+    * deterministic literals, so the DuckDB oracle replays them (the sign
+    * test is bit-reproducible: both engines fold the dot product strictly
+    * left-to-right in doubles); LshSpec checks recall vs brute force.
     */
   def nsSimLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -208,8 +210,10 @@ object SimilarityOps {
     * deterministic seed subset (vec_id < 16) standing in for an offline
     * k-means — the operator contract (assign → probe → rerank) is what
     * scales: at 100 TB the inverted lists are partition keys and each query
-    * touches probes/clusters ≈ 1/8 of the data. No oracle (centroid choice
-    * is impl-defined); SimilaritySpec checks recall vs brute force.
+    * touches probes/clusters ≈ 1/8 of the data. Assignment scores are
+    * rounded to 4dp with cent_id tie-breaks, making the whole pipeline
+    * engine-deterministic — the DuckDB oracle replays it end to end;
+    * SimilaritySpec additionally checks recall vs brute force.
     */
   def nsSimIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -217,7 +221,7 @@ object SimilarityOps {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val scored = emb
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("cosine_sim(embedding, cent_emb)"))
+      .withColumn("ccos", round(expr("cosine_sim(embedding, cent_emb)"), 4))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
     val ranked = scored
@@ -245,7 +249,85 @@ object SimilarityOps {
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _))
 
+  /** Generated IVF oracle: same seed centroids, 4dp-rounded assignment,
+    * probe, and rerank as the Spark plan.
+    */
+  private def ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cent_id,
+       |         round(list_cosine_similarity(e.v, cv), 4) AS ccos
+       |  FROM e CROSS JOIN c),
+       |ranked AS (
+       |  SELECT vec_id, v, cent_id, ccos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ccos DESC, cent_id ASC) AS crank
+       |  FROM scored),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, v AS nv, cent_id AS cluster
+       |  FROM ranked WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cent_id AS cluster
+       |  FROM ranked WHERE crank <= $IvfProbes AND vec_id < $NumQueries),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_cosine_similarity(qv, nv), 4) AS cos
+       |  FROM probes JOIN assign USING (cluster)
+       |  WHERE query_id <> neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, cos FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** Generated LSH oracle: the deterministic hyperplanes as literals, sign
+    * bits via a strictly left-associated dot-product chain (bit-identical
+    * to the Spark `aggregate` fold), band buckets, candidate join, rerank.
+    */
+  private def lshOracle: String = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (w, k) => s"v[${k + 1}]*($w)" }.mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN 1 ELSE 0 END) AS bit$i"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val bucket = (0 until RowsPerBand)
+        .map(k => s"${1 << k}*bit${b * RowsPerBand + k}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id,
+       |         $bitCols
+       |  FROM e),
+       |bk AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NumQueries),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_cosine_similarity(q.v, c.v), 4) AS cos
+       |  FROM cand
+       |  JOIN e q ON query_id = q.vec_id
+       |  JOIN e c ON neighbor_id = c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, cos FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ns_sim_ivf_topk" -> ivfOracle,
+    "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
