@@ -159,17 +159,19 @@ object DedupOps {
     * generated aggregate is 64 plain bit-sums instead of 64 conditionals.
     */
   private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
-    // Token bits come from the first 16 hex nibbles of sha256(token):
-    // bit j = nibble(j/4) >> (j%4) & 1. Nibble-at-a-time parsing keeps
-    // every value far from 64-bit overflow AND is replayable in the
-    // DuckDB oracle (('0x' || substring(sha256(t), k, 1))::INT).
+    // Token bits come from the first 16 hex chars of sha256(token),
+    // parsed as two 32-bit words: bit j = word(j/32) >> (j%32) & 1.
+    // 32-bit words keep every value far from 64-bit overflow AND are
+    // replayable in the DuckDB oracle
+    // (('0x' || substring(sha256(t), k, 8))::BIGINT).
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .select(col("doc_id") +: (0 until SimBits / 4).map { k =>
-        conv(substring(sha2(col("tok"), 256), k + 1, 1), 16, 10).cast("int").as(s"nib$k")
+      .select(col("doc_id") +: (0 until SimBits / 32).map { k =>
+        conv(substring(sha2(col("tok"), 256), 8 * k + 1, 8), 16, 10)
+          .cast("long").as(s"wd$k")
       }: _*)
     val bitSums: Seq[Column] = (0 until SimBits).map { j =>
-      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(1)).as(s"s$j")
+      sum(shiftright(col(s"wd${j / 32}"), j % 32).bitwiseAND(1L)).as(s"s$j")
     } :+ count(lit(1)).as("n")
     val votes = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until SimBits).map { j =>
@@ -402,11 +404,11 @@ object DedupOps {
     */
   private def simhashOracle: String = {
     val bandWidth = SimBits / SimBands
-    val nibCols = (0 until SimBits / 4).map { k =>
-      s"('0x' || substring(sha256(t), ${k + 1}, 1))::INT AS nib$k"
+    val nibCols = (0 until SimBits / 32).map { k =>
+      s"('0x' || substring(sha256(t), ${8 * k + 1}, 8))::BIGINT AS wd$k"
     }.mkString(",\n         ")
     val sumCols = (0 until SimBits).map { j =>
-      s"sum((nib${j / 4} >> ${j % 4}) & 1) AS s$j"
+      s"sum((wd${j / 32} >> ${j % 32}) & 1) AS s$j"
     }.mkString(",\n         ")
     val bitCols = (0 until SimBits).map { j =>
       s"(CASE WHEN 2*s$j > n THEN 1 ELSE 0 END) AS v$j"
