@@ -96,13 +96,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- Rolling-hash fingerprint -------------------------------------------
+
+  private val RollBase = 31L
+  private val RollMod = 1000000007L
+  private val KGram = 16
+
+  /** Rolling-hash document fingerprint (the winnowing/Rabin-Karp shape):
+    * a polynomial hash of the full character stream plus the MINIMUM
+    * polynomial hash over all [[KGram]]-char windows — the content-defined
+    * fingerprint a shift-robust dedup selects on.
+    *
+    * Portability over speed in the window step: each window re-folds its
+    * k chars (O(n·k) per doc) so the SAME fold is replayable in the DuckDB
+    * oracle (`list_reduce`). At 100 TB the window hashes would switch to
+    * prefix-hash differencing in a `mapPartitions` pass (O(n), same
+    * output); the operator contract — fold, window, min — is what this
+    * query pins down.
+    */
+  def nsTextRollhash(spark: SparkSession, dir: String): DataFrame = {
+    val fold = s"(acc, x) -> (acc * $RollBase + x) % $RollMod"
+    Tables.documents(spark, dir)
+      .withColumn("codes", expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .select(
+        col("doc_id"),
+        expr(s"aggregate(codes, CAST(0 AS BIGINT), $fold)").as("full_hash"),
+        expr(
+          s"""CASE WHEN size(codes) >= $KGram THEN
+             |  array_min(transform(sequence(1, size(codes) - ${KGram - 1}),
+             |    i -> aggregate(slice(codes, i, $KGram), CAST(0 AS BIGINT), $fold)))
+             |ELSE NULL END""".stripMargin).as("min_kgram_hash"))
+      .orderBy("doc_id")
+  }
+
+  private def rollhashOracle: String = {
+    val fold = s"(acc, x) -> (acc * $RollBase + x) % $RollMod"
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+       |  FROM documents)
+       |SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), codes), $fold) AS full_hash,
+       |       CASE WHEN len(codes) >= $KGram THEN
+       |         list_min(list_transform(range(1, len(codes) - ${KGram - 2}),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+${KGram - 1}]), $fold)))
+       |       ELSE NULL END AS min_kgram_hash
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
-    "ns_text_fingerprint" -> (nsTextFingerprint _))
+    "ns_text_fingerprint" -> (nsTextFingerprint _),
+    "ns_text_rollhash" -> (nsTextRollhash _))
 
   val oracles: Map[String, String] = Map(
+    "ns_text_rollhash" -> rollhashOracle,
     "ns_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

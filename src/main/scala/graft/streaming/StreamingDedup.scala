@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the ingest-time form of
+  * [[graft.operators.DedupOps.nsDedupExact]] for a continuous document
+  * feed (the training-data-pipeline analog of the reference's idempotent
+  * upsert sinks, /root/reference/src/utils/data_utils.py:10-15).
+  *
+  * Keeps the FIRST arrival of each content fingerprint and expires
+  * fingerprint state once the event-time watermark passes the horizon.
+  * Global exact dedup over an unbounded stream needs unbounded state;
+  * bounding it to the watermark horizon is the production pattern — state
+  * is O(documents per horizon), hash-partitioned by fingerprint across the
+  * cluster, and a (rare) re-arrival beyond the horizon falls through to
+  * the batch dedup downstream.
+  */
+object StreamingDedup {
+
+  /** Drop duplicate documents (by normalized-text sha256) arriving within
+    * `horizon` of the first occurrence. Input needs an event-time column
+    * `ts`; output carries the fingerprint for downstream survivorship.
+    */
+  def dedupStream(docs: DataFrame, horizon: String = "1 day"): DataFrame =
+    docs
+      .withColumn("fp", sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+}
