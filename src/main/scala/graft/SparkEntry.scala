@@ -55,6 +55,10 @@ object SparkEntry {
     require(merged.size == modules.map(_._2.size).sum,
       s"duplicate oracle names across modules: ${
         modules.flatMap(_._2.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    // An oracle keyed to a nonexistent query would never run — the query
+    // would silently downgrade to a rows-only check. Fail loudly instead.
+    val orphans = merged.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracles without a matching query: ${orphans.mkString(", ")}")
     merged
   }
 }

@@ -149,8 +149,8 @@ object DedupOps {
   private val SimBands = 8
   private val SimHammingMax = 6
 
-  /** 64-bit SimHash per doc over word tokens (xxhash64 bits, +/-1 vote per
-    * bit weighted by term frequency).
+  /** 64-bit SimHash per doc over word tokens (sha256-word bits, +/-1 vote
+    * per bit weighted by term frequency).
     *
     * A tf-weighted vote per DISTINCT token equals a +/-1 vote per
     * OCCURRENCE, so the signature needs only ONE aggregation (doc_id ->
@@ -181,7 +181,7 @@ object DedupOps {
   }
 
   /** SimHash near-dup: band the 64 bits into 8x8, bucket-join, verify by
-    * hamming distance <= [[SimHammingMax]]. sha256-nibble token bits make
+    * hamming distance <= [[SimHammingMax]]. sha256-word token bits make
     * the whole pipeline reproducible in the DuckDB oracle; recall vs the
     * exact-Jaccard truth is additionally checked by DedupSpec.
     */
@@ -306,6 +306,10 @@ object DedupOps {
     // edge list (<= driverMaxEdges rows — bounded memory by construction).
     val edgeArr = edges.select(col("u").cast("long"), col("v").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The residual is on the driver now — release the executor cache so a
+    // long-lived session (Verify/Bench run 79 queries in one) doesn't pin
+    // it. localCheckpoint blocks from contraction rounds free on RDD GC.
+    edges.unpersist()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -326,11 +330,13 @@ object DedupOps {
     val residualLabels = spark.createDataset(resolved.toSeq).toDF("lbl", "component")
     // Compose: orig node -> (contraction labels) -> union-find component.
     // A label with no residual edges is already its component's min id.
+    // No cache: the common path is a driver-local dataset, and the
+    // contraction path reads localCheckpoint blocks — both cheap to
+    // re-evaluate, and an uncached frame leaves nothing pinned behind.
     val labels =
-      (if (mapping == null) residualLabels.select(col("lbl").as("doc_id"), col("component"))
-       else mapping.join(broadcast(residualLabels), Seq("lbl"), "left_outer")
-         .select(col("node").as("doc_id"), coalesce(col("component"), col("lbl")).as("component")))
-        .cache()
+      if (mapping == null) residualLabels.select(col("lbl").as("doc_id"), col("component"))
+      else mapping.join(broadcast(residualLabels), Seq("lbl"), "left_outer")
+        .select(col("node").as("doc_id"), coalesce(col("component"), col("lbl")).as("component"))
     val singletons = allNodes.select("doc_id")
       .join(broadcast(labels.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
@@ -399,12 +405,12 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Generated SimHash oracle: sha256-nibble bit votes, majority signature,
+  /** Generated SimHash oracle: sha256-word bit votes, majority signature,
     * 8x8 band join, hamming verify — column-for-column the Spark plan.
     */
   private def simhashOracle: String = {
     val bandWidth = SimBits / SimBands
-    val nibCols = (0 until SimBits / 32).map { k =>
+    val wordCols = (0 until SimBits / 32).map { k =>
       s"('0x' || substring(sha256(t), ${8 * k + 1}, 8))::BIGINT AS wd$k"
     }.mkString(",\n         ")
     val sumCols = (0 until SimBits).map { j =>
@@ -422,14 +428,14 @@ object DedupOps {
       .map(j => s"(CASE WHEN x.v$j <> y.v$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
-       |nib AS (
+       |wd AS (
        |  SELECT doc_id,
-       |         $nibCols
+       |         $wordCols
        |  FROM tok),
        |sig AS (
        |  SELECT doc_id, count(*) AS n,
        |         $sumCols
-       |  FROM nib GROUP BY doc_id),
+       |  FROM wd GROUP BY doc_id),
        |bits AS (
        |  SELECT doc_id,
        |         $bitCols
@@ -461,38 +467,16 @@ object DedupOps {
         |SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM f GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
     "ns_dedup_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
-        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
-        |  WHERE len(w) >= 3),
-        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $shingleCte
         |SELECT doc_a, doc_b,
         |       round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
-        |FROM pairs
+        |FROM p
         |JOIN card ca ON doc_a = ca.doc_id
         |JOIN card cb ON doc_b = cb.doc_id
         |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ns_dedup_components" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
-        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
-        |  WHERE len(w) >= 3),
-        |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+      s"""WITH RECURSIVE $shingleCte,
         |jacc AS (
         |  SELECT doc_a, doc_b FROM p
         |  JOIN card ca ON doc_a = ca.doc_id

@@ -49,6 +49,13 @@ object IncomeKernel {
   /** /root/reference/src/utils/constants.py:1 (EPOCHS_PER_YEAR). */
   val EpochsPerYear = 82179.45
 
+  /** Per-epoch APR denominator: DETH_PRINCIPAL / ONE_GWEI / 100
+    * = 24e18 / 1e9 / 100 = 2.4e8 (constants.py:2-3, financials.py:4-9).
+    * The single source of truth for every Spark column, streaming kernel,
+    * and interpolated oracle-SQL copy of the formula.
+    */
+  val AprDenom = 240000000.0
+
   /** Decimal places used to canonicalize float results (SURVEY.md §7.5#3). */
   val Scale = 6
 
@@ -92,7 +99,7 @@ object IncomeKernel {
     */
   def aprColumn(earnings: Column, nEpochs: Column): Column =
     round(
-      when(nEpochs > 0, earnings * EpochsPerYear / (nEpochs.cast("double") * 240000000.0))
+      when(nEpochs > 0, earnings * EpochsPerYear / (nEpochs.cast("double") * AprDenom))
         .otherwise(0.0),
       Scale)
 }

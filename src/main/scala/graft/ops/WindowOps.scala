@@ -180,7 +180,7 @@ object WindowOps {
          |)
          |SELECT user_id, epoch, earnings, losses,
          |       round(CASE WHEN epochs_since_active > 0
-         |                  THEN earnings * 82179.45 / (CAST(epochs_since_active AS DOUBLE) * 240000000.0)
+         |                  THEN earnings * ${IncomeKernel.EpochsPerYear} / (CAST(epochs_since_active AS DOUBLE) * ${IncomeKernel.AprDenom})
          |                  ELSE 0 END, 6) AS apr,
          |       epochs_since_active
          |FROM c ORDER BY user_id, epoch""".stripMargin,
@@ -196,7 +196,7 @@ object WindowOps {
          |  FROM d GROUP BY user_id)
          |SELECT user_id, earnings, n_epochs,
          |       round(CASE WHEN n_epochs > 0
-         |                  THEN earnings * 82179.45 / (CAST(n_epochs AS DOUBLE) * 240000000.0)
+         |                  THEN earnings * ${IncomeKernel.EpochsPerYear} / (CAST(n_epochs AS DOUBLE) * ${IncomeKernel.AprDenom})
          |                  ELSE 0 END, 6) AS apr
          |FROM g ORDER BY user_id""".stripMargin,
     "op40_asof_resolve" ->

@@ -270,7 +270,7 @@ object Pipelines {
        |), apr AS (
        |  SELECT user_id, epoch, earnings, losses,
        |         round(CASE WHEN n_epochs > 0
-       |                    THEN earnings * 82179.45 / (CAST(n_epochs AS DOUBLE) * 240000000.0)
+       |                    THEN earnings * ${IncomeKernel.EpochsPerYear} / (CAST(n_epochs AS DOUBLE) * ${IncomeKernel.AprDenom})
        |                    ELSE 0 END, 6) AS apr
        |  FROM income
        |)""".stripMargin
@@ -351,7 +351,7 @@ object Pipelines {
          |  FROM r WHERE rn <= 7 GROUP BY user_id HAVING count(*) >= 5)
          |SELECT user_id, window_earnings, window_losses,
          |       round(CASE WHEN n - 1 > 0
-         |                  THEN window_earnings * 82179.45 / (CAST(n - 1 AS DOUBLE) * 240000000.0)
+         |                  THEN window_earnings * ${IncomeKernel.EpochsPerYear} / (CAST(n - 1 AS DOUBLE) * ${IncomeKernel.AprDenom})
          |                  ELSE 0 END, 6) AS apr,
          |       n
          |FROM g ORDER BY user_id""".stripMargin,

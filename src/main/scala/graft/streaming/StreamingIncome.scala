@@ -43,7 +43,7 @@ object StreamingIncome {
       .setScale(IncomeKernel.Scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private def apr(earnings: Double, epochs: Long): Double =
-    if (epochs > 0) r6(earnings * IncomeKernel.EpochsPerYear / (epochs.toDouble * 240000000.0))
+    if (epochs > 0) r6(earnings * IncomeKernel.EpochsPerYear / (epochs.toDouble * IncomeKernel.AprDenom))
     else 0.0
 
   /** Fold newly-arrived (ordered) balance rows for one key into the

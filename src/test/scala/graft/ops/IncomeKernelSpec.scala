@@ -77,7 +77,7 @@ class IncomeKernelSpec extends SparkSpec {
     val out = run(rows)
     assert(out.head._5 == 0.0)
     // apr(2 epochs) uses earnings=96 over 2 epochs
-    val expected = BigDecimal(96.0 * IncomeKernel.EpochsPerYear / (2 * 240000000.0))
+    val expected = BigDecimal(96.0 * IncomeKernel.EpochsPerYear / (2 * IncomeKernel.AprDenom))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(out.last._5 - expected) < 1e-9)
   }
