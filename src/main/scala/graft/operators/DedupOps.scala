@@ -347,12 +347,28 @@ object DedupOps {
       .orderBy("component")
   }
 
+  /** The end-to-end dedup deliverable: the SURVIVING corpus. Each
+    * near-dup component keeps its min-id document; the output row carries
+    * how many near-duplicates the survivor displaced. This is the
+    * composition a training-data pipeline actually ships (documents →
+    * near-dup graph → survivorship → filtered corpus).
+    */
+  def nsDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = nsDedupComponents(spark, dir)
+    docs.join(comps, docs("doc_id") === comps("keep_doc_id"))
+      .select(docs("doc_id"), col("lang"),
+        (col("n_docs") - 1).as("n_dups_removed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_dedup_exact" -> (nsDedupExact _),
     "ns_dedup_jaccard" -> (nsDedupJaccard _),
     "ns_dedup_minhash" -> (nsDedupMinhash _),
     "ns_dedup_simhash" -> (nsDedupSimhash _),
-    "ns_dedup_components" -> (nsDedupComponents _))
+    "ns_dedup_components" -> (nsDedupComponents _),
+    "ns_dedup_corpus" -> (nsDedupCorpus _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
     * pair/cardinality scaffolding of the Jaccard verify.
@@ -475,21 +491,28 @@ object DedupOps {
         |JOIN card cb ON doc_b = cb.doc_id
         |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "ns_dedup_components" ->
-      s"""WITH RECURSIVE $shingleCte,
-        |jacc AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  JOIN card ca ON doc_a = ca.doc_id
-        |  JOIN card cb ON doc_b = cb.doc_id
-        |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM jacc
-        |  UNION ALL SELECT doc_b, doc_a FROM jacc),
-        |reach(doc_id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT reach.doc_id, edges.doc_b FROM reach JOIN edges ON reach.r = edges.doc_a),
-        |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
-        |SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc_id
-        |FROM comp GROUP BY component ORDER BY component""".stripMargin)
+    "ns_dedup_components" -> componentsOracle,
+    "ns_dedup_corpus" ->
+      s"""SELECT d.doc_id, d.lang, CAST(c.n_docs - 1 AS BIGINT) AS n_dups_removed
+         |FROM ($componentsOracle) c
+         |JOIN documents d ON d.doc_id = c.keep_doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |jacc AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  JOIN card ca ON doc_a = ca.doc_id
+      |  JOIN card cb ON doc_b = cb.doc_id
+      |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM jacc
+      |  UNION ALL SELECT doc_b, doc_a FROM jacc),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.doc_id, edges.doc_b FROM reach JOIN edges ON reach.r = edges.doc_a),
+      |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+      |SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
 }

@@ -154,6 +154,60 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---- int8 quantization --------------------------------------------------
+
+  private val QuantQueries = 50
+
+  /** Int8-quantized brute-force top-k — the memory/bandwidth scale path of
+    * ANN: symmetric per-vector quantization (scale = max |x|, q = round(x
+    * / scale * 127)), then INTEGER dot-product ranking. Integer scores are
+    * exactly portable across engines (no float-rounding hazard anywhere in
+    * the ranking), and at 100 TB int8 vectors shuffle 4x less than float32
+    * and dot-product in SIMD; the float rerank (nsSimBruteforceTopk) then
+    * touches only the shortlist.
+    */
+  def nsSimQuantTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val q = emb
+      .withColumn("s", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qv", expr(
+        "CASE WHEN s = 0 THEN transform(embedding, x -> CAST(0 AS BIGINT)) " +
+          "ELSE transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s * 127, 0) AS BIGINT)) END"))
+      .select(col("vec_id"), col("qv"))
+    val qs = q.where(col("vec_id") < QuantQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val cands = q.select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    broadcast(qs).join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+      .orderBy("query_id", "rank")
+  }
+
+  private def quantOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |              ELSE list_transform(v, x -> CAST(round(x / s * 127, 0) AS BIGINT)) END AS qv
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e)),
+       |qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < $QuantQueries),
+       |s2 AS (
+       |  SELECT query_id, q.vec_id AS neighbor_id,
+       |         CAST(list_dot_product(qqv, q.qv) AS BIGINT) AS qdot
+       |  FROM qq JOIN q ON query_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM s2)
+       |SELECT query_id, rank, neighbor_id, qdot FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   // ---- k-means training for IVF centroids --------------------------------
 
   /** Lloyd iterations as pure DataFrame ops: assign each vector to its
@@ -247,7 +301,8 @@ object SimilarityOps {
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
-    "ns_sim_ivf_topk" -> (nsSimIvfTopk _))
+    "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
+    "ns_sim_quant_topk" -> (nsSimQuantTopk _))
 
   /** Generated IVF oracle: same seed centroids, 4dp-rounded assignment,
     * probe, and rerank as the Spark plan.
@@ -328,6 +383,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_lsh_topk" -> lshOracle,
+    "ns_sim_quant_topk" -> quantOracle,
     "ns_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),

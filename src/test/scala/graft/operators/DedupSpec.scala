@@ -39,6 +39,38 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).forall(_ >= 1))
   }
 
+  test("components on random graphs match brute-force reachability (both paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 24
+      val edgeSeq = Seq.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      // Brute-force: BFS closure, component = min reachable id.
+      val adj = collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+      edgeSeq.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      def minReach(s: Long): Long = {
+        val seen = collection.mutable.Set(s)
+        val stack = collection.mutable.Stack(s)
+        while (stack.nonEmpty) adj(stack.pop()).foreach { x =>
+          if (seen.add(x)) stack.push(x)
+        }
+        seen.min
+      }
+      val expected = (0L until n).map(x => (x, minReach(x)))
+        .groupBy(_._2).toSeq
+        .map { case (comp, ms) => (comp, ms.size.toLong, ms.map(_._1).min) }
+        .sortBy(_._1)
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs = edgeSeq.toDF("doc_a", "doc_b")
+      for (threshold <- Seq(1000000L, 2L)) {
+        val got = DedupOps.componentsFromEdges(nodes, pairs, driverMaxEdges = threshold)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == expected, s"threshold=$threshold: $got != $expected")
+      }
+    }
+  }
+
   test("distributed contraction path equals the driver union-find path") {
     import spark.implicits._
     // Chain 1-2-...-8 (diameter 7), a triangle {20,21,22}, and singletons.
