@@ -24,7 +24,7 @@ object DedupOps {
     * MinHash base fingerprint derived from it is REPRODUCIBLE in the
     * DuckDB oracle (`('0x' || substring(sha256(s), 1, 15))::BIGINT`).
     */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[operators] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
       .where(size(col("w")) >= 3)
@@ -91,11 +91,11 @@ object DedupOps {
   private val NumHashes = 32
   private val Bands = 8 // x 4 rows per band
   private val Rows = NumHashes / Bands
-  private val Prime = 4294967311L // smallest prime > 2^32
+  private[graft] val Prime = 4294967311L // smallest prime > 2^32
   // Deterministic affine hash parameters (a_i odd, from a fixed LCG).
   // a,b are capped at 30 bits: x < 2^32, so a*x + b < 2^62 — no long
   // overflow under ANSI arithmetic.
-  private val hashParams: Seq[(Long, Long)] = {
+  private[graft] val hashParams: Seq[(Long, Long)] = {
     var state = 0x9e3779b97f4a7c15L
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     Seq.fill(NumHashes)(((next() & 0x3fffffffL) | 1L, next() & 0x3fffffffL))
@@ -112,6 +112,21 @@ object DedupOps {
       min(pmod(col("x") * a + b, lit(Prime))).as(s"h$i")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Same signature via the native one-pass aggregate
+    * [[graft.functions.MinHashAgg]] (same hash family — byte-identical
+    * output, pinned by DedupSpec). Kept alongside the declarative version:
+    * the column form stays inside whole-stage codegen; the imperative form
+    * is one primitive-array pass. Which wins is workload-dependent — both
+    * satisfy the same oracle.
+    */
+  private[operators] def minhashSignaturesNative(sh0: DataFrame): DataFrame = {
+    graft.functions.MinHashAgg.register(sh0.sparkSession, hashParams, Prime)
+    sh0
+      .withColumn("x", col("sh").bitwiseAND(0xffffffffL))
+      .groupBy("doc_id").agg(expr("minhash_sig(x)").as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i => col("sig")(i).as(s"h$i")): _*)
   }
 
   /** MinHash LSH near-dup: band signatures, bucket-join candidates, verify

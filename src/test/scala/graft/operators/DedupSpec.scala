@@ -33,6 +33,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall, pairs=${simhashPairs.size}")
   }
 
+  test("native minhash aggregate equals the declarative 32-column signatures") {
+    val sh = DedupOps.shingles(
+      graft.model.Tables.documents(spark, sfDir)).cache()
+    val declarative = DedupOps.minhashSignatures(sh)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val native = DedupOps.minhashSignaturesNative(sh)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(declarative.length == native.length && declarative.nonEmpty)
+    declarative.zip(native).foreach { case (d, n) => assert(d == n, s"$d != $n") }
+    sh.unpersist()
+  }
+
   test("exact dedup keeps one survivor per fingerprint") {
     val out = DedupOps.nsDedupExact(spark, sfDir).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
