@@ -119,6 +119,42 @@ class StreamingIncomeSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("file pipeline restarted from its checkpoint processes only new files") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_restart_cp").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_restart_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    // Run 1: only half the events exist — the poll loop's first invocation.
+    land(raw.where(col("event_id") % 2 === 0), "a.parquet")
+    StreamingIncome.incomeFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    val afterFirst = spark.read.parquet(s"$out/income").count()
+    // Run 2: a new file landed; the restarted query resumes from the
+    // checkpointed file index and must consume ONLY the new file, ending
+    // at exactly the batch-recompute answer over all data.
+    land(raw.where(col("event_id") % 2 === 1), "b.parquet")
+    StreamingIncome.incomeFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$out/income")
+      .selectExpr("user_id", "epoch", "earnings", "losses", "apr", "epochs_since_active")
+      .orderBy("user_id", "epoch").collect().map(_.toSeq)
+    val want = graft.ops.IncomeKernel.cumulativeIncome(
+      WindowOps.balancesFromEvents(spark, sfDir))
+      .orderBy("user_id", "epoch").collect().map(_.toSeq)
+    assert(afterFirst > 0 && afterFirst != want.length,
+      s"first run should be partial: $afterFirst vs ${want.length}")
+    assert(got.length == want.length, s"${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("watermarked daily volume emits per-day sums") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
