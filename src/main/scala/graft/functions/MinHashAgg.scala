@@ -12,10 +12,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native MinHash signature aggregate (the `TypedImperativeAggregate`
-  * anticipated by SURVEY.md §2.10/§7.4): folds a stream of 32-bit base
-  * fingerprints into a k-element signature of affine-hash minima in ONE
-  * pass over a primitive long[] buffer — the imperative alternative to
-  * declaring k separate `min(pmod(x*a+b, p))` agg columns.
+  * anticipated by SURVEY.md §2.10/§7.4): folds a stream of fingerprints
+  * (masked to their low 32 bits) into a k-element signature of affine-hash
+  * minima in ONE pass over a primitive long[] buffer — the imperative
+  * alternative to declaring k separate `min(pmod((x & 0xffffffff)*a+b, p))`
+  * agg columns.
   *
   * The hash family is identical to the declarative formulation (same
   * (a, b) parameters, same prime), so both produce byte-identical
@@ -52,7 +53,11 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // Mask to the 32-bit base domain HERE, not at call sites: the
+      // function is registered as a public session function and may be fed
+      // raw 60-bit fingerprints — unmasked, x*a would wrap Long silently
+      // (no ANSI guard in imperative code) and % would go negative.
+      val x = v.asInstanceOf[Long] & 0xffffffffL
       var i = 0
       while (i < k) {
         val h = (x * as(i) + bs(i)) % prime // x < 2^32, a,b < 2^30: no overflow

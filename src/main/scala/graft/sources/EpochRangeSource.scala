@@ -65,6 +65,10 @@ private[sources] class EpochRangeTable(
     lo: Long, hi: Long, keysPerEpoch: Int, epochsPerPartition: Int)
     extends Table with SupportsRead {
 
+  require(keysPerEpoch > 0, s"keysPerEpoch must be positive, got $keysPerEpoch")
+  require(epochsPerPartition > 0,
+    s"epochsPerPartition must be positive, got $epochsPerPartition")
+
   override def name(): String = s"epoch_range($lo..$hi)"
   override def schema(): StructType = EpochRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -80,24 +84,34 @@ private[sources] class EpochRangeScanBuilder(
 
   private var required: StructType = EpochRangeSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var empty = false // strict bound at a Long extreme: nothing qualifies
 
   // Epoch range predicates tighten [lo, hi]; everything else stays post-scan.
+  // One case list BOTH decides acceptance and applies the bound — parallel
+  // accept/apply lists would drift (a filter claimed pushed but never
+  // applied silently returns unfiltered rows). Strict bounds saturate
+  // instead of wrapping at Long extremes.
+  private def satInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+  private def satDec(v: Long): Long = if (v == Long.MinValue) v else v - 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case GreaterThan("epoch", _: Long) | GreaterThanOrEqual("epoch", _: Long) |
-          LessThan("epoch", _: Long) | LessThanOrEqual("epoch", _: Long) |
-          EqualTo("epoch", _: Long) => true
-      case _ => false
+    val rejected = filters.filterNot { f =>
+      val applied = f match {
+        case GreaterThan("epoch", v: Long) =>
+          if (v == Long.MaxValue) empty = true else lo = math.max(lo, satInc(v))
+          true
+        case GreaterThanOrEqual("epoch", v: Long) => lo = math.max(lo, v); true
+        case LessThan("epoch", v: Long) =>
+          if (v == Long.MinValue) empty = true else hi = math.min(hi, satDec(v))
+          true
+        case LessThanOrEqual("epoch", v: Long) => hi = math.min(hi, v); true
+        case EqualTo("epoch", v: Long) =>
+          lo = math.max(lo, v); hi = math.min(hi, v); true
+        case _ => false
+      }
+      if (applied) pushed = pushed :+ f
+      applied
     }
-    accepted.foreach {
-      case GreaterThan("epoch", v: Long) => lo = math.max(lo, v + 1)
-      case GreaterThanOrEqual("epoch", v: Long) => lo = math.max(lo, v)
-      case LessThan("epoch", v: Long) => hi = math.min(hi, v - 1)
-      case LessThanOrEqual("epoch", v: Long) => hi = math.min(hi, v)
-      case EqualTo("epoch", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
-      case _ => ()
-    }
-    pushed = accepted
     rejected
   }
 
@@ -113,7 +127,7 @@ private[sources] class EpochRangeScanBuilder(
       s"EpochRangeScan [$lo..$hi] pushed=${pushed.mkString(",")} read=${required.simpleString}"
 
     override def planInputPartitions(): Array[InputPartition] =
-      if (hi < lo) Array.empty
+      if (empty || hi < lo) Array.empty
       else (lo to hi by epochsPerPartition).map { start =>
         EpochSlice(start, math.min(start + epochsPerPartition - 1, hi)): InputPartition
       }.toArray
@@ -132,19 +146,20 @@ private[sources] class EpochRangeReaderFactory(
     new PartitionReader[InternalRow] {
       private var epoch = slice.lo - 1
       private var key = keysPerEpoch - 1
+      // Projection resolved ONCE per reader — the per-row path only calls
+      // the prebuilt generators, no per-row name matching.
+      private val fieldGen: Array[() => Any] = required.fields.map(_.name match {
+        case "bls_key" => () => UTF8String.fromString(f"0x$key%04d")
+        case "epoch" => () => epoch
+        case "balance" => () => EpochRangeSource.balanceOf(epoch, key)
+      })
       override def next(): Boolean = {
         if (key + 1 < keysPerEpoch) { key += 1; true }
         else if (epoch + 1 <= slice.hi) { epoch += 1; key = 0; true }
         else false
       }
-      override def get(): InternalRow = {
-        val values = required.fields.map(_.name match {
-          case "bls_key" => UTF8String.fromString(f"0x$key%04d")
-          case "epoch" => epoch
-          case "balance" => EpochRangeSource.balanceOf(epoch, key)
-        })
-        InternalRow.fromSeq(values.toIndexedSeq)
-      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fieldGen.toIndexedSeq.map(_.apply()))
       override def close(): Unit = ()
     }
   }

@@ -38,6 +38,17 @@ class ExtensionsDriveSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c").collect()
       assert(math.abs(out.head.getDouble(0) - 1.0) < 1e-12)
+      // minhash_sig goes through injectFunction as a TypedImperativeAggregate
+      // — the analyzer must wrap the builder's AggregateFunction itself.
+      // Values are pinned against the declarative hash family: for a single
+      // input x, signature element i is (x & 0xffffffff)*a_i + b_i mod p.
+      val sig = s.sql(
+        "SELECT minhash_sig(x) AS sig FROM VALUES (CAST(7 AS BIGINT)) t(x)")
+        .collect().head.getSeq[Long](0)
+      val expected = graft.operators.DedupOps.hashParams.map { case (a, b) =>
+        (7L * a + b) % graft.operators.DedupOps.Prime
+      }
+      assert(sig == expected, s"$sig != $expected")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
