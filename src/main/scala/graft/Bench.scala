@@ -12,10 +12,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, shuffle service, parquet footer caches) so
-    // whichever query happens to run first isn't charged startup cost.
+    // Warm the session so whichever query happens to run first isn't
+    // charged one-time framework startup (codegen compiler, shuffle
+    // writers/readers, window exec, broadcast machinery, parquet footer
+    // caches). Generic tiny plans only — no query-specific precomputation.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
+    val w = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    w.groupBy("k").count().count() // shuffle + hash agg
+    w.selectExpr("k", "sum(id) OVER (PARTITION BY k ORDER BY id) AS r").count() // window
+    w.join(org.apache.spark.sql.functions.broadcast(
+      spark.range(7).selectExpr("id AS k")), "k").count() // broadcast join
+    w.selectExpr("conv(substring(sha2(s, 256), 1, 15), 16, 10)",
+      "aggregate(sequence(1, 5), CAST(0 AS BIGINT), (a, x) -> a + x)").count() // expr fw
+    ()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
