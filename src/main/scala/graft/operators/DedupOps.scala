@@ -36,28 +36,17 @@ object DedupOps {
       .distinct()
 
   /** Exact Jaccard over pairs that share >=1 shingle. The shingle join IS
-    * the candidate pruning: disjoint docs never meet. When `candidates` is
-    * given (LSH pre-filter), only those pairs are verified — at 100 TB that
-    * is the difference between verifying O(LSH-candidates) and
-    * O(shingle-cooccurring pairs).
+    * the candidate pruning: disjoint docs never meet. This all-pairs
+    * co-occurrence join is the EXACT query's contract; the LSH variants
+    * verify their (far fewer) candidates by set intersection instead.
     */
-  private def jaccardPairs(
-      docs: DataFrame, threshold: Double,
-      candidates: Option[DataFrame] = None,
-      precomputed: Option[DataFrame] = None): DataFrame = {
-    val sh = precomputed.getOrElse(shingles(docs).cache())
+  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val joined = sh.as("a")
+    val common = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Candidate pruning happens BEFORE the pair aggregation: the broadcast
-    // semi-join drops non-candidate rows as they stream out of the shingle
-    // join, so the groupBy only sees LSH-candidate pairs.
-    val pruned = candidates
-      .map(c => joined.join(broadcast(c), Seq("doc_a", "doc_b"), "left_semi"))
-      .getOrElse(joined)
-    val common = pruned
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
@@ -151,7 +140,20 @@ object DedupOps {
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs(docs, 0.5, candidates = Some(candidates), precomputed = Some(sh))
+    // Scalable verify: per-CANDIDATE shingle-set intersection — O(LSH
+    // candidates), never the all-pairs co-occurrence join (which explodes
+    // quadratically inside hot shingle groups at 100 TB; that join is the
+    // exact-jaccard query's contract, not this one's). Set-intersection
+    // counts equal co-occurrence counts, so the same oracle verifies both.
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("c").as("ca")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("c").as("cb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
