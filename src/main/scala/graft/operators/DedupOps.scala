@@ -157,6 +157,43 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental dedup: an arriving BATCH of documents (ids with
+    * doc_id % 10 < 2, a deterministic 20% stand-in for "new today")
+    * checked against the INDEXED CORPUS (the other 80%) — the production
+    * shape where the corpus signatures are a materialized index and only
+    * the new batch computes fresh signatures. Candidates come from
+    * band-bucket equality between batch and corpus (never batch x batch or
+    * corpus x corpus), verified by shingle-set intersection. At 100 TB the
+    * corpus side is bucketed by band hash on disk, so each new batch
+    * touches only matching buckets.
+    */
+  def nsDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs).cache()
+    val sig = minhashSignatures(sh)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        struct((b * Rows until (b + 1) * Rows).map(i =>
+          col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val isBatch = col("doc_id") % 10 < 2
+    val candidates = banded.where(isBatch).as("a")
+      .join(banded.where(!isBatch).as("b"), col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+    candidates
+      .join(sets.select(col("doc_id").as("batch_doc"), col("shs").as("sa"), col("c").as("ca")), "batch_doc")
+      .join(sets.select(col("doc_id").as("corpus_doc"), col("shs").as("sb"), col("c").as("cb")), "corpus_doc")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
+      .where(col("jaccard") >= 0.5)
+      .select("batch_doc", "corpus_doc", "jaccard")
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   private val SimBits = 64
@@ -385,7 +422,8 @@ object DedupOps {
     "ns_dedup_minhash" -> (nsDedupMinhash _),
     "ns_dedup_simhash" -> (nsDedupSimhash _),
     "ns_dedup_components" -> (nsDedupComponents _),
-    "ns_dedup_corpus" -> (nsDedupCorpus _))
+    "ns_dedup_corpus" -> (nsDedupCorpus _),
+    "ns_dedup_incremental" -> (nsDedupIncremental _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
     * pair/cardinality scaffolding of the Jaccard verify.
@@ -404,17 +442,23 @@ object DedupOps {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  private def minColsSql: String =
+    hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((x*$a+$b)%$Prime) AS h$i"
+    }.mkString(",\n         ")
+
+  private def bandOrSql: String =
+    (0 until Bands).map { band =>
+      (band * Rows until (band + 1) * Rows)
+        .map(i => s"a.h$i=b.h$i").mkString("(", " AND ", ")")
+    }.mkString("\n    OR ")
+
   /** Generated MinHash oracle: replays the sha256-prefix base fingerprint,
     * the 32 affine mins, the 8x4 band join, and the exact-Jaccard verify.
     */
   private def minhashOracle: String = {
-    val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      s"min((x*$a+$b)%$Prime) AS h$i"
-    }.mkString(",\n         ")
-    val bandOr = (0 until Bands).map { band =>
-      (band * Rows until (band + 1) * Rows)
-        .map(i => s"a.h$i=b.h$i").mkString("(", " AND ", ")")
-    }.mkString("\n    OR ")
+    val minCols = minColsSql
+    val bandOr = bandOrSql
     s"""WITH $shingleCte,
        |fp AS (
        |  SELECT doc_id,
@@ -490,9 +534,43 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Generated incremental-dedup oracle: batch-vs-corpus band join over
+    * the same signatures, verified by the co-occurrence counts.
+    */
+  private def incrementalOracle: String =
+    s"""WITH $shingleCte,
+       |fp AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(sha256(shingle), 1, 15))::BIGINT & 4294967295 AS x
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minColsSql
+       |  FROM fp GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2 AND (
+       |    $bandOrSql)),
+       |norm AS (
+       |  SELECT batch_doc, corpus_doc,
+       |         least(batch_doc, corpus_doc) AS doc_a,
+       |         greatest(batch_doc, corpus_doc) AS doc_b
+       |  FROM cand),
+       |j AS (
+       |  SELECT n.batch_doc, n.corpus_doc,
+       |         round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+       |  FROM norm n
+       |  JOIN p ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+       |  JOIN card ca ON n.batch_doc = ca.doc_id
+       |  JOIN card cb ON n.corpus_doc = cb.doc_id)
+       |SELECT batch_doc, corpus_doc, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY batch_doc, corpus_doc""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ns_dedup_minhash" -> minhashOracle,
     "ns_dedup_simhash" -> simhashOracle,
+    "ns_dedup_incremental" -> incrementalOracle,
     "ns_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -166,30 +166,71 @@ object SimilarityOps {
     * and dot-product in SIMD; the float rerank (nsSimBruteforceTopk) then
     * touches only the shortlist.
     */
-  def nsSimQuantTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val q = emb
+  /** Symmetric int8 quantization of every embedding. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb
       .withColumn("s", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       .withColumn("qv", expr(
         "CASE WHEN s = 0 THEN transform(embedding, x -> CAST(0 AS BIGINT)) " +
           "ELSE transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s * 127, 0) AS BIGINT)) END"))
       .select(col("vec_id"), col("qv"))
+
+  /** Quantized scores for each (query, candidate) pair, queries broadcast. */
+  private def quantScores(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
     val qs = q.where(col("vec_id") < QuantQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
     val cands = q.select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qdot").desc, col("neighbor_id").asc)
     broadcast(qs).join(cands, col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", expr(
         "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .select("query_id", "neighbor_id", "qdot")
+  }
+
+  def nsSimQuantTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    quantScores(embeddings(spark, dir))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("query_id", "rank", "neighbor_id", "qdot")
       .orderBy("query_id", "rank")
   }
 
-  private def quantOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val RerankShortlist = 20
+
+  /** The production two-stage ANN shape: an int8 integer-dot SHORTLIST
+    * (cheap, 4x less bandwidth, exactly portable) feeds an exact float
+    * cosine RERANK that touches only `RerankShortlist` candidates per
+    * query. At 100 TB stage 1 streams the quantized corpus; stage 2 reads
+    * full vectors for shortlist ids only.
+    */
+  def nsSimQuantRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    val shortlist = quantScores(emb)
+      .withColumn("qrank", row_number().over(wQ))
+      .where(col("qrank") <= RerankShortlist)
+      .select("query_id", "neighbor_id")
+    val qEmb = emb.where(col("vec_id") < QuantQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cEmb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qEmb), "query_id")
+      .join(cEmb, "neighbor_id")
+      .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle CTEs: int8 quantization + integer scores per pair. */
+  private def quantScoreCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (
        |  SELECT vec_id,
        |         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
@@ -199,13 +240,39 @@ object SimilarityOps {
        |s2 AS (
        |  SELECT query_id, q.vec_id AS neighbor_id,
        |         CAST(list_dot_product(qqv, q.qv) AS BIGINT) AS qdot
-       |  FROM qq JOIN q ON query_id <> q.vec_id),
+       |  FROM qq JOIN q ON query_id <> q.vec_id)""".stripMargin
+
+  private def quantOracle: String =
+    s"""WITH $quantScoreCte,
        |r AS (
        |  SELECT query_id, neighbor_id, qdot,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |              ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM s2)
        |SELECT query_id, rank, neighbor_id, qdot FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  private def quantRerankOracle: String =
+    s"""WITH $quantScoreCte,
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |               ORDER BY qdot DESC, neighbor_id ASC) AS qrank
+       |    FROM s2)
+       |  WHERE qrank <= $RerankShortlist),
+       |rr AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |         round(list_cosine_similarity(a.v, b.v), 4) AS cos
+       |  FROM shortlist sl
+       |  JOIN e a ON sl.query_id = a.vec_id
+       |  JOIN e b ON sl.neighbor_id = b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM rr)
+       |SELECT query_id, rank, neighbor_id, cos FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   // ---- k-means training for IVF centroids --------------------------------
@@ -302,7 +369,8 @@ object SimilarityOps {
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
-    "ns_sim_quant_topk" -> (nsSimQuantTopk _))
+    "ns_sim_quant_topk" -> (nsSimQuantTopk _),
+    "ns_sim_quant_rerank" -> (nsSimQuantRerank _))
 
   /** Generated IVF oracle: same seed centroids, 4dp-rounded assignment,
     * probe, and rerank as the Spark plan.
@@ -384,6 +452,7 @@ object SimilarityOps {
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_quant_topk" -> quantOracle,
+    "ns_sim_quant_rerank" -> quantRerankOracle,
     "ns_sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
