@@ -227,7 +227,33 @@ object Pipelines {
       .orderBy("idx", "epoch")
   }
 
+  /** The end-to-end TRAINING-DATA pipeline: dedup survivorship × quality
+    * scoring × language ID, rolled up to per-(language, tier) corpus
+    * stats — the composition a pretraining-data curation job ships
+    * (builder brief: dedup + text analysis as first-class operators).
+    * Quality averages use exact integer micro-units SHIFTED to a
+    * non-negative domain (+1): quality_score can be negative, where Spark
+    * `div` (truncate) and DuckDB `//` (floor) disagree.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = graft.operators.DedupOps.nsDedupCorpus(spark, dir).select("doc_id")
+    val quality = graft.operators.TextOps.nsTextQuality(spark, dir)
+      .select("doc_id", "quality_score", "tier")
+    val lang = graft.operators.TextOps.nsTextLangId(spark, dir)
+      .select("doc_id", "predicted_lang")
+    survivors.join(quality, "doc_id").join(lang, "doc_id")
+      .groupBy("predicted_lang", "tier")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round((col("quality_score") + 1) * 1e6).cast("long")).as("_k"))
+      .select(col("predicted_lang"), col("tier"), col("n_docs"),
+        (expr("(_k * 2 + n_docs) div (n_docs * 2)").cast("double") / 1e6 - 1)
+          .as("avg_quality"))
+      .orderBy("predicted_lang", "tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_training_corpus" -> (trainingCorpus _),
     "pipe_top_indexes" -> (topIndexes _),
     "pipe_index_epoch_apr" -> (indexEpochApr _),
     "pipe_extract_catchup" -> (extractCatchup _),
@@ -275,7 +301,21 @@ object Pipelines {
        |  FROM income
        |)""".stripMargin
 
+  /** Composes the published oracles of the constituent operators as
+    * subqueries — the SQL moves in lockstep with the operator oracles.
+    */
+  private def trainingCorpusOracle: String =
+    s"""SELECT l.predicted_lang, q.tier, count(*) AS n_docs,
+       |       CAST((sum(CAST(round((q.quality_score + 1) * 1e6) AS BIGINT)) * 2
+       |             + count(*)) // (count(*) * 2) AS DOUBLE) / 1e6 - 1 AS avg_quality
+       |FROM (${graft.operators.DedupOps.oracles("ns_dedup_corpus")}) c
+       |JOIN (${graft.operators.TextOps.oracles("ns_text_quality")}) q ON c.doc_id = q.doc_id
+       |JOIN (${graft.operators.TextOps.oracles("ns_text_langid")}) l ON c.doc_id = l.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipe_training_corpus" -> trainingCorpusOracle,
     "pipe_extract_catchup" ->
       s"""WITH f AS (SELECT max($epochExpr) AS finalized_epoch FROM events),
          |ls AS (SELECT user_id, max($epochExpr) AS last_epoch FROM events GROUP BY user_id),
