@@ -88,4 +88,42 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.isEmpty,
       s"bucketed join should be shuffle-free, found: ${shuffles.size}")
   }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    // One hot key holding ~100x the median partition's data, with
+    // thresholds lowered so the unit-scale skew is detected exactly the
+    // way a 100 TB hot key would be.
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "20",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force sort-merge
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 90% of the rows land on one key: the hot partition is ~100x the
+      // median, far past factor 2 and the byte threshold.
+      val left = (1 to 100000).map(i =>
+        (if (i % 10 != 0) 0L else i.toLong % 997, s"payload_left_$i"))
+        .toDF("k", "l")
+      val right = (1 to 2000).map(i => (i.toLong % 997, s"r_$i")).toDF("k", "r")
+      val joined = left.join(right, "k")
+      // Execute THIS plan object (count()/write() would plan separate
+      // QueryExecutions) so AQE finalizes the adaptive plan in place.
+      joined.queryExecution.executedPlan.execute().count()
+      val skewed = collect(joined.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty, "expected AQE to mark the join skew-split:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
