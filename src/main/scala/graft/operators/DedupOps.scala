@@ -103,6 +103,35 @@ object DedupOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Band keys for LSH bucketing: struct(band, struct of the band's raw
+    * min values) — positionally-named fields so the array of bands types
+    * uniformly.
+    */
+  private def bandKeyCols: Seq[Column] = (0 until Bands).map { b =>
+    struct(lit(b).as("band"),
+      struct((b * Rows until (b + 1) * Rows).map(i =>
+        col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
+  }
+
+  /** Per-candidate-pair Jaccard verify by shingle-set intersection —
+    * O(candidates), the scalable alternative to the all-pairs
+    * co-occurrence join. `left`/`right` name the pair columns.
+    */
+  private def setIntersectVerify(
+      candidates: DataFrame, sh: DataFrame,
+      left: String, right: String, threshold: Double): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+    candidates
+      .join(sets.select(col("doc_id").as(left), col("shs").as("sa"), col("c").as("ca")), left)
+      .join(sets.select(col("doc_id").as(right), col("shs").as("sb"), col("c").as("cb")), right)
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(left, right, "jaccard")
+      .orderBy(left, right)
+  }
+
   /** Same signature via the native one-pass aggregate
     * [[graft.functions.MinHashAgg]] (same hash family — byte-identical
     * output, pinned by DedupSpec). Kept alongside the declarative version:
@@ -127,34 +156,24 @@ object DedupOps {
   def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // One shared shingle set feeds both the signatures and the verify.
+    // Deliberately left cached after the query completes: the cache
+    // collapses the two in-plan uses to one shingle computation, the
+    // returned plan is lazy (no point in the query to unpersist), and
+    // MEMORY_AND_DISK blocks are LRU-evicted under pressure.
     val sh = shingles(docs).cache()
     val sig = minhashSignatures(sh)
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        struct((b * Rows until (b + 1) * Rows).map(i =>
-          col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Scalable verify: per-CANDIDATE shingle-set intersection — O(LSH
-    // candidates), never the all-pairs co-occurrence join (which explodes
-    // quadratically inside hot shingle groups at 100 TB; that join is the
-    // exact-jaccard query's contract, not this one's). Set-intersection
-    // counts equal co-occurrence counts, so the same oracle verifies both.
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("c").as("ca")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("c").as("cb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    // Scalable verify — never the all-pairs co-occurrence join (which
+    // explodes quadratically inside hot shingle groups at 100 TB; that
+    // join is the exact-jaccard query's contract, not this one's).
+    // Set-intersection counts equal co-occurrence counts, so the same
+    // oracle verifies both.
+    setIntersectVerify(candidates, sh, "doc_a", "doc_b", 0.5)
   }
 
   /** Incremental dedup: an arriving BATCH of documents (ids with
@@ -169,29 +188,15 @@ object DedupOps {
     */
   def nsDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs).cache()
+    val sh = shingles(docs).cache() // see nsDedupMinhash on the cache choice
     val sig = minhashSignatures(sh)
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        struct((b * Rows until (b + 1) * Rows).map(i =>
-          col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val isBatch = col("doc_id") % 10 < 2
     val candidates = banded.where(isBatch).as("a")
       .join(banded.where(!isBatch).as("b"), col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
-    candidates
-      .join(sets.select(col("doc_id").as("batch_doc"), col("shs").as("sa"), col("c").as("ca")), "batch_doc")
-      .join(sets.select(col("doc_id").as("corpus_doc"), col("shs").as("sb"), col("c").as("cb")), "corpus_doc")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
-      .where(col("jaccard") >= 0.5)
-      .select("batch_doc", "corpus_doc", "jaccard")
-      .orderBy("batch_doc", "corpus_doc")
+    setIntersectVerify(candidates, sh, "batch_doc", "corpus_doc", 0.5)
   }
 
   // ---- SimHash ------------------------------------------------------------

@@ -158,15 +158,9 @@ object SimilarityOps {
 
   private val QuantQueries = 50
 
-  /** Int8-quantized brute-force top-k — the memory/bandwidth scale path of
-    * ANN: symmetric per-vector quantization (scale = max |x|, q = round(x
-    * / scale * 127)), then INTEGER dot-product ranking. Integer scores are
-    * exactly portable across engines (no float-rounding hazard anywhere in
-    * the ranking), and at 100 TB int8 vectors shuffle 4x less than float32
-    * and dot-product in SIMD; the float rerank (nsSimBruteforceTopk) then
-    * touches only the shortlist.
+  /** Symmetric int8 quantization of every embedding (scale = max |x|,
+    * q = round(x / scale * 127)).
     */
-  /** Symmetric int8 quantization of every embedding. */
   private def quantized(emb: DataFrame): DataFrame =
     emb
       .withColumn("s", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
@@ -187,6 +181,12 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "qdot")
   }
 
+  /** Int8-quantized brute-force top-k — the memory/bandwidth scale path of
+    * ANN: quantize, then INTEGER dot-product ranking. Integer scores are
+    * exactly portable across engines (no float-rounding hazard anywhere in
+    * the ranking), and at 100 TB int8 vectors shuffle 4x less than float32
+    * and dot-product in SIMD.
+    */
   def nsSimQuantTopk(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("neighbor_id").asc)
