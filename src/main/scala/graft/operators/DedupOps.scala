@@ -199,6 +199,50 @@ object DedupOps {
     setIntersectVerify(candidates, sh, "batch_doc", "corpus_doc", 0.5)
   }
 
+  /** A corpus's near-dup INDEX: (banded signatures, shingle sets with
+    * cardinalities) — what an incremental or streaming ingest joins
+    * arriving documents against. At scale both frames are materialized
+    * tables bucketed by band key / doc id.
+    */
+  private[graft] def corpusIndex(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingles(docs)
+    val banded = minhashSignatures(sh)
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+    (banded, sets)
+  }
+
+  /** Near-dup matches of arriving `batchDocs` against a prebuilt corpus
+    * index: band-bucket candidates, shingle-set-intersection verify —
+    * identical math to [[nsDedupIncremental]], with the corpus side read
+    * from the index instead of recomputed.
+    */
+  private[graft] def matchAgainstIndex(
+      batchDocs: DataFrame,
+      corpusBanded: DataFrame,
+      corpusSets: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(batchDocs)
+    val banded = minhashSignatures(sh)
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
+    val candidates = banded.as("a")
+      .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .distinct()
+    val batchSets = sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+    candidates
+      .join(batchSets.select(col("doc_id").as("batch_doc"),
+        col("shs").as("sa"), col("c").as("ca")), "batch_doc")
+      .join(corpusSets.select(col("doc_id").as("corpus_doc"),
+        col("shs").as("sb"), col("c").as("cb")), "corpus_doc")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("batch_doc", "corpus_doc", "jaccard")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   private val SimBits = 64

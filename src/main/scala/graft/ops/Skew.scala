@@ -47,4 +47,25 @@ object Skew {
       .agg(collect_set(col(valueCol)).as("_vals"))
       .groupBy(col(key))
       .agg(sum(size(col("_vals"))).cast("long").as(out))
+
+  /** Salted equi-join for a skewed LEFT side: salt the big side's rows by
+    * content hash, REPLICATE every right-side row across all `salts`
+    * values (explode of a literal range — right is the small/dimension
+    * side), and join on (key, salt). A hot left key spreads over `salts`
+    * reducers instead of pinning one. Semantics are exactly the plain
+    * equi-join's (proved by ScaleUtilsSpec); use when broadcast is too big
+    * and AQE's runtime splitting isn't available (e.g. streaming
+    * micro-batches, where AQE is disabled).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int = 32): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
 }

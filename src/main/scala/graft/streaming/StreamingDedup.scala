@@ -27,4 +27,32 @@ object StreamingDedup {
       .withColumn("fp", sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming NEAR-dup admission: each arriving micro-batch of documents
+    * is checked against a precomputed corpus index
+    * ([[graft.operators.DedupOps.corpusIndex]] — banded MinHash signatures
+    * + shingle sets); documents with a near-dup in the corpus are dropped,
+    * the rest are appended to `outPath`. The index is static per run
+    * (refresh it with the batch pipeline); admission math is identical to
+    * the oracled `ns_dedup_incremental`. Per-batch work is
+    * O(batch + matching band buckets), never O(corpus).
+    */
+  def nearDupAdmission(
+      docStream: DataFrame,
+      corpusBanded: DataFrame,
+      corpusSets: DataFrame,
+      outPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dups = graft.operators.DedupOps
+          .matchAgainstIndex(batch, corpusBanded, corpusSets)
+          .select(col("batch_doc").as("doc_id")).distinct()
+        batch.join(dups, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

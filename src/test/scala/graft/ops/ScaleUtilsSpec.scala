@@ -33,6 +33,22 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(direct.toSeq == salted.toSeq)
   }
 
+  test("salted join equals plain equi-join, including duplicate right keys") {
+    import spark.implicits._
+    val left = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    // Duplicate keys on the right exercise row multiplication.
+    val right = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(sum("value").as("total"))
+      .unionByName(Seq((1L, -1.0)).toDF("user_id", "total"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "value", "total")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = canon(left.join(right, "user_id"))
+    val salted = canon(Skew.saltedJoin(left, right, "user_id", salts = 8))
+    assert(plain.length == salted.length && plain.nonEmpty)
+    plain.zip(salted).foreach { case (p, s) => assert(p == s) }
+  }
+
   test("upsert: updates win on key collision, base survives otherwise; idempotent") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")

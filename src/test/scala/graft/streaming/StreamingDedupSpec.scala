@@ -43,4 +43,41 @@ class StreamingDedupSpec extends SparkSpec {
     val kept = spark.table("dedup_out").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L, 6L, 7L), s"got $kept")
   }
+
+  test("streaming near-dup admission matches the batch incremental query") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DedupOps
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") % 10 >= 2)
+    val batchDocs = docs.where(col("doc_id") % 10 < 2)
+    val (banded, sets) = DedupOps.corpusIndex(corpus)
+    val (bandedC, setsC) = (banded.cache(), sets.cache())
+    // Land the arriving docs as two parquet files -> two micro-batches.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_neardup_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_neardup_out").toString + "/admitted"
+    val cp = java.nio.file.Files.createTempDirectory("graft_neardup_cp").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    land(batchDocs.where(col("doc_id") % 20 < 2), "a.parquet")
+    land(batchDocs.where(col("doc_id") % 20 >= 10), "b.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    StreamingDedup.nearDupAdmission(stream, bandedC, setsC, out, cp)
+      .awaitTermination()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // Cross-check against the ORACLED batch query: admitted = batch docs
+    // minus those with a corpus near-dup.
+    val dupDocs = DedupOps.nsDedupIncremental(spark, sfDir)
+      .select("batch_doc").collect().map(_.getLong(0)).toSet
+    val expected = batchDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- dupDocs
+    assert(admitted == expected,
+      s"admitted ${admitted.size} vs expected ${expected.size}")
+    bandedC.unpersist(); setsC.unpersist()
+  }
 }
