@@ -113,24 +113,30 @@ object DedupOps {
         col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
   }
 
+  /** Shingle sets + cardinalities per doc — the verify side's index. */
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+
   /** Per-candidate-pair Jaccard verify by shingle-set intersection —
     * O(candidates), the scalable alternative to the all-pairs
-    * co-occurrence join. `left`/`right` name the pair columns.
+    * co-occurrence join. `left`/`right` name the pair columns; the two
+    * set frames may differ (batch-vs-corpus) or be the same frame. The
+    * ONLY implementation of the verify math — every LSH variant and the
+    * streaming admission path run through here, so the oracle-pinned
+    * round-6 jaccard cannot drift between them.
     */
   private def setIntersectVerify(
-      candidates: DataFrame, sh: DataFrame,
-      left: String, right: String, threshold: Double): DataFrame = {
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
+      candidates: DataFrame, leftSets: DataFrame, rightSets: DataFrame,
+      left: String, right: String, threshold: Double): DataFrame =
     candidates
-      .join(sets.select(col("doc_id").as(left), col("shs").as("sa"), col("c").as("ca")), left)
-      .join(sets.select(col("doc_id").as(right), col("shs").as("sb"), col("c").as("cb")), right)
+      .join(leftSets.select(col("doc_id").as(left), col("shs").as("sa"), col("c").as("ca")), left)
+      .join(rightSets.select(col("doc_id").as(right), col("shs").as("sb"), col("c").as("cb")), right)
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
       .where(col("jaccard") >= threshold)
       .select(left, right, "jaccard")
       .orderBy(left, right)
-  }
 
   /** Same signature via the native one-pass aggregate
     * [[graft.functions.MinHashAgg]] (same hash family — byte-identical
@@ -173,7 +179,8 @@ object DedupOps {
     // join is the exact-jaccard query's contract, not this one's).
     // Set-intersection counts equal co-occurrence counts, so the same
     // oracle verifies both.
-    setIntersectVerify(candidates, sh, "doc_a", "doc_b", 0.5)
+    val sets = shingleSets(sh)
+    setIntersectVerify(candidates, sets, sets, "doc_a", "doc_b", 0.5)
   }
 
   /** Incremental dedup: an arriving BATCH of documents (ids with
@@ -188,59 +195,45 @@ object DedupOps {
     */
   def nsDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs).cache() // see nsDedupMinhash on the cache choice
-    val sig = minhashSignatures(sh)
-    val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val isBatch = col("doc_id") % 10 < 2
-    val candidates = banded.where(isBatch).as("a")
-      .join(banded.where(!isBatch).as("b"), col("a.band_key") === col("b.band_key"))
-      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
-      .distinct()
-    setIntersectVerify(candidates, sh, "batch_doc", "corpus_doc", 0.5)
+    // Built FROM the index API, so the oracled batch query and the
+    // streaming admission path are equivalent by construction.
+    val (banded, sets) = corpusIndex(docs.where(!isBatch))
+    matchAgainstIndex(docs.where(isBatch), banded, sets)
   }
 
   /** A corpus's near-dup INDEX: (banded signatures, shingle sets with
     * cardinalities) — what an incremental or streaming ingest joins
-    * arriving documents against. At scale both frames are materialized
-    * tables bucketed by band key / doc id.
+    * arriving documents against. Both frames derive from one cached
+    * shingle pass. At scale they are materialized tables bucketed by band
+    * key / doc id; a long-running consumer (streaming admission) should
+    * cache them too.
     */
   private[graft] def corpusIndex(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = shingles(docs)
+    val sh = shingles(docs).cache() // see nsDedupMinhash on the cache choice
     val banded = minhashSignatures(sh)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
-    (banded, sets)
+    (banded, shingleSets(sh))
   }
 
   /** Near-dup matches of arriving `batchDocs` against a prebuilt corpus
-    * index: band-bucket candidates, shingle-set-intersection verify —
-    * identical math to [[nsDedupIncremental]], with the corpus side read
-    * from the index instead of recomputed.
+    * index: band-bucket candidates (batch x corpus only), then the shared
+    * [[setIntersectVerify]].
     */
   private[graft] def matchAgainstIndex(
       batchDocs: DataFrame,
       corpusBanded: DataFrame,
       corpusSets: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(batchDocs)
+    val sh = shingles(batchDocs).cache() // feeds both signatures and sets
     val banded = minhashSignatures(sh)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
       .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
-    val batchSets = sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
-    candidates
-      .join(batchSets.select(col("doc_id").as("batch_doc"),
-        col("shs").as("sa"), col("c").as("ca")), "batch_doc")
-      .join(corpusSets.select(col("doc_id").as("corpus_doc"),
-        col("shs").as("sb"), col("c").as("cb")), "corpus_doc")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", round(col("common") / (col("ca") + col("cb") - col("common")), 6))
-      .where(col("jaccard") >= threshold)
-      .select("batch_doc", "corpus_doc", "jaccard")
+    setIntersectVerify(candidates, shingleSets(sh), corpusSets,
+      "batch_doc", "corpus_doc", threshold)
   }
 
   // ---- SimHash ------------------------------------------------------------

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys (SURVEY.md §7.4 "100 TB
-  * posture"). AQE's skew-join handling covers sort-merge joins at runtime;
-  * these cover the aggregation side, where one hot key would otherwise pin
-  * a single reducer.
+  * posture"): salted aggregation (one hot key would otherwise pin a single
+  * reducer) and a salted join for where AQE's runtime skew splitting
+  * doesn't reach (streaming micro-batches; AQE-off deployments).
   */
 object Skew {
 
@@ -62,6 +62,9 @@ object Skew {
       right: DataFrame,
       key: String,
       salts: Int = 32): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name; rename it on the inputs")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)))
     val replicatedRight = right.withColumn("_salt",

@@ -29,30 +29,39 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
 
   /** Streaming NEAR-dup admission: each arriving micro-batch of documents
-    * is checked against a precomputed corpus index
+    * is checked against the corpus's near-dup index
     * ([[graft.operators.DedupOps.corpusIndex]] — banded MinHash signatures
-    * + shingle sets); documents with a near-dup in the corpus are dropped,
-    * the rest are appended to `outPath`. The index is static per run
-    * (refresh it with the batch pipeline); admission math is identical to
-    * the oracled `ns_dedup_incremental`. Per-batch work is
-    * O(batch + matching band buckets), never O(corpus).
+    * + shingle sets, built ONCE here and cached for the query's life);
+    * documents with a near-dup in the corpus are dropped, the rest land in
+    * `outPath`. Admission math is the oracled `ns_dedup_incremental`'s by
+    * construction (both run through `matchAgainstIndex`). Per-batch work
+    * is O(batch + matching band buckets), never O(corpus). The sink is
+    * IDEMPOTENT under foreachBatch's at-least-once contract: each batch
+    * overwrites its own `batch_id=` directory, so a replay after a crash
+    * replaces rather than duplicates.
     */
   def nearDupAdmission(
       docStream: DataFrame,
-      corpusBanded: DataFrame,
-      corpusSets: DataFrame,
+      corpusDocs: DataFrame,
       outPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (banded, sets) = graft.operators.DedupOps.corpusIndex(corpusDocs)
+    banded.cache(); sets.cache()
     docStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dups = graft.operators.DedupOps
-          .matchAgainstIndex(batch, corpusBanded, corpusSets)
-          .select(col("batch_doc").as("doc_id")).distinct()
+          .matchAgainstIndex(batch, banded, sets)
+          .select(col("batch_doc").as("doc_id"))
+        // left_anti is unaffected by duplicate right rows — no distinct.
         batch.join(dups, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
+  }
 }

@@ -50,8 +50,6 @@ class StreamingDedupSpec extends SparkSpec {
     val docs = graft.model.Tables.documents(spark, sfDir)
     val corpus = docs.where(col("doc_id") % 10 >= 2)
     val batchDocs = docs.where(col("doc_id") % 10 < 2)
-    val (banded, sets) = DedupOps.corpusIndex(corpus)
-    val (bandedC, setsC) = (banded.cache(), sets.cache())
     // Land the arriving docs as two parquet files -> two micro-batches.
     val srcDir = java.nio.file.Files.createTempDirectory("graft_neardup_src")
     val out = java.nio.file.Files.createTempDirectory("graft_neardup_out").toString + "/admitted"
@@ -67,7 +65,7 @@ class StreamingDedupSpec extends SparkSpec {
     land(batchDocs.where(col("doc_id") % 20 >= 10), "b.parquet")
     val stream = spark.readStream.schema(batchDocs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    StreamingDedup.nearDupAdmission(stream, bandedC, setsC, out, cp)
+    StreamingDedup.nearDupAdmission(stream, corpus, out, cp)
       .awaitTermination()
     val admitted = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
@@ -78,6 +76,5 @@ class StreamingDedupSpec extends SparkSpec {
     val expected = batchDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- dupDocs
     assert(admitted == expected,
       s"admitted ${admitted.size} vs expected ${expected.size}")
-    bandedC.unpersist(); setsC.unpersist()
   }
 }
