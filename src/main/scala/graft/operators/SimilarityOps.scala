@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -26,6 +26,7 @@ object SimilarityOps {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    DotProduct.register(spark)
     Tables.embeddings(spark, dir)
   }
 
@@ -48,7 +49,10 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (the
-    * embedding-space analog of document dedup).
+    * embedding-space analog of document dedup) — the EXACT baseline. The
+    * non-equi self-join is a BroadcastNestedLoop, O(N²) by contract: it is
+    * the ground truth [[nsSimNeardupLsh]]'s recall is measured against
+    * (SimilaritySpec), not the deliverable scale path.
     */
   def nsSimNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -93,9 +97,12 @@ object SimilarityOps {
     */
   private[operators] def lshBuckets(emb: DataFrame): DataFrame = {
     val planeLits = planes.map(p => array(p.map(lit): _*))
+    // Codegen'd dot_product (one fused loop per plane) replaces the
+    // zip_with+aggregate HOF chains — same strictly-left-associated
+    // accumulation, so the sign bits (and the DuckDB oracle) are
+    // bit-identical; DotProductSpec pins the equivalence.
     val bits = planeLits.zipWithIndex.map { case (pl, i) =>
-      when(expr(s"aggregate(zip_with(embedding, _plane$i, (x, y) -> CAST(x AS DOUBLE) * y), " +
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") > 0, 1L).otherwise(0L)
+      when(expr(s"dot_product(embedding, _plane$i)") > 0, 1L).otherwise(0L)
         .as(s"bit$i")
     }
     val withPlanes = planeLits.zipWithIndex
@@ -154,6 +161,39 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH-bucketed near-duplicate pairs — the 100 TB path for
+    * [[nsSimNeardupPairs]]: candidate pairs share a hyperplane band bucket
+    * (a hash join keyed on (band, bucket), never all-pairs), then exact
+    * cosine verifies the (few) candidates at >= 0.35. Candidate generation
+    * and dedup run on bare id pairs; embeddings re-attach afterwards
+    * (project-late). Mirrors what [[graft.operators.DedupOps.nsDedupMinhash]]
+    * does for documents; recall vs the exact query is pinned by
+    * SimilaritySpec.
+    */
+  def nsSimNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val buckets = lshBuckets(emb).select("vec_id", "band", "bucket")
+    val a = buckets.select(col("vec_id").as("vec_a"),
+      col("band").as("a_band"), col("bucket").as("a_bucket"))
+    val b = buckets.select(col("vec_id").as("vec_b"),
+      col("band").as("b_band"), col("bucket").as("b_bucket"))
+    val cand = a.join(b,
+      col("a_band") === col("b_band") && col("a_bucket") === col("b_bucket")
+        && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("label").as("label_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("label").as("label_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .where(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ---- int8 quantization --------------------------------------------------
 
   private val QuantQueries = 50
@@ -176,8 +216,9 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
     val cands = q.select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"))
     broadcast(qs).join(cands, col("query_id") =!= col("neighbor_id"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      // Integer dot via the codegen expression — exact (LONG), no HOF
+      // allocation in the O(Q·N) hot loop.
+      .withColumn("qdot", expr("dot_product(q_qv, c_qv)"))
       .select("query_id", "neighbor_id", "qdot")
   }
 
@@ -367,6 +408,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
+    "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_quant_topk" -> (nsSimQuantTopk _),
@@ -406,11 +448,11 @@ object SimilarityOps {
        |SELECT query_id, rank, neighbor_id, cos FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  /** Generated LSH oracle: the deterministic hyperplanes as literals, sign
-    * bits via a strictly left-associated dot-product chain (bit-identical
-    * to the Spark `aggregate` fold), band buckets, candidate join, rerank.
+  /** Shared LSH oracle CTE fragments: the deterministic hyperplanes as
+    * literals, sign bits via a strictly left-associated dot-product chain
+    * (bit-identical to the Spark codegen loop), and the band buckets.
     */
-  private def lshOracle: String = {
+  private def lshBucketCtes: String = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val dot = p.zipWithIndex
         .map { case (w, k) => s"v[${k + 1}]*($w)" }.mkString(" + ")
@@ -421,13 +463,18 @@ object SimilarityOps {
         .map(k => s"${1 << k}*bit${b * RowsPerBand + k}").mkString(" + ")
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bits AS (
+    s"""bits AS (
        |  SELECT vec_id,
        |         $bitCols
        |  FROM e),
        |bk AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Generated LSH top-k oracle: bucket CTEs, candidate join, rerank. */
+  private def lshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$lshBucketCtes,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bk a JOIN bk b
@@ -446,9 +493,28 @@ object SimilarityOps {
        |  FROM s)
        |SELECT query_id, rank, neighbor_id, cos FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Generated bucketed near-dup oracle: same bucket CTEs, symmetric
+    * candidate pairs (vec_a < vec_b), cosine verify at the 0.35 threshold.
+    */
+  private def neardupLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |$lshBucketCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |       round(list_cosine_similarity(x.v, y.v), 4) AS cos,
+       |       x.label = y.label AS same_label
+       |FROM cand
+       |JOIN e x ON vec_a = x.vec_id
+       |JOIN e y ON vec_b = y.vec_id
+       |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_quant_topk" -> quantOracle,

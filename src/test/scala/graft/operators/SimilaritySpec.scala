@@ -1,11 +1,44 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.functions._
 
-/** Cosine expression correctness + LSH recall vs exact brute force. */
+/** Cosine/dot expression correctness + LSH recall vs exact brute force. */
 class SimilaritySpec extends SparkSpec {
+
+  test("dot_product is bit-identical to the left-associated HOF fold (float x double)") {
+    import spark.implicits._
+    DotProduct.register(spark)
+    val rng = new scala.util.Random(11)
+    val vecs = Seq.fill(200)((Array.fill(64)(rng.nextFloat() - 0.5f),
+      Array.fill(64)(rng.nextDouble() - 0.5)))
+    val df = vecs.toDF("a", "b")
+      .withColumn("dp", expr("dot_product(a, b)"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    // EXACT equality — the LSH sign bits (and the DuckDB oracle) depend on
+    // the accumulation order being preserved, not just the value being close.
+    val rows = df.select("dp", "hof").collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"dot_product diverged from the HOF fold: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("dot_product on integral arrays is an exact LONG") {
+    import spark.implicits._
+    DotProduct.register(spark)
+    val rng = new scala.util.Random(13)
+    val vecs = Seq.fill(100)((Array.fill(64)(rng.nextInt(255).toLong - 127),
+      Array.fill(64)(rng.nextInt(255).toLong - 127)))
+    val got = vecs.toDF("a", "b")
+      .withColumn("dp", expr("dot_product(a, b)"))
+      .select("dp").collect().map(_.getLong(0))
+    val want = vecs.map { case (x, y) =>
+      x.zip(y).map { case (a, b) => a * b }.sum
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
 
   test("cosine_sim expression matches an independent scala computation") {
     import spark.implicits._
@@ -52,6 +85,20 @@ class SimilaritySpec extends SparkSpec {
     // 16 hyperplanes / 4 bands on near-uniform vectors: modest but
     // deterministic recall; the point is the bucketed plan shape.
     assert(recall >= 0.3, s"LSH recall@3 = $recall")
+  }
+
+  test("bucketed near-dup pairs: subset of exact pairs with decent recall") {
+    val exact = SimilarityOps.nsSimNeardupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.nsSimNeardupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Verified candidates can never invent a pair the exact query lacks —
+    // both apply the same >= 0.35 cosine test.
+    assert(lsh.subsetOf(exact), s"LSH emitted non-exact pairs: ${lsh -- exact}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    // Weakly-similar fixture vectors (cos ~0.35-0.4) are the LSH worst
+    // case; on true near-dups (cos > 0.9) band agreement approaches 1.
+    assert(recall >= 0.3, s"near-dup LSH recall = $recall")
   }
 
   test("IVF top-k probes 2/16 clusters with decent recall and valid ranks") {
