@@ -40,7 +40,7 @@ object DedupOps {
     * co-occurrence join is the EXACT query's contract; the LSH variants
     * verify their (far fewer) candidates by set intersection instead.
     */
-  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val common = sh.as("a")
@@ -159,14 +159,15 @@ object DedupOps {
     * ANSI SQL — the DuckDB oracle replays fingerprint, affine mins,
     * band-join, and verify exactly.
     */
-  def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // One shared shingle set feeds both the signatures and the verify.
-    // Deliberately left cached after the query completes: the cache
-    // collapses the two in-plan uses to one shingle computation, the
-    // returned plan is lazy (no point in the query to unpersist), and
-    // MEMORY_AND_DISK blocks are LRU-evicted under pressure.
-    val sh = shingles(docs).cache()
+  /** Banded-candidate near-dup pairs over a shingle frame: band the MinHash
+    * signatures, bucket-join candidates (only pairs agreeing on a whole
+    * band ever meet — a hash join keyed by band value, never all-pairs),
+    * then the shared [[setIntersectVerify]]. This is THE scalable edge
+    * generator: [[nsDedupMinhash]] surfaces it directly and
+    * [[nsDedupComponents]] feeds survivorship from it. Pass the shingle
+    * frame cached — signatures and verify sets both read it.
+    */
+  private[operators] def minhashNearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sig = minhashSignatures(sh)
     val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
@@ -180,7 +181,17 @@ object DedupOps {
     // Set-intersection counts equal co-occurrence counts, so the same
     // oracle verifies both.
     val sets = shingleSets(sh)
-    setIntersectVerify(candidates, sets, sets, "doc_a", "doc_b", 0.5)
+    setIntersectVerify(candidates, sets, sets, "doc_a", "doc_b", threshold)
+  }
+
+  def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // One shared shingle set feeds both the signatures and the verify.
+    // Left cached in the returned lazy plan (no point inside the query to
+    // unpersist); Verify/Bench clear the cache manager after materializing
+    // each query, so nothing outlives the query in a long session.
+    val sh = shingles(docs).cache()
+    minhashNearDupPairs(sh, 0.5)
   }
 
   /** Incremental dedup: an arriving BATCH of documents (ids with
@@ -224,8 +235,16 @@ object DedupOps {
       batchDocs: DataFrame,
       corpusBanded: DataFrame,
       corpusSets: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(batchDocs).cache() // feeds both signatures and sets
+      threshold: Double = 0.5,
+      cacheShingles: Boolean = true): DataFrame = {
+    // The batch shingle frame feeds both signatures and sets. One-shot
+    // batch callers cache it (Verify/Bench clear the cache manager after
+    // each query); the long-running streaming admission passes
+    // cacheShingles=false — a per-trigger micro-batch is small enough to
+    // recompute, and NOT caching means no per-batch CacheManager entry
+    // accumulating over an unbounded stream.
+    val sh0 = shingles(batchDocs)
+    val sh = if (cacheShingles) sh0.cache() else sh0
     val banded = minhashSignatures(sh)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
@@ -315,11 +334,26 @@ object DedupOps {
     * the min doc_id reachable through near-dup edges as its component id —
     * the survivorship key of a large-scale dedup (keep one doc per
     * component).
+    *
+    * Edges come from [[minhashNearDupPairs]] — band-bucket candidates +
+    * set-intersect verify — NOT from the all-pairs shingle co-occurrence
+    * join: one hot shingle (boilerplate text) makes that join quadratic,
+    * and survivorship is the flagship deliverable that must survive 100 TB.
+    * DedupSpec pins that no shingle-equality self-join appears in this
+    * edge plan. The oracle replays the same banded candidates, so the
+    * components are hash-checked against the LSH edge graph, not the
+    * exact-Jaccard one.
     */
   def nsDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = jaccardPairs(docs, 0.5).select("doc_a", "doc_b")
-    componentsFromEdges(docs.select("doc_id"), pairs)
+    val sh = shingles(docs).cache()
+    val pairs = minhashNearDupPairs(sh, 0.5).select("doc_a", "doc_b")
+    // componentsFromEdges materializes the edge list eagerly (count +
+    // contraction/collect), so the shingle cache is consumed by the time
+    // it returns — release it instead of pinning it for the session.
+    val out = componentsFromEdges(docs.select("doc_id"), pairs)
+    sh.unpersist()
+    out
   }
 
   /** Min-id connected components over an undirected pair list.
@@ -495,25 +529,27 @@ object DedupOps {
         .map(i => s"a.h$i=b.h$i").mkString("(", " AND ", ")")
     }.mkString("\n    OR ")
 
-  /** Generated MinHash oracle: replays the sha256-prefix base fingerprint,
-    * the 32 affine mins, the 8x4 band join, and the exact-Jaccard verify.
+  /** Shared MinHash candidate CTEs (follow [[shingleCte]]): sha256-prefix
+    * base fingerprint, the 32 affine mins, and the 8x4 band join.
     */
-  private def minhashOracle: String = {
-    val minCols = minColsSql
-    val bandOr = bandOrSql
-    s"""WITH $shingleCte,
-       |fp AS (
+  private def minhashCandCtes: String =
+    s"""fp AS (
        |  SELECT doc_id,
        |         ('0x' || substring(sha256(shingle), 1, 15))::BIGINT & 4294967295 AS x
        |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
-       |         $minCols
+       |         $minColsSql
        |  FROM fp GROUP BY doc_id),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-       |    $bandOr)),
+       |    $bandOrSql))""".stripMargin
+
+  /** Generated MinHash oracle: banded candidates + exact-Jaccard verify. */
+  private def minhashOracle: String =
+    s"""WITH $shingleCte,
+       |$minhashCandCtes,
        |pc AS (SELECT p.* FROM p JOIN cand USING (doc_a, doc_b))
        |SELECT doc_a, doc_b,
        |       round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
@@ -522,7 +558,6 @@ object DedupOps {
        |JOIN card cb ON doc_b = cb.doc_id
        |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Generated SimHash oracle: sha256-word bit votes, majority signature,
     * 8x8 band join, hamming verify — column-for-column the Spark plan.
@@ -635,12 +670,18 @@ object DedupOps {
          |JOIN documents d ON d.doc_id = c.keep_doc_id
          |ORDER BY d.doc_id""".stripMargin)
 
+  /** Components over the LSH edge graph: the edge CTE is the banded
+    * MinHash candidates verified at 0.5 — the same edges the Spark plan
+    * derives — closed transitively by the recursive CTE.
+    */
   private lazy val componentsOracle: String =
     s"""WITH RECURSIVE $shingleCte,
+      |$minhashCandCtes,
       |jacc AS (
-      |  SELECT doc_a, doc_b FROM p
-      |  JOIN card ca ON doc_a = ca.doc_id
-      |  JOIN card cb ON doc_b = cb.doc_id
+      |  SELECT p.doc_a, p.doc_b FROM p
+      |  JOIN cand USING (doc_a, doc_b)
+      |  JOIN card ca ON p.doc_a = ca.doc_id
+      |  JOIN card cb ON p.doc_b = cb.doc_id
       |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5),
       |edges AS (
       |  SELECT doc_a, doc_b FROM jacc

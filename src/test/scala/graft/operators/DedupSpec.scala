@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("survivorship edges have no shingle-equality self-join (exact baseline does)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hasShingleSelfJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.exists(
+        _.condition.exists(_.exists {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            a.name == "sh" && b.name == "sh"
+          case _ => false
+        }))
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    // Detector sanity: the exact query's declared contract IS the shingle
+    // co-occurrence self-join — it must trip the detector...
+    assert(hasShingleSelfJoin(DedupOps.jaccardPairs(docs, 0.5)))
+    // ...and the survivorship edge generator must not: its joins key on
+    // band values and bare doc ids only (hot-shingle safe at 100 TB).
+    assert(!hasShingleSelfJoin(
+      DedupOps.minhashNearDupPairs(DedupOps.shingles(docs), 0.5)))
+  }
+
   test("exact dedup keeps one survivor per fingerprint") {
     val out = DedupOps.nsDedupExact(spark, sfDir).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
