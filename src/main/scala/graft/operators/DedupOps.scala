@@ -227,6 +227,23 @@ object DedupOps {
     (banded, shingleSets(sh))
   }
 
+  /** [[corpusIndex]] for LONG-LIVED consumers (streaming admission): both
+    * frames are eagerly localCheckpoint'ed — plan-free, executor-resident —
+    * and the intermediate shingle cache is released immediately, so holding
+    * the index across an unbounded stream pins exactly two block sets and
+    * nothing else. At 100 TB these are materialized tables bucketed by
+    * band key / doc id; checkpointed frames are the local-mode analog.
+    */
+  private[graft] def corpusIndexMaterialized(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingles(docs).cache()
+    val banded = minhashSignatures(sh)
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
+      .localCheckpoint()
+    val sets = shingleSets(sh).localCheckpoint()
+    sh.unpersist()
+    (banded, sets)
+  }
+
   /** Near-dup matches of arriving `batchDocs` against a prebuilt corpus
     * index: band-bucket candidates (batch x corpus only), then the shared
     * [[setIntersectVerify]].

@@ -29,16 +29,27 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
 
   /** Streaming NEAR-dup admission: each arriving micro-batch of documents
-    * is checked against the corpus's near-dup index
-    * ([[graft.operators.DedupOps.corpusIndex]] — banded MinHash signatures
-    * + shingle sets, built ONCE here and cached for the query's life);
-    * documents with a near-dup in the corpus are dropped, the rest land in
-    * `outPath`. Admission math is the oracled `ns_dedup_incremental`'s by
-    * construction (both run through `matchAgainstIndex`). Per-batch work
-    * is O(batch + matching band buckets), never O(corpus). The sink is
-    * IDEMPOTENT under foreachBatch's at-least-once contract: each batch
-    * overwrites its own `batch_id=` directory, so a replay after a crash
-    * replaces rather than duplicates.
+    * is checked against the corpus's near-dup index (banded MinHash
+    * signatures + shingle sets); documents with a near-dup in the index
+    * are dropped, the rest land in `outPath` AND their signatures fold
+    * into the index — so a near-dup of a document admitted in batch N is
+    * rejected in batch N+1, not re-admitted. Admission math is the
+    * oracled `ns_dedup_incremental`'s by construction (both run through
+    * `matchAgainstIndex`). Per-batch work is O(batch + matching band
+    * buckets), never O(corpus).
+    *
+    * Idempotency under foreachBatch's at-least-once contract: (1) each
+    * batch overwrites its own `batch_id=` directory, so a replay replaces
+    * rather than duplicates; (2) before matching, any index entries keyed
+    * by the CURRENT batch's doc ids are anti-joined away — on a replay the
+    * batch is matched exactly as on first delivery (its own prior
+    * admissions can't self-reject it) and its index contribution is
+    * rebuilt rather than doubled.
+    *
+    * Index growth per batch is two localCheckpoint'ed frames (base index +
+    * admitted extension); the per-batch shingle frames are NOT cached
+    * (`cacheShingles = false`), so an unbounded stream leaves no
+    * accumulating CacheManager entries.
     */
   def nearDupAdmission(
       docStream: DataFrame,
@@ -48,16 +59,36 @@ object StreamingDedup {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val (banded, sets) = graft.operators.DedupOps.corpusIndex(corpusDocs)
-    banded.cache(); sets.cache()
+    val dedup = graft.operators.DedupOps
+    val (baseBanded, baseSets) = dedup.corpusIndexMaterialized(corpusDocs)
+    // Admitted-documents extension of the index; grows per batch. Batches
+    // run sequentially on the stream thread, so plain vars are safe.
+    var extBanded = baseBanded.limit(0).localCheckpoint()
+    var extSets = baseSets.limit(0).localCheckpoint()
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dups = graft.operators.DedupOps
-          .matchAgainstIndex(batch, banded, sets)
+        val curIds = batch.select("doc_id")
+        val idxBanded = baseBanded.unionByName(extBanded)
+          .join(curIds, Seq("doc_id"), "left_anti")
+        val idxSets = baseSets.unionByName(extSets)
+          .join(curIds, Seq("doc_id"), "left_anti")
+        val dups = dedup
+          .matchAgainstIndex(batch, idxBanded, idxSets, cacheShingles = false)
           .select(col("batch_doc").as("doc_id"))
         // left_anti is unaffected by duplicate right rows — no distinct.
+        val sinkDir = s"$outPath/batch_id=$batchId"
         batch.join(dups, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          .write.mode("overwrite").parquet(sinkDir)
+        // Fold the admitted documents into the index, reading back from
+        // the sink (the committed truth a replay would regenerate). The
+        // anti-join drops this batch's prior contribution on a replay;
+        // localCheckpoint keeps the extension plan-free across batches.
+        val admitted = batch.sparkSession.read.parquet(sinkDir)
+        val (nb, ns) = dedup.corpusIndexMaterialized(admitted)
+        extBanded = extBanded.join(curIds, Seq("doc_id"), "left_anti")
+          .unionByName(nb).localCheckpoint()
+        extSets = extSets.join(curIds, Seq("doc_id"), "left_anti")
+          .unionByName(ns).localCheckpoint()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -28,9 +28,13 @@ object StreamingIncome {
 
   case class BalanceRow(user_id: Long, epoch: Long, balance: Double, withdrawal: Double)
 
+  // No explicit "halted" flag: a gap-halted key is simply one whose state
+  // is parked at the high-water mark — the guard below re-derives it from
+  // (arriving epoch - lastEpoch) every delivery, so carrying a flag in
+  // every key's state-store entry would be write-only dead weight.
   case class IncomeState(
       lastEpoch: Long, lastBalance: Double, lastWithdrawal: Double,
-      earnings: Double, losses: Double, epochs: Long, halted: Boolean)
+      earnings: Double, losses: Double, epochs: Long)
 
   case class IncomeUpdate(
       user_id: Long, epoch: Long, earnings: Double, losses: Double,
@@ -55,7 +59,7 @@ object StreamingIncome {
       state: GroupState[IncomeState]): Iterator[IncomeUpdate] = {
     val sorted = rows.toSeq.sortBy(_.epoch)
     var st = state.getOption.getOrElse(
-      IncomeState(Long.MinValue, 0.0, 0.0, 0.0, 0.0, -1L, halted = false))
+      IncomeState(Long.MinValue, 0.0, 0.0, 0.0, 0.0, -1L))
     val out = Seq.newBuilder[IncomeUpdate]
     sorted.foreach { r =>
       if (r.epoch > st.lastEpoch) {
@@ -69,7 +73,6 @@ object StreamingIncome {
           // here, a later delivery of epoch == lastEpoch + 1 resumes
           // processing (the gapped epochs themselves must be re-delivered
           // by the backfill, as the reference re-reads them from storage).
-          st = st.copy(halted = true)
         } else {
           val (earn, loss) =
             if (coldStart) (0.0, 0.0) // cold start: first observed epoch
@@ -79,8 +82,7 @@ object StreamingIncome {
                 r6(st.losses + math.max(0.0, -delta)))
             }
           val epochs = st.epochs + 1
-          st = IncomeState(r.epoch, r.balance, r.withdrawal, earn, loss, epochs,
-            halted = false)
+          st = IncomeState(r.epoch, r.balance, r.withdrawal, earn, loss, epochs)
           out += IncomeUpdate(userId, r.epoch, earn, loss, apr(earn, epochs), epochs)
         }
       }

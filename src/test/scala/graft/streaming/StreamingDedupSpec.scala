@@ -69,12 +69,54 @@ class StreamingDedupSpec extends SparkSpec {
       .awaitTermination()
     val admitted = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    // Cross-check against the ORACLED batch query: admitted = batch docs
-    // minus those with a corpus near-dup.
-    val dupDocs = DedupOps.nsDedupIncremental(spark, sfDir)
-      .select("batch_doc").collect().map(_.getLong(0)).toSet
-    val expected = batchDocs.select("doc_id").collect().map(_.getLong(0)).toSet -- dupDocs
+    // Independent ground truth from the EXACT-Jaccard pair graph (on the
+    // fixtures MinHash verification recovers exactly these pairs —
+    // DedupSpec pins that): sequential admission where each batch is
+    // checked against corpus + previously ADMITTED docs.
+    val adj = collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    DedupOps.nsDedupJaccard(spark, sfDir).select("doc_a", "doc_b").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj(a) += b; adj(b) += a
+      }
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b1 = batchDocs.where(col("doc_id") % 20 < 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b2 = batchDocs.where(col("doc_id") % 20 >= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admitted1 = b1.filter(x => (adj(x) & corpusIds).isEmpty)
+    val index2 = corpusIds ++ admitted1
+    val admitted2 = b2.filter(x => (adj(x) & index2).isEmpty)
+    val expected = admitted1 ++ admitted2
     assert(admitted == expected,
-      s"admitted ${admitted.size} vs expected ${expected.size}")
+      s"admitted ${admitted.size} vs expected ${expected.size}: " +
+        s"extra=${admitted -- expected} missing=${expected -- admitted}")
+  }
+
+  test("a near-dup of a batch-1 admission is rejected in batch 2") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sameText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((100L, "completely different corpus material words here"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft_refresh_out").toString + "/admitted"
+    val cp = java.nio.file.Files.createTempDirectory("graft_refresh_cp").toString
+    val query = StreamingDedup.nearDupAdmission(
+      input.toDS().toDF("doc_id", "text"), corpus, out, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // Batch 1: doc 1 has no corpus near-dup -> admitted AND indexed.
+      input.addData(Seq((1L, sameText)))
+      query.processAllAvailable()
+      // Batch 2: doc 2 duplicates the batch-1 ADMISSION (not the corpus)
+      // -> rejected by the refreshed index; doc 3 is fresh -> admitted.
+      input.addData(Seq((2L, sameText),
+        (3L, "another unrelated collection of words entirely fresh content")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L), s"got $admitted")
   }
 }
