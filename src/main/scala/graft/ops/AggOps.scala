@@ -67,13 +67,22 @@ object AggOps {
 
   /** OP-31 approx variant: HyperLogLog++ distinct counts — the
     * cardinality-only form of DISTINCT (SURVEY.md §2.4 OP-31 mapping).
-    * Sketch implementations differ between engines, so this is rows-only;
-    * ApproxDistinctSpec bounds the error against the exact count.
+    * Sketch VALUES differ between engines, so the sketch value itself
+    * cannot hash-match an oracle; instead the query emits the exact count
+    * plus `approx_ok` = (|HLL - exact| <= 5% of exact), and the oracle
+    * emits the exact count plus literal TRUE — hash-green IFF Spark's
+    * sketch is within tolerance, making this oracle-ANCHORED rather than
+    * rows-only. ApproxDistinctSpec additionally bounds the raw sketch.
     */
   def op31bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("_approx") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("approx_ok"))
       .orderBy("event_type")
 
   /** OP-32 grouped mean over sorted groups — the reference pre-sorts for
@@ -165,6 +174,10 @@ object AggOps {
     "op31_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "op31b_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "op32_grouped_mean" ->
       """SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal,
         |       round(sum(c_acctbal), 6) AS sum_bal

@@ -104,7 +104,74 @@ object ScalarOps {
       .orderBy("c_custkey")
   }
 
+  /** OP-53b the REST of the domain-formula family as pure column
+    * expressions over the same aggregated join as [[op53DomainFormula]]:
+    * exchange rate `((24e9*n)+dETH)/(8e9*n)`
+    * (reference: /root/reference/src/api_handler.py:700), per-validator
+    * payoff rate `((8*v)-losses)/(8*v)` with v = validators/24 (`:626-635`),
+    * sETH token value `((24+earnings)/8)*slot` (`:747-748`), and the MEV
+    * redemption rate `(24+earnings)/(8-losses+topups)` (`:745-746`).
+    * orders count/total stand in for validators/earnings, c_acctbal for
+    * losses, and a deterministic `c_custkey % 4 + 1` for the slot — the
+    * formula SHAPES are the operator; constants are fixture-scaled.
+    */
+  def op53bRateFormulas(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 6).as("total"))
+    val v = col("n") / 24.0
+    val slot = col("c_custkey") % 4 + 1
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_custkey"),
+        round((lit(24.0e4) * col("n") + col("total")) / (lit(8.0e4) * col("n")), 6)
+          .as("exchange_rate"),
+        round((lit(8.0) * v - col("c_acctbal") / 1e5) / (lit(8.0) * v), 6)
+          .as("payoff_rate"),
+        round((lit(24.0) + col("total") / 1e5) / lit(8.0) * slot, 6)
+          .as("seth_value"),
+        round((lit(24.0) + col("total") / 1e5)
+          / (lit(8.0) - col("c_acctbal") / 1e5 + slot), 6)
+          .as("redemption_mev"))
+      .orderBy("c_custkey")
+  }
+
+  /** OP-53c the two GLOBAL formulas of the family: slippage
+    * `1 + dETHEarned / sum(validators)`
+    * (reference: /root/reference/src/api_handler.py:637,641) and NAV
+    * `mean(payoff_rate)` (`:642`). The NAV mean uses exact integer
+    * micro-units ((2K+n) div 2n) — averaging 6-dp doubles directly flips
+    * the last digit between engines (see graft-oracle-parity rules).
+    */
+  def op53cNavSlippage(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 6).as("total"))
+    val v = col("n") / 24.0
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("n"), col("total"),
+        round((lit(8.0) * v - col("c_acctbal") / 1e5) / (lit(8.0) * v), 6)
+          .as("payoff_rate"))
+      .agg(
+        round(lit(1.0) + (sum(col("total")) / 1e5) / (sum(col("n")) / 24.0), 6)
+          .as("slippage"),
+        sum(round(col("payoff_rate") * 1e6).cast("long")).as("_k"),
+        count(lit(1)).as("_n"))
+      .select(
+        col("slippage"),
+        (expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6).as("nav"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op53b_rate_formulas" -> (op53bRateFormulas _),
+    "op53c_nav_slippage" -> (op53cNavSlippage _),
     "op48_string_funcs" -> (op48StringFuncs _),
     "op49_date_funcs" -> (op49DateFuncs _),
     "op50_math_units" -> (op50MathUnits _),
@@ -113,6 +180,35 @@ object ScalarOps {
     "op53_domain_formula" -> (op53DomainFormula _))
 
   val oracles: Map[String, String] = Map(
+    "op53b_rate_formulas" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |       round((24.0e4 * n + total) / (8.0e4 * n), 6) AS exchange_rate,
+        |       round((8.0 * (n / 24.0) - c_acctbal / 1e5) / (8.0 * (n / 24.0)), 6)
+        |         AS payoff_rate,
+        |       round((24.0 + total / 1e5) / 8.0 * (c_custkey % 4 + 1), 6) AS seth_value,
+        |       round((24.0 + total / 1e5) / (8.0 - c_acctbal / 1e5 + (c_custkey % 4 + 1)), 6)
+        |         AS redemption_mev
+        |FROM customer JOIN per_cust ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "op53c_nav_slippage" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |p AS (
+        |  SELECT n, total,
+        |         round((8.0 * (n / 24.0) - c_acctbal / 1e5) / (8.0 * (n / 24.0)), 6)
+        |           AS payoff_rate
+        |  FROM customer JOIN per_cust ON c_custkey = o_custkey),
+        |g AS (
+        |  SELECT round(1.0 + (sum(total) / 1e5) / (sum(n) / 24.0), 6) AS slippage,
+        |         sum(CAST(round(payoff_rate * 1e6) AS BIGINT)) AS k,
+        |         count(*) AS n
+        |  FROM p)
+        |SELECT slippage, CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS nav
+        |FROM g""".stripMargin,
     "op48_string_funcs" ->
       """SELECT p_partkey,
         |       string_split(p_name, ' ')[1] AS first_word,
