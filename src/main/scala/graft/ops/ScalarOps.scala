@@ -115,24 +115,37 @@ object ScalarOps {
     * losses, and a deterministic `c_custkey % 4 + 1` for the slot — the
     * formula SHAPES are the operator; constants are fixture-scaled.
     */
+  /** All inputs are 2-dp decimals, so exchange/payoff/sETH are RATIONALS
+    * with small denominators — their 6-dp roundings routinely land on
+    * half-points where Spark's decimal rounding and DuckDB's binary
+    * rounding disagree. Evaluate them in exact integer cents/micro-units
+    * (round-half-up(a/b) = (2a+b) div 2b); only redemption_mev, whose
+    * denominator is an irregular mixed decimal, stays in rounded floats.
+    */
   def op53bRateFormulas(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 6).as("total"))
-    val v = col("n") / 24.0
     val slot = col("c_custkey") % 4 + 1
     Tables.customer(spark, dir)
       .join(perCust, col("c_custkey") === col("o_custkey"))
+      // exact integer forms: order total and acctbal in cents
+      .withColumn("_tc", round(col("total") * 100).cast("long"))
+      .withColumn("_ac", round(col("c_acctbal") * 100).cast("long"))
+      .withColumn("_slot", slot.cast("long"))
       .select(
         col("c_custkey"),
-        round((lit(24.0e4) * col("n") + col("total")) / (lit(8.0e4) * col("n")), 6)
-          .as("exchange_rate"),
-        round((lit(8.0) * v - col("c_acctbal") / 1e5) / (lit(8.0) * v), 6)
-          .as("payoff_rate"),
-        round((lit(24.0) + col("total") / 1e5) / lit(8.0) * slot, 6)
-          .as("seth_value"),
+        // (24e4*n + total) / (8e4*n)  ==  (24e6*n + tc) / (8e6*n)
+        (expr("((24000000 * n + _tc) * 2000000 + 8000000 * n) div (16000000 * n)")
+          .cast("double") / 1e6).as("exchange_rate"),
+        // (8v - acctbal/1e5) / 8v, v = n/24  ==  (1e7*n - 3*ac) / (1e7*n)
+        (expr("((10000000 * n - 3 * _ac) * 2000000 + 10000000 * n) div (20000000 * n)")
+          .cast("double") / 1e6).as("payoff_rate"),
+        // (24 + total/1e5) / 8 * slot  ==  (24e7 + tc) * slot / 8e7
+        (expr("((240000000 + _tc) * _slot * 2000000 + 80000000) div 160000000")
+          .cast("double") / 1e6).as("seth_value"),
         round((lit(24.0) + col("total") / 1e5)
           / (lit(8.0) - col("c_acctbal") / 1e5 + slot), 6)
           .as("redemption_mev"))
@@ -152,21 +165,22 @@ object ScalarOps {
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 6).as("total"))
-    val v = col("n") / 24.0
     Tables.customer(spark, dir)
       .join(perCust, col("c_custkey") === col("o_custkey"))
-      .select(
-        col("n"), col("total"),
-        round((lit(8.0) * v - col("c_acctbal") / 1e5) / (lit(8.0) * v), 6)
-          .as("payoff_rate"))
+      .withColumn("_tc", round(col("total") * 100).cast("long"))
+      .withColumn("_ac", round(col("c_acctbal") * 100).cast("long"))
+      // per-row payoff in exact micro-units (see op53bRateFormulas)
+      .withColumn("_pm", expr(
+        "((10000000 * n - 3 * _ac) * 2000000 + 10000000 * n) div (20000000 * n)"))
       .agg(
-        round(lit(1.0) + (sum(col("total")) / 1e5) / (sum(col("n")) / 24.0), 6)
-          .as("slippage"),
-        sum(round(col("payoff_rate") * 1e6).cast("long")).as("_k"),
-        count(lit(1)).as("_n"))
+        sum(col("_tc")).as("_ct"), sum(col("n")).as("_sn"),
+        sum(col("_pm")).as("_k"), count(lit(1)).as("_cnt"))
       .select(
-        col("slippage"),
-        (expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6).as("nav"))
+        // 1 + dETHEarned/sum(v) == 1 + 24*CT/(1e7*SN), rounded half-up in
+        // micro-units: 1e6 + (24*CT + 5*SN) div (10*SN)
+        ((lit(1000000L) + expr("(24 * _ct + 5 * _sn) div (10 * _sn)"))
+          .cast("double") / 1e6).as("slippage"),
+        (expr("(_k * 2 + _cnt) div (_cnt * 2)").cast("double") / 1e6).as("nav"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,31 +197,39 @@ object ScalarOps {
     "op53b_rate_formulas" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
-        |  FROM orders GROUP BY o_custkey)
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT c_custkey, c_acctbal, n, total,
+        |         CAST(round(total * 100) AS BIGINT) AS tc,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS ac,
+        |         CAST(c_custkey % 4 + 1 AS BIGINT) AS slot
+        |  FROM customer JOIN per_cust ON c_custkey = o_custkey)
         |SELECT c_custkey,
-        |       round((24.0e4 * n + total) / (8.0e4 * n), 6) AS exchange_rate,
-        |       round((8.0 * (n / 24.0) - c_acctbal / 1e5) / (8.0 * (n / 24.0)), 6)
-        |         AS payoff_rate,
-        |       round((24.0 + total / 1e5) / 8.0 * (c_custkey % 4 + 1), 6) AS seth_value,
+        |       CAST(((24000000 * n + tc) * 2000000 + 8000000 * n)
+        |            // (16000000 * n) AS DOUBLE) / 1e6 AS exchange_rate,
+        |       CAST(((10000000 * n - 3 * ac) * 2000000 + 10000000 * n)
+        |            // (20000000 * n) AS DOUBLE) / 1e6 AS payoff_rate,
+        |       CAST(((240000000 + tc) * slot * 2000000 + 80000000)
+        |            // 160000000 AS DOUBLE) / 1e6 AS seth_value,
         |       round((24.0 + total / 1e5) / (8.0 - c_acctbal / 1e5 + (c_custkey % 4 + 1)), 6)
         |         AS redemption_mev
-        |FROM customer JOIN per_cust ON c_custkey = o_custkey
+        |FROM c
         |ORDER BY c_custkey""".stripMargin,
     "op53c_nav_slippage" ->
       """WITH per_cust AS (
         |  SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 6) AS total
         |  FROM orders GROUP BY o_custkey),
         |p AS (
-        |  SELECT n, total,
-        |         round((8.0 * (n / 24.0) - c_acctbal / 1e5) / (8.0 * (n / 24.0)), 6)
-        |           AS payoff_rate
+        |  SELECT n,
+        |         CAST(round(total * 100) AS BIGINT) AS tc,
+        |         ((10000000 * n - 3 * CAST(round(c_acctbal * 100) AS BIGINT)) * 2000000
+        |          + 10000000 * n) // (20000000 * n) AS pm
         |  FROM customer JOIN per_cust ON c_custkey = o_custkey),
         |g AS (
-        |  SELECT round(1.0 + (sum(total) / 1e5) / (sum(n) / 24.0), 6) AS slippage,
-        |         sum(CAST(round(payoff_rate * 1e6) AS BIGINT)) AS k,
-        |         count(*) AS n
+        |  SELECT sum(tc) AS ct, sum(n) AS sn, sum(pm) AS k, count(*) AS cnt
         |  FROM p)
-        |SELECT slippage, CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS nav
+        |SELECT CAST(1000000 + (24 * ct + 5 * sn) // (10 * sn) AS DOUBLE) / 1e6 AS slippage,
+        |       CAST((k * 2 + cnt) // (cnt * 2) AS DOUBLE) / 1e6 AS nav
         |FROM g""".stripMargin,
     "op48_string_funcs" ->
       """SELECT p_partkey,

@@ -227,6 +227,97 @@ object Pipelines {
       .orderBy("idx", "epoch")
   }
 
+  /** The /indexAPRAverage endpoint (reference:
+    * /root/reference/src/api_handler.py:314-352): each index's APR next to
+    * the mean APR across ALL indexes (`mean([index['aprPerValidator']...])`,
+    * :338 — OP-33's mean-of-means at the serving edge) and the index's
+    * total earnings. One row per index; the global mean repeats per row
+    * exactly as the endpoint returns it alongside indexAPR. avg_apr is an
+    * exact integer-micro multiple, so the second-level mean reuses the
+    * micro-unit trick losslessly.
+    */
+  def indexAprAverage(spark: SparkSession, dir: String): DataFrame = {
+    val board = leaderboard(spark, dir)
+      .select("c_mktsegment", "avg_apr", "sum_earnings")
+    val global = board.agg(
+      sum(round(col("avg_apr") * 1e6).cast("long")).as("_k"),
+      count(lit(1)).as("_n"))
+      .select((expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6)
+        .as("all_index_apr_average"))
+    board.crossJoin(broadcast(global))
+      .select(col("c_mktsegment").as("idx"), col("avg_apr").as("index_apr"),
+        col("all_index_apr_average"),
+        col("sum_earnings").as("total_deth_earned"))
+      .orderBy("idx")
+  }
+
+  /** The /lsdWiseAPR endpoint (reference:
+    * /root/reference/src/api_handler.py:876-912): the full ticker dimension
+    * left-joined to per-index APR/earnings, with INACTIVE indexes emitted
+    * as zeros ("For LSDs which are not active, send earnings and APR
+    * zero"). nation stands in for the LSD ticker mapping; customer
+    * c_nationkey links income to its index.
+    */
+  def lsdWiseApr(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val latest = income
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("user_id"), col("earnings"), col("apr"))
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val perIdx = latest
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("lsd_index"))
+      .agg(
+        sum(round(col("apr") * 1e6).cast("long")).as("_k"),
+        count(lit(1)).as("_n"),
+        round(sum(col("earnings")), 6).as("_earnings"))
+      .select(col("lsd_index"),
+        (expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6).as("_apr"),
+        col("_earnings"))
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("lsd_index"), col("n_name").as("ticker"))
+      .join(perIdx, Seq("lsd_index"), "left_outer")
+      .select(col("lsd_index"), col("ticker"),
+        coalesce(col("_earnings"), lit(0.0)).as("earnings"),
+        coalesce(col("_apr"), lit(0.0)).as("apr"))
+      .orderBy("lsd_index")
+  }
+
+  /** The /userIncomeMEV endpoint (reference:
+    * /root/reference/src/api_handler.py:715-760): per-validator MEV
+    * redemption rate `(24 + earnings) / (8 - losses + top_ups)` and sETH
+    * token value `((24 + earnings) / 8) * validator_slot` (:744-748) over
+    * the user's latest income joined to the broadcast entity dimension.
+    * c_acctbal-derived top-ups and a deterministic slot stand in for the
+    * subgraph lookups; constants are fixture-scaled.
+    */
+  def userIncomeMev(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val latest = income
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("user_id"), col("earnings"), col("losses"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") / 1e4, 6).as("top_up"),
+        (col("c_custkey") % 4 + 1).as("slot"))
+    latest.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      // earnings is micro-exact (6-dp rounded); sETH's /8 gives a FINITE
+      // decimal expansion whose 6-dp rounding lands on half-points where
+      // the engines' roundings disagree — evaluate it in exact integer
+      // micro-units: (24 + e/1e3)/8*slot == (24e9 + e*1e6)*slot/8000 µ.
+      .withColumn("_em", round(col("earnings") * 1e6).cast("long"))
+      .select(col("user_id"),
+        round((lit(24.0) + col("earnings") / 1e3)
+          / (lit(8.0) - col("losses") / 1e3 + col("top_up")), 6)
+          .as("redemption_rate"),
+        (expr("((24000000000 + _em) * slot * 2 + 8000) div 16000")
+          .cast("double") / 1e6).as("seth_value"),
+        col("slot").cast("long").as("validator_slot"))
+      .orderBy("user_id")
+  }
+
   /** The end-to-end TRAINING-DATA pipeline: dedup survivorship × quality
     * scoring × language ID, rolled up to per-(language, tier) corpus
     * stats — the composition a pretraining-data curation job ships
@@ -253,6 +344,9 @@ object Pipelines {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_index_apr_average" -> (indexAprAverage _),
+    "pipe_lsd_wise_apr" -> (lsdWiseApr _),
+    "pipe_user_income_mev" -> (userIncomeMev _),
     "pipe_training_corpus" -> (trainingCorpus _),
     "pipe_top_indexes" -> (topIndexes _),
     "pipe_index_epoch_apr" -> (indexEpochApr _),
@@ -315,6 +409,68 @@ object Pipelines {
        |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_index_apr_average" ->
+      s"""$incomeCte, latest AS (
+         |  SELECT user_id, earnings, apr,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |g AS (
+         |  SELECT c_mktsegment,
+         |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
+         |         round(sum(earnings), 6) AS sum_earnings,
+         |         count(*) AS n
+         |  FROM latest JOIN customer ON user_id = c_custkey
+         |  WHERE rn = 1 GROUP BY c_mktsegment),
+         |board AS (
+         |  SELECT c_mktsegment,
+         |         CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS avg_apr,
+         |         sum_earnings
+         |  FROM g),
+         |gm AS (
+         |  SELECT CAST((sum(CAST(round(avg_apr * 1e6) AS BIGINT)) * 2 + count(*))
+         |              // (count(*) * 2) AS DOUBLE) / 1e6 AS all_index_apr_average
+         |  FROM board)
+         |SELECT c_mktsegment AS idx, avg_apr AS index_apr,
+         |       all_index_apr_average, sum_earnings AS total_deth_earned
+         |FROM board CROSS JOIN gm
+         |ORDER BY idx""".stripMargin,
+    "pipe_lsd_wise_apr" ->
+      s"""$incomeCte, latest AS (
+         |  SELECT user_id, earnings, apr,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |g AS (
+         |  SELECT c_nationkey AS lsd_index,
+         |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
+         |         count(*) AS n,
+         |         round(sum(earnings), 6) AS e
+         |  FROM latest JOIN customer ON user_id = c_custkey
+         |  WHERE rn = 1 GROUP BY c_nationkey),
+         |per_idx AS (
+         |  SELECT lsd_index,
+         |         CAST((k * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS a, e
+         |  FROM g)
+         |SELECT n_nationkey AS lsd_index, n_name AS ticker,
+         |       coalesce(e, 0.0) AS earnings, coalesce(a, 0.0) AS apr
+         |FROM nation LEFT JOIN per_idx ON n_nationkey = lsd_index
+         |ORDER BY lsd_index""".stripMargin,
+    "pipe_user_income_mev" ->
+      s"""$incomeCte, latest AS (
+         |  SELECT user_id, earnings, losses,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |cust AS (
+         |  SELECT c_custkey, round(c_acctbal / 1e4, 6) AS top_up,
+         |         c_custkey % 4 + 1 AS slot
+         |  FROM customer)
+         |SELECT user_id,
+         |       round((24.0 + earnings / 1e3) / (8.0 - losses / 1e3 + top_up), 6)
+         |         AS redemption_rate,
+         |       CAST(((24000000000 + CAST(round(earnings * 1e6) AS BIGINT)) * slot * 2
+         |             + 8000) // 16000 AS DOUBLE) / 1e6 AS seth_value,
+         |       CAST(slot AS BIGINT) AS validator_slot
+         |FROM latest JOIN cust ON user_id = c_custkey
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
     "pipe_extract_catchup" ->
       s"""WITH f AS (SELECT max($epochExpr) AS finalized_epoch FROM events),
