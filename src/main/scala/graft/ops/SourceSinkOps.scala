@@ -65,6 +65,29 @@ object SourceSinkOps {
       .limit(1000)
       .select("c_custkey", "c_name", "c_acctbal")
 
+  /** OP-04b PAGED dimension refresh — the `first: 1000` + id-cursor LOOP
+    * the reference runs against every subgraph entity (reference:
+    * /root/reference/src/utils/subgraph.py:17,35,91 — each page's last id
+    * is the next page's cursor). Output is the page table (page id, row
+    * count, first/last id = the cursor chain), proving the loop tiles the
+    * dimension exactly. The global row_number is a deliberate
+    * single-partition step over a DIMENSION (entity tables the reference
+    * itself pages at 1000/request) — never applied to fact tables, same
+    * defensible class as the serving-edge collect in pipe_top_indexes.
+    */
+  def op04bPagedDimension(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("c_custkey")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("page", floor((col("_rn") - 1) / 1000).cast("long"))
+      .groupBy("page")
+      .agg(count(lit(1)).as("page_rows"),
+        min(col("c_custkey")).as("first_id"),
+        max(col("c_custkey")).as("last_id"))
+      .orderBy("page")
+  }
+
   /** OP-05 full-table scan (the JDBC `SELECT *` analog,
     * reference: /root/reference/src/api_handler.py:19-23).
     */
@@ -163,6 +186,7 @@ object SourceSinkOps {
     "op02_json_flatten" -> (op02JsonFlatten _),
     "op03_point_lookup" -> (op03PointLookup _),
     "op04_dimension_scan" -> (op04DimensionScan _),
+    "op04b_paged_dimension" -> (op04bPagedDimension _),
     "op05_full_scan" -> (op05FullScan _),
     "op06_upsert_merge" -> (op06UpsertMerge _),
     "op07_insert_if_absent" -> (op07InsertIfAbsent _),
@@ -189,6 +213,14 @@ object SourceSinkOps {
     "op04_dimension_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 0.0 ORDER BY c_custkey ASC LIMIT 1000""".stripMargin,
+    "op04b_paged_dimension" ->
+      """WITH r AS (
+        |  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+        |  FROM customer)
+        |SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS page,
+        |       count(*) AS page_rows,
+        |       min(c_custkey) AS first_id, max(c_custkey) AS last_id
+        |FROM r GROUP BY 1 ORDER BY page""".stripMargin,
     "op05_full_scan" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey

@@ -318,6 +318,77 @@ object Pipelines {
       .orderBy("user_id")
   }
 
+  /** The /validatorEpochWiseApr endpoint (reference:
+    * /root/reference/src/api_handler.py:58-69,354-378): a validator's last
+    * N epochs of (epoch, apr) — `ORDER BY epoch DESC LIMIT N` — plus
+    * totaldETHEarnings taken from the LATEST row, restated for every key
+    * at once; keys with fewer than N epochs are excluded (the endpoint's
+    * "Required Epochs Doesn't Exist" 400). One window shuffle serves the
+    * rank, the history count, and the latest-earnings pick.
+    */
+  def epochWiseApr(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val wDesc = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val wAll = Window.partitionBy("user_id")
+    income
+      .withColumn("_rn", row_number().over(wDesc))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("total_deth_earnings",
+        max(when(col("_rn") === 1, col("earnings"))).over(wAll))
+      .where(col("_rn") <= 5 && col("_n") >= 5)
+      .select("user_id", "epoch", "apr", "total_deth_earnings")
+      .orderBy("user_id", "epoch")
+  }
+
+  /** The /validatorAprEpochs endpoint (reference:
+    * /root/reference/src/api_handler.py:71-85,920-938): per-key (epoch,
+    * earnings) BETWEEN an epoch lower bound and the finalized epoch, the
+    * upper bound defaulting to the finalized checkpoint exactly as the
+    * endpoint falls back to `/finality_checkpoints`. The finalized epoch
+    * is a 1-row broadcast; the range predicate prunes on the fact side.
+    */
+  def aprBetweenEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val fin = income.agg(max(col("epoch")).as("fin"))
+    income.crossJoin(broadcast(fin))
+      .where(col("epoch") >= col("fin") - 7 && col("epoch") <= col("fin"))
+      .select("user_id", "epoch", "earnings")
+      .orderBy("user_id", "epoch")
+  }
+
+  /** The /userIncomeNodeRunner endpoint (reference:
+    * /root/reference/src/api_handler.py:762-805): like the MEV variant but
+    * the validator slot is DERIVED — `4 - losses + top_ups` (:792) — and
+    * sETH uses the fixed 4-slot form (:794). slot and sETH have finite
+    * decimal expansions, so both are exact integer micro-unit divisions
+    * (slot's numerator can go negative, so it carries a +1e12 shift to
+    * keep truncating `div` and flooring `//` in agreement).
+    */
+  def userIncomeNodeRunner(spark: SparkSession, dir: String): DataFrame = {
+    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    val latest = income
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("user_id"), col("earnings"), col("losses"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), round(col("c_acctbal") / 1e4, 6).as("top_up"))
+    latest.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .withColumn("_em", round(col("earnings") * 1e6).cast("long"))
+      .withColumn("_lm", round(col("losses") * 1e6).cast("long"))
+      .withColumn("_tm", round(col("top_up") * 1e6).cast("long"))
+      .select(col("user_id"),
+        // 4 - losses/1e3 + top_up == (4e9 - lm + 1000*tm) / 1e9
+        (expr("((4000000000 - _lm + 1000 * _tm + 1000000000000) * 2 + 1000) div 2000" +
+          " - 1000000000").cast("double") / 1e6).as("validator_slot"),
+        round((lit(24.0) + col("earnings") / 1e3)
+          / (lit(8.0) - col("losses") / 1e3 + col("top_up")), 6)
+          .as("redemption_rate"),
+        // (24 + earnings/1e3) / 8 * 4 == (24e9 + em) / 2000 µ
+        (expr("((24000000000 + _em) * 2 + 2000) div 4000")
+          .cast("double") / 1e6).as("seth_value"))
+      .orderBy("user_id")
+  }
+
   /** The end-to-end TRAINING-DATA pipeline: dedup survivorship × quality
     * scoring × language ID, rolled up to per-(language, tier) corpus
     * stats — the composition a pretraining-data curation job ships
@@ -347,6 +418,9 @@ object Pipelines {
     "pipe_index_apr_average" -> (indexAprAverage _),
     "pipe_lsd_wise_apr" -> (lsdWiseApr _),
     "pipe_user_income_mev" -> (userIncomeMev _),
+    "pipe_epoch_wise_apr" -> (epochWiseApr _),
+    "pipe_apr_between_epochs" -> (aprBetweenEpochs _),
+    "pipe_user_income_node_runner" -> (userIncomeNodeRunner _),
     "pipe_training_corpus" -> (trainingCorpus _),
     "pipe_top_indexes" -> (topIndexes _),
     "pipe_index_epoch_apr" -> (indexEpochApr _),
@@ -409,6 +483,43 @@ object Pipelines {
        |ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_epoch_wise_apr" ->
+      s"""$incomeCte, r AS (
+         |  SELECT user_id, epoch, apr, earnings,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM apr),
+         |t AS (SELECT user_id, earnings AS total FROM r WHERE rn = 1)
+         |SELECT r.user_id, epoch, apr, t.total AS total_deth_earnings
+         |FROM r JOIN t ON r.user_id = t.user_id
+         |WHERE rn <= 5 AND n >= 5
+         |ORDER BY r.user_id, epoch""".stripMargin,
+    "pipe_apr_between_epochs" ->
+      s"""$incomeCte, f AS (SELECT max(epoch) AS fin FROM apr)
+         |SELECT user_id, epoch, earnings
+         |FROM apr CROSS JOIN f
+         |WHERE epoch >= fin - 7 AND epoch <= fin
+         |ORDER BY user_id, epoch""".stripMargin,
+    "pipe_user_income_node_runner" ->
+      s"""$incomeCte, latest AS (
+         |  SELECT user_id, earnings, losses,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch DESC) AS rn
+         |  FROM apr),
+         |j AS (
+         |  SELECT user_id, earnings, losses,
+         |         round(c_acctbal / 1e4, 6) AS top_up,
+         |         CAST(round(earnings * 1e6) AS BIGINT) AS em,
+         |         CAST(round(losses * 1e6) AS BIGINT) AS lm,
+         |         CAST(round(round(c_acctbal / 1e4, 6) * 1e6) AS BIGINT) AS tm
+         |  FROM latest JOIN customer ON user_id = c_custkey
+         |  WHERE rn = 1)
+         |SELECT user_id,
+         |       CAST(((4000000000 - lm + 1000 * tm + 1000000000000) * 2 + 1000) // 2000
+         |            - 1000000000 AS DOUBLE) / 1e6 AS validator_slot,
+         |       round((24.0 + earnings / 1e3) / (8.0 - losses / 1e3 + top_up), 6)
+         |         AS redemption_rate,
+         |       CAST(((24000000000 + em) * 2 + 2000) // 4000 AS DOUBLE) / 1e6 AS seth_value
+         |FROM j ORDER BY user_id""".stripMargin,
     "pipe_index_apr_average" ->
       s"""$incomeCte, latest AS (
          |  SELECT user_id, earnings, apr,
