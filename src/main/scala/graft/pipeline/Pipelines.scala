@@ -389,6 +389,48 @@ object Pipelines {
       .orderBy("user_id")
   }
 
+  /** The /averageIndexAPR endpoint (reference:
+    * /root/reference/src/api_handler.py:113-130,380-398): the requested
+    * index's last-N APR history NEXT TO the open index's (index 0) — two
+    * `ORDER BY epoch DESC LIMIT N` reads off the materialized
+    * Validator_Indexes_APR table, which is exactly [[indexEpochApr]]'s
+    * output here. Restated for every index at once; the open-index column
+    * left-joins by epoch (0 when the open index lacks that epoch, matching
+    * the endpoint's .get(..., 0) default). AUTOMOBILE stands in for the
+    * open index.
+    */
+  def averageIndexApr(spark: SparkSession, dir: String): DataFrame = {
+    val base = indexEpochApr(spark, dir).select("idx", "epoch", "apr")
+    val w = Window.partitionBy("idx").orderBy(col("epoch").desc)
+    val lastN = base.withColumn("_rn", row_number().over(w)).where(col("_rn") <= 5)
+    val open = base.where(col("idx") === "AUTOMOBILE")
+      .select(col("epoch"), col("apr").as("open_apr"))
+    lastN.join(open, Seq("epoch"), "left_outer")
+      .select(col("idx"), col("epoch"), col("apr"),
+        coalesce(col("open_apr"), lit(0.0)).as("open_apr"))
+      .orderBy("idx", "epoch")
+  }
+
+  /** The /validatorSlotWithdrawals endpoint (reference:
+    * /root/reference/src/api_handler.py:807-826): a validator's
+    * withdrawals AFTER a cursor index, capped at a page limit — the
+    * keyset-paged read every withdrawal API shares. Restated for every key
+    * at once: withdrawal index = row_number per key in arrival order, page
+    * = (lower, lower+limit]. One window shuffle; the predicate prunes to
+    * the page.
+    */
+  def validatorSlotWithdrawals(spark: SparkSession, dir: String): DataFrame = {
+    val lower = 2; val limit = 3
+    val wd = Tables.events(spark, dir).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), dayEpoch.as("epoch"),
+        round(col("value"), 6).as("amount"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    wd.withColumn("widx", row_number().over(w).cast("long"))
+      .where(col("widx") > lower && col("widx") <= lower + limit)
+      .select("user_id", "widx", "event_id", "epoch", "amount")
+      .orderBy("user_id", "widx")
+  }
+
   /** The end-to-end TRAINING-DATA pipeline: dedup survivorship × quality
     * scoring × language ID, rolled up to per-(language, tier) corpus
     * stats — the composition a pretraining-data curation job ships
@@ -421,6 +463,8 @@ object Pipelines {
     "pipe_epoch_wise_apr" -> (epochWiseApr _),
     "pipe_apr_between_epochs" -> (aprBetweenEpochs _),
     "pipe_user_income_node_runner" -> (userIncomeNodeRunner _),
+    "pipe_average_index_apr" -> (averageIndexApr _),
+    "pipe_validator_slot_withdrawals" -> (validatorSlotWithdrawals _),
     "pipe_training_corpus" -> (trainingCorpus _),
     "pipe_top_indexes" -> (topIndexes _),
     "pipe_index_epoch_apr" -> (indexEpochApr _),
@@ -705,7 +749,29 @@ object Pipelines {
          |      UNION ALL SELECT * FROM t2 WHERE rank <= 7
          |      UNION ALL SELECT * FROM t3 WHERE rank <= 7)
          |ORDER BY metric, rank""".stripMargin,
-    "pipe_index_epoch_apr" ->
+    "pipe_average_index_apr" ->
+      s"""WITH base AS ($indexEpochAprOracle),
+         |r AS (
+         |  SELECT idx, epoch, apr,
+         |         row_number() OVER (PARTITION BY idx ORDER BY epoch DESC) AS rn
+         |  FROM base),
+         |o AS (SELECT epoch, apr AS open_apr FROM base WHERE idx = 'AUTOMOBILE')
+         |SELECT r.idx, r.epoch, r.apr, coalesce(open_apr, 0.0) AS open_apr
+         |FROM r LEFT JOIN o ON r.epoch = o.epoch
+         |WHERE rn <= 5
+         |ORDER BY r.idx, r.epoch""".stripMargin,
+    "pipe_validator_slot_withdrawals" ->
+      s"""WITH wd AS (
+         |  SELECT user_id, event_id, $epochExpr AS epoch, round(value, 6) AS amount,
+         |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         |              AS BIGINT) AS widx
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT user_id, widx, event_id, epoch, amount
+         |FROM wd WHERE widx > 2 AND widx <= 5
+         |ORDER BY user_id, widx""".stripMargin,
+    "pipe_index_epoch_apr" -> indexEpochAprOracle)
+
+  private lazy val indexEpochAprOracle: String =
       s"""$incomeCte, g AS (
          |  SELECT c_mktsegment AS idx, epoch,
          |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
@@ -729,5 +795,5 @@ object Pipelines {
          |           AND apr <> 0.0
          |           AND abs(apr - prev) > apr * 0.1
          |           AND abs(apr - next) > apr * 0.1)
-         |ORDER BY idx, epoch""".stripMargin)
+         |ORDER BY idx, epoch""".stripMargin
 }

@@ -38,6 +38,14 @@ class ExtensionsDriveSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c").collect()
       assert(math.abs(out.head.getDouble(0) - 1.0) < 1e-12)
+      // dot_product: double form and the exact integral (LONG) form.
+      val dp = s.sql(
+        "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), " +
+          "array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d, " +
+          "dot_product(array(CAST(3 AS BIGINT), CAST(-4 AS BIGINT)), " +
+          "array(CAST(2 AS BIGINT), CAST(5 AS BIGINT))) AS l").collect().head
+      assert(math.abs(dp.getDouble(0) - 2.0) < 1e-12)
+      assert(dp.getLong(1) == -14L)
       // minhash_sig goes through injectFunction as a TypedImperativeAggregate
       // — the analyzer must wrap the builder's AggregateFunction itself.
       // Values are pinned against the declarative hash family: for a single
