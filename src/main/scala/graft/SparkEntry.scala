@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.ops._
-import graft.pipeline.Pipelines
+import graft.pipeline.{Pipelines, ServingEndpoints}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,8 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
-      (Pipelines.queries, Pipelines.oracles))
+      (Pipelines.queries, Pipelines.oracles),
+      (ServingEndpoints.queries, ServingEndpoints.oracles))
 
   /** Flagship query (OP-38 cumulative income); driver smoke-checks rows>0
     * on sf0.001.

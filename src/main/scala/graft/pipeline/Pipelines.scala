@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
-  private val dayEpoch = floor(unix_timestamp(col("ts")) / 86400L)
+  private[pipeline] val dayEpoch = floor(unix_timestamp(col("ts")) / 86400L)
 
   /** §3.1 extract-catchup: for every key, enumerate the epochs between its
     * last synced epoch and the finalized epoch, capped at 10 per run
@@ -476,10 +476,10 @@ object Pipelines {
     "pipe_watermark_align" -> (watermarkAlign _),
     "ops_salted_sum" -> (saltedSum _))
 
-  private val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
+  private[pipeline] val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
 
   /** Shared income CTE chain mirroring IncomeKernel for DuckDB. */
-  private val incomeCte =
+  private[pipeline] val incomeCte =
     s"""WITH bal AS (
        |  SELECT user_id, $epochExpr AS epoch,
        |         round(sum(value), 6) AS balance,
@@ -771,7 +771,7 @@ object Pipelines {
          |ORDER BY user_id, widx""".stripMargin,
     "pipe_index_epoch_apr" -> indexEpochAprOracle)
 
-  private lazy val indexEpochAprOracle: String =
+  private[pipeline] lazy val indexEpochAprOracle: String =
       s"""$incomeCte, g AS (
          |  SELECT c_mktsegment AS idx, epoch,
          |         sum(CAST(round(apr * 1e6) AS BIGINT)) AS k,
