@@ -20,6 +20,10 @@ object TimeQ {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        // SPARK_GRAFT_COLD=1 measures each run cache-cold like Bench does
+        // (run2+ still benefit from JIT warmth — the steady-state signal).
+        if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+          spark.sharedState.cacheManager.clearCache()
       }
     }
     spark.stop()

@@ -42,6 +42,10 @@ object DedupOps {
     */
   private[operators] def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).cache()
+    // Eager materialization: the plan below scans `sh` three times (card +
+    // both sides of the co-occurrence join); parallel branches of one job
+    // would each recompute an unpopulated cache.
+    sh.count()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -118,6 +122,41 @@ object DedupOps {
     sh.groupBy("doc_id")
       .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
 
+  /** Per-doc shingle sets in ONE pass: explode → collect_set, which dedups
+    * inside the aggregation — no separate distinct() exchange and no second
+    * groupBy for the signature. This is the ONLY wide operation of the
+    * whole MinHash family; signatures derive from the set column without
+    * another shuffle ([[signaturesFromSets]]). Output matches
+    * shingles→[[shingleSets]] exactly (same columns, c = |distinct
+    * shingles|).
+    */
+  private[operators] def shingleSetsOnePass(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("shs"))
+      .withColumn("c", size(col("shs")).cast("long"))
+
+  /** MinHash signatures as a narrow projection over the set column: min
+    * over the k affine hashes via array_min∘transform — zero exchanges
+    * (the groupBy-min form costs a second shuffle of the exploded frame).
+    * min over a set equals min over occurrences, so this is byte-identical
+    * to [[minhashSignatures]].
+    */
+  private[operators] def signaturesFromSets(sets: DataFrame): DataFrame = {
+    val sigCols: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(expr(s"transform(shs, x -> pmod((x & 4294967295) * ${a}L + ${b}L, ${Prime}L))"))
+        .as(s"h$i")
+    }
+    sets.select(col("doc_id") +: sigCols: _*)
+  }
+
   /** Per-candidate-pair Jaccard verify by shingle-set intersection —
     * O(candidates), the scalable alternative to the all-pairs
     * co-occurrence join. `left`/`right` name the pair columns; the two
@@ -153,22 +192,22 @@ object DedupOps {
       .select(col("doc_id") +: (0 until NumHashes).map(i => col("sig")(i).as(s"h$i")): _*)
   }
 
-  /** MinHash LSH near-dup: band signatures, bucket-join candidates, verify
-    * with exact Jaccard. The band key is the struct of the band's raw min
-    * values (not a hash of them), so the whole pipeline is reproducible in
-    * ANSI SQL — the DuckDB oracle replays fingerprint, affine mins,
-    * band-join, and verify exactly.
+  /** Banded-candidate near-dup pairs: band the MinHash signatures,
+    * bucket-join candidates (only pairs agreeing on a whole band ever
+    * meet — a hash join keyed by band value, never all-pairs), then the
+    * shared [[setIntersectVerify]]. The band key is the struct of the
+    * band's raw min values (not a hash of them), so the whole pipeline is
+    * reproducible in ANSI SQL — the DuckDB oracle replays fingerprint,
+    * affine mins, band-join, and verify exactly. This is THE scalable
+    * edge generator: [[nsDedupMinhash]] surfaces it directly and
+    * [[nsDedupComponents]] feeds survivorship from it. Pass BOTH frames
+    * cached AND materialized ([[materializedSetsAndSig]]): the self-join
+    * scans `sig` twice and the verify scans `sets` twice, and branches of
+    * one job race to compute an unmaterialized cache in parallel — the
+    * whole shingle pass would run 2x.
     */
-  /** Banded-candidate near-dup pairs over a shingle frame: band the MinHash
-    * signatures, bucket-join candidates (only pairs agreeing on a whole
-    * band ever meet — a hash join keyed by band value, never all-pairs),
-    * then the shared [[setIntersectVerify]]. This is THE scalable edge
-    * generator: [[nsDedupMinhash]] surfaces it directly and
-    * [[nsDedupComponents]] feeds survivorship from it. Pass the shingle
-    * frame cached — signatures and verify sets both read it.
-    */
-  private[operators] def minhashNearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(sh)
+  private[operators] def minhashNearDupPairs(
+      sets: DataFrame, sig: DataFrame, threshold: Double): DataFrame = {
     val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -180,18 +219,27 @@ object DedupOps {
     // join is the exact-jaccard query's contract, not this one's).
     // Set-intersection counts equal co-occurrence counts, so the same
     // oracle verifies both.
-    val sets = shingleSets(sh)
     setIntersectVerify(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
+  /** Cached (sets, signatures) pair, eagerly materialized by ONE
+    * sequential job (`sig.count()` computes sets → sig in order and
+    * populates both caches). Without this, the downstream plan's parallel
+    * branches each recompute the shingle pass before any of them manages
+    * to populate the cache. Callers that outlive a query (components)
+    * unpersist both; one-shot query entry points rely on Verify/Bench
+    * clearing the cache manager after materialization.
+    */
+  private def materializedSetsAndSig(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sets = shingleSetsOnePass(docs).cache()
+    val sig = signaturesFromSets(sets).cache()
+    sig.count()
+    (sets, sig)
+  }
+
   def nsDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // One shared shingle set feeds both the signatures and the verify.
-    // Left cached in the returned lazy plan (no point inside the query to
-    // unpersist); Verify/Bench clear the cache manager after materializing
-    // each query, so nothing outlives the query in a long session.
-    val sh = shingles(docs).cache()
-    minhashNearDupPairs(sh, 0.5)
+    val (sets, sig) = materializedSetsAndSig(Tables.documents(spark, dir))
+    minhashNearDupPairs(sets, sig, 0.5)
   }
 
   /** Incremental dedup: an arriving BATCH of documents (ids with
@@ -221,10 +269,9 @@ object DedupOps {
     * cache them too.
     */
   private[graft] def corpusIndex(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = shingles(docs).cache() // see nsDedupMinhash on the cache choice
-    val banded = minhashSignatures(sh)
-      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-    (banded, shingleSets(sh))
+    val (sets, sig) = materializedSetsAndSig(docs)
+    val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
+    (banded, sets)
   }
 
   /** [[corpusIndex]] for LONG-LIVED consumers (streaming admission): both
@@ -235,12 +282,12 @@ object DedupOps {
     * band key / doc id; checkpointed frames are the local-mode analog.
     */
   private[graft] def corpusIndexMaterialized(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = shingles(docs).cache()
-    val banded = minhashSignatures(sh)
+    val sets0 = shingleSetsOnePass(docs).cache()
+    val banded = signaturesFromSets(sets0)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-      .localCheckpoint()
-    val sets = shingleSets(sh).localCheckpoint()
-    sh.unpersist()
+      .localCheckpoint() // materializes the sets0 cache as a side effect
+    val sets = sets0.localCheckpoint()
+    sets0.unpersist()
     (banded, sets)
   }
 
@@ -254,21 +301,23 @@ object DedupOps {
       corpusSets: DataFrame,
       threshold: Double = 0.5,
       cacheShingles: Boolean = true): DataFrame = {
-    // The batch shingle frame feeds both signatures and sets. One-shot
-    // batch callers cache it (Verify/Bench clear the cache manager after
-    // each query); the long-running streaming admission passes
-    // cacheShingles=false — a per-trigger micro-batch is small enough to
-    // recompute, and NOT caching means no per-batch CacheManager entry
-    // accumulating over an unbounded stream.
-    val sh0 = shingles(batchDocs)
-    val sh = if (cacheShingles) sh0.cache() else sh0
-    val banded = minhashSignatures(sh)
+    // The batch set frame feeds both signatures and the verify. One-shot
+    // batch callers cache+materialize it (Verify/Bench clear the cache
+    // manager after each query); the long-running streaming admission
+    // passes cacheShingles=false and gets an eager localCheckpoint —
+    // blocks free on RDD GC, so no per-batch CacheManager entry
+    // accumulates over an unbounded stream.
+    val sets0 = shingleSetsOnePass(batchDocs)
+    val sets =
+      if (cacheShingles) { val s = sets0.cache(); s.count(); s }
+      else sets0.localCheckpoint()
+    val banded = signaturesFromSets(sets)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
     val candidates = banded.as("a")
       .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
-    setIntersectVerify(candidates, shingleSets(sh), corpusSets,
+    setIntersectVerify(candidates, sets, corpusSets,
       "batch_doc", "corpus_doc", threshold)
   }
 
@@ -321,6 +370,11 @@ object DedupOps {
     val bandWidth = SimBits / SimBands
     val mask = (1L << bandWidth) - 1L
     val sig = simhashSignatures(Tables.documents(spark, dir)).cache()
+    // Eager materialization: the plan below scans `sig` four times (band
+    // self-join sides + two broadcast re-attaches); parallel branches of
+    // one job would each recompute the 64-bit-sum aggregation before the
+    // cache populates.
+    sig.count()
     // Project-late: bucket-join and dedup on bare ids, then re-attach the
     // two signatures via broadcast joins for the hamming verify.
     val banded = sig.select(col("doc_id"),
@@ -363,13 +417,14 @@ object DedupOps {
     */
   def nsDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs).cache()
-    val pairs = minhashNearDupPairs(sh, 0.5).select("doc_a", "doc_b")
+    val (sets, sig) = materializedSetsAndSig(docs)
+    val pairs = minhashNearDupPairs(sets, sig, 0.5).select("doc_a", "doc_b")
     // componentsFromEdges materializes the edge list eagerly (count +
-    // contraction/collect), so the shingle cache is consumed by the time
-    // it returns — release it instead of pinning it for the session.
+    // contraction/collect), so the set/signature caches are consumed by
+    // the time it returns — release them instead of pinning for the
+    // session.
     val out = componentsFromEdges(docs.select("doc_id"), pairs)
-    sh.unpersist()
+    sets.unpersist(); sig.unpersist()
     out
   }
 

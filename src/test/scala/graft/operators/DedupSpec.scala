@@ -45,6 +45,16 @@ class DedupSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("set-derived signatures equal the groupBy-min signatures") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val viaSets = DedupOps.signaturesFromSets(DedupOps.shingleSetsOnePass(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaGroupBy = DedupOps.minhashSignatures(DedupOps.shingles(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaSets.length == viaGroupBy.length && viaSets.nonEmpty)
+    viaSets.zip(viaGroupBy).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("survivorship edges have no shingle-equality self-join (exact baseline does)") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
@@ -61,8 +71,9 @@ class DedupSpec extends SparkSpec {
     assert(hasShingleSelfJoin(DedupOps.jaccardPairs(docs, 0.5)))
     // ...and the survivorship edge generator must not: its joins key on
     // band values and bare doc ids only (hot-shingle safe at 100 TB).
+    val sets = DedupOps.shingleSetsOnePass(docs)
     assert(!hasShingleSelfJoin(
-      DedupOps.minhashNearDupPairs(DedupOps.shingles(docs), 0.5)))
+      DedupOps.minhashNearDupPairs(sets, DedupOps.signaturesFromSets(sets), 0.5)))
   }
 
   test("exact dedup keeps one survivor per fingerprint") {
