@@ -239,14 +239,17 @@ object Pipelines {
   def indexAprAverage(spark: SparkSession, dir: String): DataFrame = {
     val board = leaderboard(spark, dir)
       .select("c_mktsegment", "avg_apr", "sum_earnings")
-    val global = board.agg(
-      sum(round(col("avg_apr") * 1e6).cast("long")).as("_k"),
-      count(lit(1)).as("_n"))
-      .select((expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6)
-        .as("all_index_apr_average"))
-    board.crossJoin(broadcast(global))
+    // The global mean rides an unpartitioned window over the (per-index,
+    // i.e. tiny by construction) board instead of a crossJoin against a
+    // separate aggregation branch — the income pipeline underneath is
+    // evaluated ONCE, not once per branch.
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    board
+      .withColumn("_k", sum(round(col("avg_apr") * 1e6).cast("long")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
       .select(col("c_mktsegment").as("idx"), col("avg_apr").as("index_apr"),
-        col("all_index_apr_average"),
+        (expr("(_k * 2 + _n) div (_n * 2)").cast("double") / 1e6)
+          .as("all_index_apr_average"),
         col("sum_earnings").as("total_deth_earned"))
       .orderBy("idx")
   }
@@ -401,13 +404,16 @@ object Pipelines {
     */
   def averageIndexApr(spark: SparkSession, dir: String): DataFrame = {
     val base = indexEpochApr(spark, dir).select("idx", "epoch", "apr")
+    // The open index's APR at each epoch is a per-epoch window aggregate
+    // over the SAME frame — one pass, instead of a where-filtered
+    // self-join that re-evaluates the whole index-APR derivation.
+    val wEpoch = Window.partitionBy("epoch")
     val w = Window.partitionBy("idx").orderBy(col("epoch").desc)
-    val lastN = base.withColumn("_rn", row_number().over(w)).where(col("_rn") <= 5)
-    val open = base.where(col("idx") === "AUTOMOBILE")
-      .select(col("epoch"), col("apr").as("open_apr"))
-    lastN.join(open, Seq("epoch"), "left_outer")
-      .select(col("idx"), col("epoch"), col("apr"),
-        coalesce(col("open_apr"), lit(0.0)).as("open_apr"))
+    base
+      .withColumn("open_apr",
+        coalesce(max(when(col("idx") === "AUTOMOBILE", col("apr"))).over(wEpoch), lit(0.0)))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 5)
+      .select("idx", "epoch", "apr", "open_apr")
       .orderBy("idx", "epoch")
   }
 
