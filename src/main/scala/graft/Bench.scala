@@ -25,6 +25,9 @@ object Bench {
       spark.range(7).selectExpr("id AS k")), "k").count() // broadcast join
     w.selectExpr("conv(substring(sha2(s, 256), 1, 15), 16, 10)",
       "aggregate(sequence(1, 5), CAST(0 AS BIGINT), (a, x) -> a + x)").count() // expr fw
+    w.groupBy("k").agg(org.apache.spark.sql.functions.collect_set("id").as("st"))
+      .selectExpr("array_min(transform(st, x -> pmod(x * 3 + 1, 7)))",
+        "size(array_intersect(st, st))").count() // object-hash agg + array kernels
     ()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
