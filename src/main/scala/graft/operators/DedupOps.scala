@@ -24,7 +24,12 @@ object DedupOps {
     * MinHash base fingerprint derived from it is REPRODUCIBLE in the
     * DuckDB oracle (`('0x' || substring(sha256(s), 1, 15))::BIGINT`).
     */
-  private[operators] def shingles(docs: DataFrame): DataFrame =
+  /** One row per (doc, shingle OCCURRENCE) — the single definition of
+    * tokenization + fingerprint that every dedup path shares; [[shingles]]
+    * distincts it and [[shingleSetsOnePass]] set-aggregates it, so the
+    * exact-Jaccard and MinHash paths cannot desynchronize.
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
       .where(size(col("w")) >= 3)
@@ -33,7 +38,9 @@ object DedupOps {
         .as("shingle"))
       .select(col("doc_id"),
         conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
-      .distinct()
+
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    explodedShingles(docs).distinct()
 
   /** Exact Jaccard over pairs that share >=1 shingle. The shingle join IS
     * the candidate pruning: disjoint docs never meet. This all-pairs
@@ -117,28 +124,15 @@ object DedupOps {
         col(s"h$i").as(s"r${i - b * Rows}")): _*).as("bh"))
   }
 
-  /** Shingle sets + cardinalities per doc — the verify side's index. */
-  private def shingleSets(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("c"))
-
   /** Per-doc shingle sets in ONE pass: explode → collect_set, which dedups
     * inside the aggregation — no separate distinct() exchange and no second
     * groupBy for the signature. This is the ONLY wide operation of the
     * whole MinHash family; signatures derive from the set column without
-    * another shuffle ([[signaturesFromSets]]). Output matches
-    * shingles→[[shingleSets]] exactly (same columns, c = |distinct
-    * shingles|).
+    * another shuffle ([[signaturesFromSets]]), and c = |distinct shingles|
+    * matches what a count over the distinct exploded frame would give.
     */
   private[operators] def shingleSetsOnePass(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("w", split(lower(col("text")), " "))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
+    explodedShingles(docs)
       .groupBy("doc_id")
       .agg(collect_set(col("sh")).as("shs"))
       .withColumn("c", size(col("shs")).cast("long"))

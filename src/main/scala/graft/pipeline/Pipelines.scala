@@ -425,13 +425,26 @@ object Pipelines {
     * = (lower, lower+limit]. One window shuffle; the predicate prunes to
     * the page.
     */
+  /** Withdrawals with their per-key cursor index: widx = row_number per
+    * user in event_id (arrival) order over the purchase rows. This IS the
+    * stored `withdrawal_index` column of the reference's
+    * Validator_Slot_Withdrawals table — both paged withdrawal endpoints
+    * ([[validatorSlotWithdrawals]], ServingEndpoints.withdrawalsSlotRange)
+    * derive from this one frame so their cursors cannot diverge.
+    * `epochName` names the day-grain column ("epoch" or "slot").
+    */
+  private[pipeline] def withdrawalsWithIndex(
+      spark: SparkSession, dir: String, epochName: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), dayEpoch.as(epochName),
+        round(col("value"), 6).as("amount"))
+      .withColumn("widx", row_number().over(w).cast("long"))
+  }
+
   def validatorSlotWithdrawals(spark: SparkSession, dir: String): DataFrame = {
     val lower = 2; val limit = 3
-    val wd = Tables.events(spark, dir).where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), dayEpoch.as("epoch"),
-        round(col("value"), 6).as("amount"))
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    wd.withColumn("widx", row_number().over(w).cast("long"))
+    withdrawalsWithIndex(spark, dir, "epoch")
       .where(col("widx") > lower && col("widx") <= lower + limit)
       .select("user_id", "widx", "event_id", "epoch", "amount")
       .orderBy("user_id", "widx")

@@ -24,20 +24,44 @@ object ServingEndpoints {
   private def income(spark: SparkSession, dir: String): DataFrame =
     IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
 
+  /** Latest observed balance per key (row_number over epoch desc — the
+    * beacon "current balance" analog shared by the LSD-score and PoN
+    * eligibility endpoints).
+    */
+  private def latestBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
+    WindowOps.balancesFromEvents(spark, dir)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("user_id"), col("balance"))
+  }
+
+  /** Each key's MAX(losses) from the income table — the
+    * validator_slashing lookup (reference:
+    * /root/reference/src/api_handler.py:25-30), keyed `s_user` so callers
+    * can left-join it against their own user_id column.
+    */
+  private def maxLosses(spark: SparkSession, dir: String): DataFrame =
+    income(spark, dir)
+      .groupBy(col("user_id").as("s_user")).agg(max(col("losses")).as("_ml"))
+
   /** The /indexdETHEarned endpoint (reference:
     * /root/reference/src/api_handler.py:399-411 + dETHEarning_Index
     * :133-138): SUM(earnings) of an index's members AT the index's latest
     * materialized epoch — the nested max-epoch join restated for every
-    * index in one plan. The per-index max rides the same shuffle as the
-    * final aggregation (window over the group key, no extra exchange).
+    * index in one plan. The per-index max is a partial-aggregating
+    * groupBy broadcast back to the fact side — NOT a window partitioned
+    * by the handful of index values, which would funnel the whole income
+    * frame through as many reducers as there are indexes.
     */
   def indexDethEarned(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val w = Window.partitionBy("c_mktsegment")
-    income(spark, dir)
+    val joined = income(spark, dir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .withColumn("_m", max(col("epoch")).over(w))
-      .where(col("epoch") === col("_m"))
+    val latest = joined.groupBy(col("c_mktsegment").as("m_idx"))
+      .agg(max(col("epoch")).as("_m"))
+    joined
+      .join(broadcast(latest),
+        col("c_mktsegment") === col("m_idx") && col("epoch") === col("_m"))
       .groupBy(col("c_mktsegment").as("idx"))
       .agg(max(col("epoch")).as("at_epoch"),
         round(sum(col("earnings")), 6).as("deth_earned"))
@@ -80,16 +104,10 @@ object ServingEndpoints {
     * magnitude); losses carry the /1e3 unit scaling used throughout.
     */
   def validatorLsdScore(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
-    val latest = WindowOps.balancesFromEvents(spark, dir)
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("user_id"), col("balance"))
-    val slash = income(spark, dir)
-      .groupBy(col("user_id").as("s_user")).agg(max(col("losses")).as("_ml"))
     val topUp = Tables.customer(spark, dir)
       .select(col("c_custkey"), round(col("c_acctbal") / 1e4, 6).as("top_up"))
-    latest
-      .join(slash, col("user_id") === col("s_user"), "left_outer")
+    latestBalance(spark, dir)
+      .join(maxLosses(spark, dir), col("user_id") === col("s_user"), "left_outer")
       .join(broadcast(topUp), col("user_id") === col("c_custkey"))
       .select(col("user_id"),
         when(col("balance") < 96.0, 2)
@@ -212,13 +230,9 @@ object ServingEndpoints {
     * [[Pipelines.validatorSlotWithdrawals]].
     */
   def withdrawalsSlotRange(spark: SparkSession, dir: String): DataFrame = {
-    val wd = Tables.events(spark, dir).where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), dayEpoch.as("slot"),
-        round(col("value"), 6).as("amount"))
-    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wd = Pipelines.withdrawalsWithIndex(spark, dir, "slot")
     val frontier = wd.agg(max(col("slot")).as("_hi"))
-    wd.withColumn("widx", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(frontier))
+    wd.crossJoin(broadcast(frontier))
       .where(col("slot") >= col("_hi") - 5 && col("slot") <= col("_hi") - 2)
       .select("user_id", "widx", "slot", "amount")
       .orderBy("user_id", "widx")
@@ -242,19 +256,13 @@ object ServingEndpoints {
     * losses. Losses are exact zeros when no negative delta ever occurred,
     * so the equality is engine-stable.
     */
-  def ponEligibility(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
-    val latest = WindowOps.balancesFromEvents(spark, dir)
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("user_id"), col("balance"))
-    val slash = income(spark, dir)
-      .groupBy(col("user_id").as("s_user")).agg(max(col("losses")).as("_ml"))
-    latest.join(slash, col("user_id") === col("s_user"), "left_outer")
+  def ponEligibility(spark: SparkSession, dir: String): DataFrame =
+    latestBalance(spark, dir)
+      .join(maxLosses(spark, dir), col("user_id") === col("s_user"), "left_outer")
       .select(col("user_id"),
         when(col("balance") >= 96.0 && coalesce(col("_ml"), lit(0.0)) === 0.0,
           "Validator Eligible").otherwise("Validator Not Eligible").as("eligibility"))
       .orderBy("user_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_index_deth_earned" -> (indexDethEarned _),
