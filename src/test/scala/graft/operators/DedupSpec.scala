@@ -55,6 +55,34 @@ class DedupSpec extends SparkSpec {
     viaSets.zip(viaGroupBy).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("randomized docs: one-pass sets/signatures match the two-pass forms; LSH pairs verify against exact jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic CI
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    def doc(): String = Seq.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, doc()))
+    // Plant near-dups: copies of some docs with one word appended.
+    val dups = base.take(8).map { case (i, t) => (100L + i, t + " " + vocab(rnd.nextInt(vocab.size))) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val viaSets = DedupOps.signaturesFromSets(DedupOps.shingleSetsOnePass(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaGroupBy = DedupOps.minhashSignatures(DedupOps.shingles(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaSets.toSeq == viaGroupBy.toSeq)
+
+    val sets = DedupOps.shingleSetsOnePass(docs)
+    val lsh = DedupOps.minhashNearDupPairs(sets, DedupOps.signaturesFromSets(sets), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = DedupOps.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Verified candidates are a subset of the exact pairs with IDENTICAL
+    // jaccard values, and the planted >=0.9 near-dups are all recovered.
+    assert(lsh.subsetOf(exact), s"${lsh -- exact}")
+    val planted = exact.filter(_._3 >= 0.9)
+    assert(planted.nonEmpty && planted.subsetOf(lsh))
+  }
+
   test("survivorship edges have no shingle-equality self-join (exact baseline does)") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
