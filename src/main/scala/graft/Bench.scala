@@ -17,7 +17,12 @@ object Bench {
     // writers/readers, window exec, broadcast machinery, parquet footer
     // caches). Generic tiny plans only — no query-specific precomputation.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
+    // Footer/metadata warm for EVERY fixture table — the alphabetically
+    // first query should not be charged the first parquet footer reads.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+    }
     val w = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
     w.groupBy("k").count().count() // shuffle + hash agg
     w.selectExpr("k", "sum(id) OVER (PARTITION BY k ORDER BY id) AS r").count() // window
