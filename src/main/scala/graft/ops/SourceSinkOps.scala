@@ -28,6 +28,22 @@ object SourceSinkOps {
       .select(col("user_id"), dayEpoch.as("epoch"), col("value").as("balance"))
       .orderBy("user_id", "epoch", "balance")
 
+  /** OP-01b the SAME scan through the custom DataSourceV2
+    * ([[graft.sources.EpochRangeSource]] — the REST range-extract shape):
+    * the epoch range predicate pushes into the source's partition
+    * PLANNING (pruned epochs are never generated, the analog of not
+    * issuing the REST call), and the payload is deterministic, so DuckDB
+    * replays it from generate_series. Upgrades the DSv2 contract from
+    * spec-only to oracle-checked.
+    */
+  def op01bDsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.EpochRangeSource")
+      .option("lo", 0).option("hi", 499).option("keysPerEpoch", 16)
+      .load()
+      .where(col("epoch") >= 100 && col("epoch") <= 163)
+      .select(col("bls_key"), col("epoch"), round(col("balance"), 6).as("balance"))
+      .orderBy("epoch", "bls_key")
+
   /** OP-02 nested-JSON flatten: parse a JSON payload column into typed
     * fields (reference: /root/reference/src/utils/archive.py:19-33 —
     * execution-payload withdrawals[] JSON).
@@ -183,6 +199,7 @@ object SourceSinkOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op01_source_scan" -> (op01SourceScan _),
+    "op01b_dsv2_scan" -> (op01bDsv2Scan _),
     "op02_json_flatten" -> (op02JsonFlatten _),
     "op03_point_lookup" -> (op03PointLookup _),
     "op04_dimension_scan" -> (op04DimensionScan _),
@@ -201,6 +218,12 @@ object SourceSinkOps {
       s"""SELECT user_id, $epochExpr AS epoch, value AS balance
          |FROM events WHERE event_type = 'purchase'
          |ORDER BY user_id, epoch, balance""".stripMargin,
+    "op01b_dsv2_scan" ->
+      """SELECT printf('0x%04d', key) AS bls_key, epoch,
+        |       round(32.0 + ((epoch * 31 + key * 7) % 1000) / 1000.0, 6) AS balance
+        |FROM generate_series(100, 163) AS e(epoch),
+        |     generate_series(0, 15) AS k(key)
+        |ORDER BY epoch, bls_key""".stripMargin,
     "op02_json_flatten" ->
       """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
