@@ -109,10 +109,10 @@ object TextOps {
     *
     * Portability over speed in the window step: each window re-folds its
     * k chars (O(n·k) per doc) so the SAME fold is replayable in the DuckDB
-    * oracle (`list_reduce`). At 100 TB the window hashes would switch to
-    * prefix-hash differencing in a `mapPartitions` pass (O(n), same
-    * output); the operator contract — fold, window, min — is what this
-    * query pins down.
+    * oracle (`list_reduce`). [[nsTextRollhashFast]] is the 100 TB path —
+    * prefix-hash differencing in a `mapPartitions` pass, O(n) per doc,
+    * held to the SAME oracle; the operator contract — fold, window, min —
+    * is what these queries pin down.
     */
   def nsTextRollhash(spark: SparkSession, dir: String): DataFrame = {
     val fold = s"(acc, x) -> (acc * $RollBase + x) % $RollMod"
@@ -126,6 +126,48 @@ object TextOps {
              |  array_min(transform(sequence(1, size(codes) - ${KGram - 1}),
              |    i -> aggregate(slice(codes, i, $KGram), CAST(0 AS BIGINT), $fold)))
              |ELSE NULL END""".stripMargin).as("min_kgram_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** The O(n) rolling-hash fingerprint: window hash i derives from prefix
+    * hashes by differencing — H(i) = (P(i+k-1) − P(i-1)·B^k) mod M — in
+    * one `mapPartitions` pass, instead of re-folding every k-char window.
+    * Byte-identical to [[nsTextRollhash]] (same polynomial, same
+    * windows), so it is held to the SAME DuckDB oracle; fixtures are pure
+    * ASCII, so JVM char codes equal the `ascii()` codes both engines use.
+    */
+  def nsTextRollhashFast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, mod, k) = (RollBase, RollMod, KGram)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // B^k mod M, computed once per partition.
+        val bk = (1 to k).foldLeft(1L)((acc, _) => acc * base % mod)
+        it.map { case (id, text) =>
+          val n = text.length
+          var p = 0L // P(j): running prefix hash
+          var full = 0L
+          var minWin = Long.MaxValue
+          // prefix[j-k] needed to subtract — keep a ring of the last k+1
+          // prefix values instead of an O(n) array.
+          val ring = new Array[Long](k + 1)
+          var j = 0
+          while (j < n) {
+            ring(j % (k + 1)) = p
+            p = (p * base + text.charAt(j).toLong) % mod
+            j += 1
+            if (j >= k) {
+              val pPrev = ring((j - k) % (k + 1)) // P(j-k)
+              val h = ((p - pPrev * bk % mod) % mod + mod) % mod
+              if (h < minWin) minWin = h
+            }
+          }
+          full = p
+          (id, full, if (n >= k) Some(minWin) else None)
+        }
+      }
+      .toDF("doc_id", "full_hash", "min_kgram_hash")
       .orderBy("doc_id")
   }
 
@@ -149,10 +191,12 @@ object TextOps {
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
     "ns_text_fingerprint" -> (nsTextFingerprint _),
-    "ns_text_rollhash" -> (nsTextRollhash _))
+    "ns_text_rollhash" -> (nsTextRollhash _),
+    "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
   val oracles: Map[String, String] = Map(
     "ns_text_rollhash" -> rollhashOracle,
+    "ns_text_rollhash_fast" -> rollhashOracle,
     "ns_text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
