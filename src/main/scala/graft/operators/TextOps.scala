@@ -133,8 +133,9 @@ object TextOps {
     * hashes by differencing — H(i) = (P(i+k-1) − P(i-1)·B^k) mod M — in
     * one `mapPartitions` pass, instead of re-folding every k-char window.
     * Byte-identical to [[nsTextRollhash]] (same polynomial, same
-    * windows), so it is held to the SAME DuckDB oracle; fixtures are pure
-    * ASCII, so JVM char codes equal the `ascii()` codes both engines use.
+    * windows), so it is held to the SAME DuckDB oracle. NULL text yields
+    * NULL hashes like the column form; iteration is per CODE POINT to
+    * match `split(text, '')` (fixtures are ASCII, where the two coincide).
     */
   def nsTextRollhashFast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -145,26 +146,32 @@ object TextOps {
         // B^k mod M, computed once per partition.
         val bk = (1 to k).foldLeft(1L)((acc, _) => acc * base % mod)
         it.map { case (id, text) =>
-          val n = text.length
-          var p = 0L // P(j): running prefix hash
-          var full = 0L
-          var minWin = Long.MaxValue
-          // prefix[j-k] needed to subtract — keep a ring of the last k+1
-          // prefix values instead of an O(n) array.
-          val ring = new Array[Long](k + 1)
-          var j = 0
-          while (j < n) {
-            ring(j % (k + 1)) = p
-            p = (p * base + text.charAt(j).toLong) % mod
-            j += 1
-            if (j >= k) {
-              val pPrev = ring((j - k) % (k + 1)) // P(j-k)
-              val h = ((p - pPrev * bk % mod) % mod + mod) % mod
-              if (h < minWin) minWin = h
+          if (text == null) (id, None: Option[Long], None: Option[Long])
+          else {
+            // Iterate CODE POINTS, not UTF-16 units — split(text, '') is
+            // code-point-wise in both engines, and a supplementary char
+            // must hash as one value, not two surrogate halves.
+            var i = 0 // char (UTF-16) index
+            var cnt = 0 // code points consumed = P(cnt)'s length
+            var p = 0L // P(cnt): running prefix hash
+            var minWin = Long.MaxValue
+            // prefix[cnt-k] needed to subtract — keep a ring of the last
+            // k+1 prefix values instead of an O(n) array.
+            val ring = new Array[Long](k + 1)
+            while (i < text.length) {
+              val cp = text.codePointAt(i)
+              ring(cnt % (k + 1)) = p
+              p = (p * base + cp.toLong) % mod
+              cnt += 1
+              if (cnt >= k) {
+                val pPrev = ring((cnt - k) % (k + 1)) // P(cnt-k)
+                val h = ((p - pPrev * bk % mod) % mod + mod) % mod
+                if (h < minWin) minWin = h
+              }
+              i += Character.charCount(cp)
             }
+            (id, Some(p), if (cnt >= k) Some(minWin) else None)
           }
-          full = p
-          (id, full, if (n >= k) Some(minWin) else None)
         }
       }
       .toDF("doc_id", "full_hash", "min_kgram_hash")
