@@ -113,6 +113,51 @@ object SourceSinkOps {
         col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** OP-05b the LITERAL JDBC form of OP-05 (reference:
+    * /root/reference/src/api_handler.py:19-23 — the MySQL boundary):
+    * `df.write.jdbc` publishes the customer dimension to an embedded
+    * Derby database, then `spark.read.jdbc` ingests it back as a
+    * PARTITIONED parallel read (4 range slices on the key — the shape a
+    * 1000-executor cluster uses against a sharded RDBMS) with the
+    * `c_acctbal > 0` predicate pushed into each partition's WHERE
+    * clause. The oracle reads the same rows straight from parquet, so
+    * the check proves the round-trip is value-exact (BIGINT/DOUBLE/
+    * VARCHAR). Sum is exact integer cents — double summation order
+    * differs between a 4-partition JDBC scan and DuckDB.
+    */
+  def op05bJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val bounds = src.agg(min("c_custkey"), max("c_custkey")).head
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // Per-process database path: embedded Derby allows one JVM per db
+    // directory, and concurrent sbt sessions must not contend.
+    sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
+    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_" +
+      s"${ProcessHandle.current().pid()};create=true"
+    src.coalesce(2).write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+      .jdbc(url, "customer_dim", props)
+    spark.read
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", (bounds.getLong(1) + 1).toString)
+      .option("numPartitions", "4")
+      .jdbc(url, "customer_dim", props)
+      .filter(col("c_acctbal") > 0.0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(min(col("c_acctbal")), 6).as("min_bal"),
+        round(max(col("c_acctbal")), 6).as("max_bal"),
+        round(sum(round(col("c_acctbal") * 100).cast("long")) / 100.0, 6)
+          .as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** OP-06 upsert sink (last-write-wins merge on PK): INSERT ... ON
     * DUPLICATE KEY UPDATE (reference:
     * /root/reference/src/utils/data_utils.py:10-15). Batch-precedence is
@@ -205,6 +250,7 @@ object SourceSinkOps {
     "op04_dimension_scan" -> (op04DimensionScan _),
     "op04b_paged_dimension" -> (op04bPagedDimension _),
     "op05_full_scan" -> (op05FullScan _),
+    "op05b_jdbc_roundtrip" -> (op05bJdbcRoundtrip _),
     "op06_upsert_merge" -> (op06UpsertMerge _),
     "op07_insert_if_absent" -> (op07InsertIfAbsent _),
     "op08_queue_fanout" -> (op08QueueFanout _),
@@ -248,6 +294,13 @@ object SourceSinkOps {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "op05b_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(min(c_acctbal), 6) AS min_bal,
+        |       round(max(c_acctbal), 6) AS max_bal,
+        |       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 6) AS sum_bal
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "op06_upsert_merge" ->
       """WITH unioned AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS batch FROM orders
