@@ -137,13 +137,28 @@ object DedupOps {
       .agg(collect_set(col("sh")).as("shs"))
       .withColumn("c", size(col("shs")).cast("long"))
 
-  /** MinHash signatures as a narrow projection over the set column: min
-    * over the k affine hashes via array_min∘transform — zero exchanges
-    * (the groupBy-min form costs a second shuffle of the exploded frame).
-    * min over a set equals min over occurrences, so this is byte-identical
-    * to [[minhashSignatures]].
+  /** MinHash signatures as a narrow projection over the set column: all k
+    * affine-hash minima in ONE pass via the native
+    * [[graft.functions.MinHashFromSet]] expression — zero exchanges (the
+    * groupBy-min form costs a second shuffle of the exploded frame) and
+    * one array traversal (the declarative k× array_min∘transform form
+    * walks the set k times through interpreted lambdas). min over a set
+    * equals min over occurrences, so this is byte-identical to
+    * [[minhashSignatures]] (pinned by MinHashAggSpec). The two-step
+    * select stays two-step in the optimized plan: CollapseProject does
+    * not duplicate a non-trivial expression into its 32 consumers.
     */
   private[operators] def signaturesFromSets(sets: DataFrame): DataFrame = {
+    graft.functions.MinHashFromSet.register(sets.sparkSession, hashParams, Prime)
+    sets.select(col("doc_id"), expr("minhash_from_set(shs)").as("_sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("_sig")(i).as(s"h$i")): _*)
+  }
+
+  /** The superseded declarative form of [[signaturesFromSets]] — kept as
+    * the equivalence witness the specs compare against.
+    */
+  private[operators] def signaturesFromSetsDeclarative(sets: DataFrame): DataFrame = {
     val sigCols: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(expr(s"transform(shs, x -> pmod((x & 4294967295) * ${a}L + ${b}L, ${Prime}L))"))
         .as(s"h$i")

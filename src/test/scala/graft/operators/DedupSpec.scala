@@ -83,6 +83,29 @@ class DedupSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(lsh))
   }
 
+  test("native minhash_from_set: one evaluation per row, equal to the declarative projection") {
+    // Earlier tests leave signature frames cached; a CacheManager match
+    // would swap an InMemoryRelation into this plan and break the node
+    // count below. Inspect the genuinely fresh plan.
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val sig = DedupOps.signaturesFromSets(DedupOps.shingleSetsOnePass(docs))
+    // CollapseProject must NOT clone the expression into its 32 consumers
+    // — that would re-walk the shingle set 32 times per row.
+    val n = sig.queryExecution.optimizedPlan.map(p =>
+      p.expressions.map(_.collect {
+        case m: graft.functions.MinHashFromSet => m
+      }.size).sum).sum
+    if (n != 1) java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/tmp/minhash_plan_debug.txt"),
+      sig.queryExecution.optimizedPlan.treeString)
+    assert(n == 1, s"expected a single minhash_from_set evaluation, found $n")
+    val a = sig.orderBy("doc_id").collect().map(_.toSeq)
+    val b = DedupOps.signaturesFromSetsDeclarative(DedupOps.shingleSetsOnePass(docs))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("survivorship edges have no shingle-equality self-join (exact baseline does)") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
