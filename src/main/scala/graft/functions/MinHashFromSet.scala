@@ -51,14 +51,15 @@ case class MinHashFromSet(
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) {
-      // array_min of an empty array is null — per-element nulls keep the
-      // declarative equivalence exact even on empty sets.
-      new GenericArrayData(Array.fill[Any](k)(null))
-    } else {
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      // Null elements map to null hashes in the declarative form and
+      // array_min SKIPS nulls — so skip them here (collect_set never
+      // emits nulls, but the function is registered session-wide).
+      if (!arr.isNullAt(i)) {
+        seen = true
         val x = arr.getLong(i) & 0xffffffffL
         var j = 0
         while (j < k) {
@@ -66,10 +67,12 @@ case class MinHashFromSet(
           if (h < mins(j)) mins(j) = h
           j += 1
         }
-        i += 1
       }
-      new GenericArrayData(mins)
+      i += 1
     }
+    // array_min over an empty (or all-null) array is null per hash.
+    if (!seen) new GenericArrayData(Array.fill[Any](k)(null))
+    else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -83,21 +86,25 @@ case class MinHashFromSet(
       val h = ctx.freshName("h")
       val mins = ctx.freshName("mins")
       val out = ctx.freshName("out")
+      val seen = ctx.freshName("seen")
       s"""
          |final int $n = $a.numElements();
-         |if ($n == 0) {
+         |final long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue; // array_min skips null hashes
+         |  $seen = true;
+         |  final long $x = $a.getLong($i) & 4294967295L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $h = ($x * $asRef[$j] + $bsRef[$j]) % ${prime}L;
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |if (!$seen) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |    new Object[$k]);
          |} else {
-         |  final long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final long $x = $a.getLong($i) & 4294967295L;
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      final long $h = ($x * $asRef[$j] + $bsRef[$j]) % ${prime}L;
-         |      if ($h < $mins[$j]) $mins[$j] = $h;
-         |    }
-         |  }
          |  final Object[] $out = new Object[$k];
          |  for (int $j = 0; $j < $k; $j++) $out[$j] = (Long) $mins[$j];
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -115,6 +122,10 @@ object MinHashFromSet {
   def register(spark: SparkSession, params: Seq[(Long, Long)], prime: Long): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_from_set",
-      (exprs: Seq[Expression]) => MinHashFromSet(exprs.head, params, prime),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"minhash_from_set expects exactly 1 argument, got ${exprs.length}")
+        MinHashFromSet(exprs.head, params, prime)
+      },
       "scala_udf")
 }

@@ -113,6 +113,45 @@ object SourceSinkOps {
         col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
 
+  /** Per-process Derby database path — embedded Derby allows one JVM per
+    * db directory, so concurrent sbt sessions must not contend — with a
+    * shutdown hook deleting the directory on JVM exit (a long-lived box
+    * would otherwise accumulate one db per Verify/Bench run).
+    */
+  private lazy val derbyDbPath: String = {
+    sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
+    val path = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), s"graft_derby_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(path.toFile)
+    }
+    path.toString
+  }
+
+  /** Publish the customer dimension to the per-process embedded Derby db
+    * (the ONE definition of the URL/table/DDL — op05b and its spec both
+    * run through here, so the spec cannot drift from the production
+    * write path). Returns the (url, connection props) for the read side.
+    */
+  private[graft] def publishCustomerDim(
+      spark: SparkSession, dir: String): (String, java.util.Properties) = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = s"jdbc:derby:$derbyDbPath;create=true"
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .coalesce(2).write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
+      .jdbc(url, "customer_dim", props)
+    (url, props)
+  }
+
   /** OP-05b the LITERAL JDBC form of OP-05 (reference:
     * /root/reference/src/api_handler.py:19-23 — the MySQL boundary):
     * `df.write.jdbc` publishes the customer dimension to an embedded
@@ -131,17 +170,7 @@ object SourceSinkOps {
         col("c_nationkey").cast("long").as("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
     val bounds = src.agg(min("c_custkey"), max("c_custkey")).head
-    val props = new java.util.Properties()
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    // Per-process database path: embedded Derby allows one JVM per db
-    // directory, and concurrent sbt sessions must not contend.
-    sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
-    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_" +
-      s"${ProcessHandle.current().pid()};create=true"
-    src.coalesce(2).write.mode("overwrite")
-      .option("createTableColumnTypes",
-        "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
-      .jdbc(url, "customer_dim", props)
+    val (url, props) = publishCustomerDim(spark, dir)
     spark.read
       .option("partitionColumn", "c_custkey")
       .option("lowerBound", bounds.getLong(0).toString)

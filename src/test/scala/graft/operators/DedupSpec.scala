@@ -96,14 +96,30 @@ class DedupSpec extends SparkSpec {
       p.expressions.map(_.collect {
         case m: graft.functions.MinHashFromSet => m
       }.size).sum).sum
-    if (n != 1) java.nio.file.Files.writeString(
-      java.nio.file.Path.of("/tmp/minhash_plan_debug.txt"),
+    assert(n == 1, s"expected a single minhash_from_set evaluation, found $n\n" +
       sig.queryExecution.optimizedPlan.treeString)
-    assert(n == 1, s"expected a single minhash_from_set evaluation, found $n")
     val a = sig.orderBy("doc_id").collect().map(_.toSeq)
     val b = DedupOps.signaturesFromSetsDeclarative(DedupOps.shingleSetsOnePass(docs))
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("minhash_from_set matches array_min∘transform on nulls and empty arrays") {
+    import spark.implicits._
+    graft.functions.MinHashFromSet.register(spark, DedupOps.hashParams, DedupOps.Prime)
+    val df = Seq(
+      (1L, Seq[Option[Long]](Some(7L), None, Some(99L))), // null element skipped
+      (2L, Seq[Option[Long]](None)), // all-null -> null mins
+      (3L, Seq.empty[Option[Long]]) // empty -> null mins
+    ).toDF("id", "shs")
+    val (a0, b0) = DedupOps.hashParams.head
+    val native = df.selectExpr("id", "minhash_from_set(shs)[0] AS h0")
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
+    val declarative = df.selectExpr("id",
+      s"array_min(transform(shs, x -> pmod((x & 4294967295) * ${a0}L + ${b0}L, ${DedupOps.Prime}L))) AS h0")
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(native.toSeq == declarative.toSeq)
+    assert(native(1)._2.isEmpty && native(2)._2.isEmpty && native(0)._2.nonEmpty)
   }
 
   test("survivorship edges have no shingle-equality self-join (exact baseline does)") {

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** OP-05b contract: the embedded-Derby JDBC round-trip is value-exact and
   * the read side is a genuinely PARALLEL ranged scan (4 key slices), not a
-  * single-connection pull.
+  * single-connection pull. Both tests publish through the SAME
+  * [[SourceSinkOps.publishCustomerDim]] the production query uses.
   */
 class JdbcRoundtripSpec extends SparkSpec {
 
@@ -28,19 +29,7 @@ class JdbcRoundtripSpec extends SparkSpec {
   test("jdbc read is a 4-slice ranged parallel scan preserving all rows") {
     val src = Tables.customer(spark, sfDir)
     val bounds = src.agg(min("c_custkey"), max("c_custkey")).head
-    val props = new java.util.Properties()
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_derby_" +
-      s"${ProcessHandle.current().pid()};create=true"
-    // op05b has already published customer_dim for this pid in test 1;
-    // publish again to make this test order-independent.
-    src.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
-        col("c_nationkey").cast("long").as("c_nationkey"),
-        col("c_acctbal"), col("c_mktsegment"))
-      .coalesce(2).write.mode("overwrite")
-      .option("createTableColumnTypes",
-        "c_name VARCHAR(64), c_mktsegment VARCHAR(32)")
-      .jdbc(url, "customer_dim", props)
+    val (url, props) = SourceSinkOps.publishCustomerDim(spark, sfDir)
     val back = spark.read
       .option("partitionColumn", "c_custkey")
       .option("lowerBound", bounds.getLong(0).toString)
