@@ -122,6 +122,25 @@ class DedupSpec extends SparkSpec {
     assert(native(1)._2.isEmpty && native(2)._2.isEmpty && native(0)._2.nonEmpty)
   }
 
+  test("randomized arrays: native and declarative signature projections agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13) // fixed seed — deterministic CI
+    // Null elements, empty arrays, and raw 60-bit fingerprints (the mask
+    // path) — everything a session-registered function may be fed.
+    val rows = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, Seq.fill(n)(
+        if (rnd.nextInt(10) == 0) None
+        else Some(rnd.nextLong() & 0xfffffffffffffffL)))
+    }
+    val sets = rows.toDF("doc_id", "shs")
+    val native = DedupOps.signaturesFromSets(sets)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val declarative = DedupOps.signaturesFromSetsDeclarative(sets)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(native.length == 60 && native.toSeq == declarative.toSeq)
+  }
+
   test("survivorship edges have no shingle-equality self-join (exact baseline does)") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.catalyst.plans.logical.Join
