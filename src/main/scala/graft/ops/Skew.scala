@@ -71,4 +71,47 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Per-process root for bucketed-table data files (external-table
+    * paths), removed on JVM exit like the Derby db.
+    */
+  private lazy val bucketedPath: String = {
+    val path = java.nio.file.Path.of(
+      sys.props("java.io.tmpdir"), s"graft_bucketed_${ProcessHandle.current().pid()}")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(path.toFile)
+    }
+    path.toString
+  }
+
+  /** Bucket-co-located aggregate-join: two fact slices are WRITTEN as
+    * 8-bucket tables on `user_id`, then BOTH per-user aggregations and
+    * the fact⋈fact join run with zero shuffle exchanges — the layout pays
+    * the partitioning cost once at write time and every downstream query
+    * on the key reuses it, the prescription for repeated fact⋈fact joins
+    * at 100 TB (SURVEY.md §7.4). ScaleUtilsSpec pins the plan property
+    * (only the final presentation sort exchanges); the oracle pins the
+    * values. Tables are external (data under java.io.tmpdir, in-memory
+    * catalog) so no warehouse directory appears under the caller's cwd.
+    */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.Tables.events(spark, dir)
+    def publish(slice: DataFrame, name: String): DataFrame = {
+      slice.write.mode("overwrite").bucketBy(8, "user_id")
+        .option("path", s"$bucketedPath/$name").saveAsTable(name)
+      spark.table(name)
+    }
+    val purchases = publish(ev.filter(col("event_type") === "purchase")
+      .select("user_id", "value"), "graft_bkt_purchases")
+    val clicks = publish(ev.filter(col("event_type") === "click")
+      .select("user_id"), "graft_bkt_clicks")
+    val spend = purchases.groupBy("user_id")
+      .agg(round(sum(col("value")), 6).as("total_spend"))
+    val activity = clicks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    spend.join(activity, "user_id").orderBy("user_id")
+  }
 }

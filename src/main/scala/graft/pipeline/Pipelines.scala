@@ -493,7 +493,8 @@ object Pipelines {
     "pipe_user_income" -> (userIncome _),
     "pipe_daily_apr" -> (dailyApr _),
     "pipe_watermark_align" -> (watermarkAlign _),
-    "ops_salted_sum" -> (saltedSum _))
+    "ops_salted_sum" -> (saltedSum _),
+    "ops_bucketed_join" -> (graft.ops.Skew.bucketedJoin _))
 
   private[pipeline] val epochExpr = "CAST(floor(date_part('epoch', ts)/86400) AS BIGINT)"
 
@@ -736,6 +737,16 @@ object Pipelines {
     "ops_salted_sum" ->
       """SELECT user_id, round(sum(value), 6) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ops_bucketed_join" ->
+      """WITH spend AS (
+        |  SELECT user_id, round(sum(value), 6) AS total_spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |clicks AS (
+        |  SELECT user_id, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT user_id, total_spend, n_clicks
+        |FROM spend JOIN clicks USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "pipe_top_indexes" ->
       s"""$incomeCte, latest AS (
          |  SELECT user_id, earnings, losses, apr,

@@ -105,6 +105,21 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed join should be shuffle-free, found: ${shuffles.size}")
   }
 
+  test("ops_bucketed_join: aggregations and join are exchange-free (only the presentation sort shuffles)") {
+    val df = Skew.bucketedJoin(spark, sfDir)
+    assert(df.count() > 0)
+    val exchanges = collect(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    // ONE range exchange for the final orderBy is expected; the per-user
+    // aggregations and the fact-join must ride the bucketed layout.
+    assert(exchanges.size <= 1,
+      s"expected only the orderBy exchange, found ${exchanges.size}")
+    assert(exchanges.forall(
+      _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      "the only exchange must be the presentation sort's range partitioning")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     // One hot key holding ~100x the median partition's data, with
