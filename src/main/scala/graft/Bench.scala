@@ -47,12 +47,21 @@ object Bench {
     // data cost beat warming at sf0.01, whose own localCheckpoint/GC
     // residue outweighed the extra compile coverage when measured.
     val warmSf = "/root/testdata/sf0.001"
-    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
+    // Canonical compare: a trailing slash or symlink in SPARK_GRAFT_SF_DIR
+    // must not defeat the guard and warm the measured dataset itself.
+    val warmDir = new java.io.File(warmSf)
+    if (warmDir.isDirectory &&
+      warmDir.getCanonicalFile != new java.io.File(sfDir).getCanonicalFile) {
       val families = Seq("ns_dedup_", "ns_sim_", "ns_text_", "pipe_training")
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => families.exists(n.startsWith) }
-        .foreach { case (_, fn) =>
-          try { fn(spark, warmSf).count(); () } catch { case _: Throwable => () }
+        .foreach { case (name, fn) =>
+          // A silently-broken warm would shift every family's first timed
+          // query by its compile cost — keep the signal on stderr.
+          try { fn(spark, warmSf).count(); () }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+          }
         }
       spark.sharedState.cacheManager.clearCache()
       // localCheckpoint blocks from warm runs are RDD persistence, not SQL

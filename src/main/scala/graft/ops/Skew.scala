@@ -75,17 +75,7 @@ object Skew {
   /** Per-process root for bucketed-table data files (external-table
     * paths), removed on JVM exit like the Derby db.
     */
-  private lazy val bucketedPath: String = {
-    val path = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), s"graft_bucketed_${ProcessHandle.current().pid()}")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(path.toFile)
-    }
-    path.toString
-  }
+  private lazy val bucketedPath: String = ProcessTmp.dir("graft_bucketed")
 
   /** Bucket-co-located aggregate-join: two fact slices are WRITTEN as
     * 8-bucket tables on `user_id`, then BOTH per-user aggregations and

@@ -120,15 +120,7 @@ object SourceSinkOps {
     */
   private lazy val derbyDbPath: String = {
     sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
-    val path = java.nio.file.Path.of(
-      sys.props("java.io.tmpdir"), s"graft_derby_${ProcessHandle.current().pid()}")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(path.toFile)
-    }
-    path.toString
+    ProcessTmp.dir("graft_derby")
   }
 
   /** Publish the customer dimension to the per-process embedded Derby db

@@ -106,18 +106,31 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("ops_bucketed_join: aggregations and join are exchange-free (only the presentation sort shuffles)") {
-    val df = Skew.bucketedJoin(spark, sfDir)
-    assert(df.count() > 0)
-    val exchanges = collect(df.queryExecution.executedPlan) {
-      case s: ShuffleExchangeExec => s
+    // Force a sort-merge join: at spec scale both agg sides broadcast,
+    // and a BroadcastHashJoin has no ShuffleExchangeExec either — the
+    // co-location claim would be vacuous. With broadcast off, a bucketed
+    //-layout regression WOULD surface as a hash exchange here.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Skew.bucketedJoin(spark, sfDir)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, "expected the forced sort-merge join")
+      val exchanges = collect(plan) { case s: ShuffleExchangeExec => s }
+      // ONE range exchange for the final orderBy is expected; the per-user
+      // aggregations and the fact-join must ride the bucketed layout.
+      assert(exchanges.size <= 1,
+        s"expected only the orderBy exchange, found ${exchanges.size}")
+      assert(exchanges.forall(
+        _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+        "the only exchange must be the presentation sort's range partitioning")
+    } finally {
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
-    // ONE range exchange for the final orderBy is expected; the per-user
-    // aggregations and the fact-join must ride the bucketed layout.
-    assert(exchanges.size <= 1,
-      s"expected only the orderBy exchange, found ${exchanges.size}")
-    assert(exchanges.forall(
-      _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
-      "the only exchange must be the presentation sort's range partitioning")
   }
 
   test("AQE splits a skewed sort-merge join at runtime") {
