@@ -22,8 +22,12 @@ object TimeQ {
         println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
         // SPARK_GRAFT_COLD=1 measures each run cache-cold like Bench does
         // (run2+ still benefit from JIT warmth — the steady-state signal).
-        if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+        // Mirror Bench exactly: localCheckpoint blocks are RDD persistence,
+        // not SQL cache — left persisted they accumulate memory across runs.
+        if (sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
           spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        }
       }
     }
     spark.stop()

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two float vectors,
-  * accumulated in double, with full whole-stage-codegen support.
+/** Native Catalyst expression: cosine similarity of two float or double
+  * vectors, accumulated in double, with full whole-stage-codegen support.
   *
   * This is the one place the engine needs a custom expression (SURVEY.md
   * §7.4): the reference has no vector ops, but the north-star similarity
@@ -24,20 +24,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // ExpectsInputTypes is private[sql]-typed; check inputs directly instead.
+  // Double elements are accepted alongside float (trained IVF centroids are
+  // exact 4dp-rounded doubles — casting them to float would break oracle
+  // parity with DuckDB's double lists); each side widens independently, so
+  // float-vs-double mixes are the same arithmetic both engines run.
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> arguments, got " +
+      s"cosine_sim expects two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_sim"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getDouble(t: DataType): (ArrayData, Int) => Double = t match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,14 +59,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
     }
+    val gx = getDouble(elemType(left)); val gy = getDouble(elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = gx(x, i)
+      val yi = gy(y, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def javaGet(arr: String, t: DataType, i: String): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,8 +92,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $a.getFloat($i);
-         |  final double $yi = (double) $b.getFloat($i);
+         |  final double $xi = ${javaGet(a, elemType(left), i)};
+         |  final double $yi = ${javaGet(b, elemType(right), i)};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)

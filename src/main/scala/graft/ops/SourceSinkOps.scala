@@ -120,7 +120,12 @@ object SourceSinkOps {
     */
   private lazy val derbyDbPath: String = {
     sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
-    ProcessTmp.dir("graft_derby")
+    // Shut the embedded engine down before the hook deletes its directory
+    // (XJ015 "Derby system shutdown" is the documented success signal).
+    ProcessTmp.dir("graft_derby", () => {
+      try { java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () }
+    })
   }
 
   /** Publish the customer dimension to the per-process embedded Derby db

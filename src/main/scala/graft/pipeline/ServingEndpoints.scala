@@ -102,6 +102,18 @@ object ServingEndpoints {
     * MAX(losses) (validator_slashing, :25-30). Thresholds are
     * fixture-scaled (96 ≈ 3×32-ETH cap at the fixtures' balance
     * magnitude); losses carry the /1e3 unit scaling used throughout.
+    *
+    * NOTE on band position: the reference's tier-1 band sits BELOW the cap
+    * (31.75e9 < balance < 32e9 with effective_balance pinned at cap,
+    * :468-474) because mainnet balances cluster just under 32 ETH. The
+    * fixtures have a single balance column with no effective-balance cap
+    * semantics, so the mapping deliberately INVERTS the band to sit above
+    * the tier-2 threshold (96 < balance < 98): tier-2 = below 96, tier-1 =
+    * the adjacent band, tier-0 = the rest — preserving the reference's
+    * three-tier partition (far side / adjacent band / rest) rather than its
+    * absolute geometry. A balance of exactly 96.0 scores 0, as in the
+    * reference where balance exactly at the band edge falls out of both
+    * tiers.
     */
   def validatorLsdScore(spark: SparkSession, dir: String): DataFrame = {
     val topUp = Tables.customer(spark, dir)

@@ -117,12 +117,39 @@ class SimilaritySpec extends SparkSpec {
     import graft.model.Tables
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    val seeds = emb.where(col("vec_id") < 16)
-      .select(col("vec_id").cast("int").as("cent_id"), col("embedding").as("cent_emb"))
-    val before = SimilarityOps.assignmentQuality(emb, seeds)
+    val before = SimilarityOps.assignmentQuality(emb, SimilarityOps.seedCentroids(emb))
     val trained = SimilarityOps.trainCentroids(emb, k = 16, iters = 3)
-    assert(trained.count() == 16)
+    assert(trained.length == 16)
+    trained.foreach { case (_, v) => assert(v.length == 64) }
     val after = SimilarityOps.assignmentQuality(emb, trained)
     assert(after > before, s"inertia analog did not improve: $before -> $after")
+  }
+
+  test("IVF cluster assignment is a pure projection — zero exchanges") {
+    import graft.model.Tables
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = SimilarityOps.seedCentroids(emb)
+    val lits = cents.map { case (cid, v) =>
+      (cid, org.apache.spark.sql.functions.typedLit(v.toSeq))
+    }.toSeq
+    val assign = emb.select(col("vec_id"),
+      SimilarityOps.centroidRanking(lits)(0)("cent_id").as("cluster"))
+    assign.count() // force AQE to finalize the plan
+    val plan = assign.queryExecution.executedPlan
+    def collectAll[A](f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]) = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[A] =
+        f.lift(p).toSeq ++ p.children.flatMap(go) ++
+          p.subqueries.flatMap(go)
+      go(plan)
+    }
+    val shuffles = collectAll { case s: ShuffleExchangeExec => s }
+    val bcasts = collectAll { case b: BroadcastExchangeExec => b }
+    assert(shuffles.isEmpty && bcasts.isEmpty,
+      s"assign stage is not exchange-free:\n${plan.toString.take(2000)}")
+    // and the assignment is total: every vector lands in a cluster
+    assert(assign.where(col("cluster").isNull).count() == 0)
   }
 }
