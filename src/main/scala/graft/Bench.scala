@@ -12,64 +12,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session so whichever query happens to run first isn't
-    // charged one-time framework startup (codegen compiler, shuffle
-    // writers/readers, window exec, broadcast machinery, parquet footer
-    // caches). Generic tiny plans only — no query-specific precomputation.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    // Footer/metadata warm for EVERY fixture table — the alphabetically
-    // first query should not be charged the first parquet footer reads.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+    // One-time per-JVM warm (framework + plan-family codegen) — see
+    // BenchWarm. Whichever query runs first must not be charged it.
+    BenchWarm.generic(spark, sfDir)
+    BenchWarm.families(spark, sfDir)
+    // Contention sentinel: a ~1 ms constant-work probe timed before every
+    // query. On an idle box it stays flat (a few ms); if another JVM or
+    // process contends for the cores mid-run, the probe inflates in step
+    // with the contaminated queries — so a polluted artifact is
+    // self-evident (the r3 bench recorded 9-24x regressions on unchanged
+    // trivial plans because the builder's own sbt shared the box).
+    def sentinelMs(): Double = {
+      val t0 = System.nanoTime()
+      // single partition: one task, so the probe times compute+scheduling
+      // latency, not 32-way tiny-task fan-out (~100 ms of pure overhead)
+      spark.range(0, 1000, 1, 1).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e6
     }
-    val w = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
-    w.groupBy("k").count().count() // shuffle + hash agg
-    w.selectExpr("k", "sum(id) OVER (PARTITION BY k ORDER BY id) AS r").count() // window
-    w.join(org.apache.spark.sql.functions.broadcast(
-      spark.range(7).selectExpr("id AS k")), "k").count() // broadcast join
-    w.selectExpr("conv(substring(sha2(s, 256), 1, 15), 16, 10)",
-      "aggregate(sequence(1, 5), CAST(0 AS BIGINT), (a, x) -> a + x)").count() // expr fw
-    w.groupBy("k").agg(org.apache.spark.sql.functions.collect_set("id").as("st"))
-      .selectExpr("array_min(transform(st, x -> pmod(x * 3 + 1, 7)))",
-        "size(array_intersect(st, st))").count() // object-hash agg + array kernels
-    // Plan-family codegen warm at the smallest SF: the dedup/sim/text
-    // families generate large whole-stage classes whose Janino compile
-    // (~2-6 s each) otherwise lands on whichever query of the family runs
-    // first — a one-time per-JVM cost a real cluster amortizes over hours,
-    // not steady-state throughput. Running each family once at sf0.001
-    // compiles the same generated sources (the codegen cache is keyed on
-    // source text, which is independent of the data path); every timed run
-    // below still performs ALL of its own IO/shuffle/compute at sfDir,
-    // cache-cold (caches cleared here and after every query). sf0.001 is
-    // deliberate: a partial warm (AQE broadcasts at sf0.001 where sf0.1
-    // shuffles, so some classes still compile in the timed run) at near-zero
-    // data cost beat warming at sf0.01, whose own localCheckpoint/GC
-    // residue outweighed the extra compile coverage when measured.
-    val warmSf = "/root/testdata/sf0.001"
-    // Canonical compare: a trailing slash or symlink in SPARK_GRAFT_SF_DIR
-    // must not defeat the guard and warm the measured dataset itself.
-    val warmDir = new java.io.File(warmSf)
-    if (warmDir.isDirectory &&
-      warmDir.getCanonicalFile != new java.io.File(sfDir).getCanonicalFile) {
-      val families = Seq("ns_dedup_", "ns_sim_", "ns_text_", "pipe_training")
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => families.exists(n.startsWith) }
-        .foreach { case (name, fn) =>
-          // A silently-broken warm would shift every family's first timed
-          // query by its compile cost — keep the signal on stderr.
-          try { fn(spark, warmSf).count(); () }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
-          }
-        }
-      spark.sharedState.cacheManager.clearCache()
-      // localCheckpoint blocks from warm runs are RDD persistence, not SQL
-      // cache — release them too so the timed runs start block-free.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
-    ()
+    sentinelMs() // compile/JIT the probe itself once
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val probe = sentinelMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -78,12 +40,14 @@ object Bench {
       // pressure its alphabetical successors' memory (the r2 bench showed
       // unchanged sub-second ops 2.5-3.9x slower from exactly this).
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, dt, probe)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sent = results.map { case (k, _, p) => s"\"" + k + "\":" + f"$p%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
