@@ -44,6 +44,29 @@ object SourceSinkOps {
       .select(col("bls_key"), col("epoch"), round(col("balance"), 6).as("balance"))
       .orderBy("epoch", "bls_key")
 
+  /** OP-01c the DSv2 scan in RECORDED-REPLAY mode (reference:
+    * /root/reference/src/utils/archive.py:10-33 — the beacon REST fetch,
+    * persisted): the same [[graft.sources.EpochRangeSource]] contract
+    * (partition planning, epoch pushdown-as-pruning, column pruning) but
+    * every row comes from PARSING a recorded JSON-lines archive, one line
+    * per epoch with the upstream's validator payload. The fixture has
+    * deliberate gaps (every 37th epoch missing) and a jitter term the
+    * synthetic generator lacks, so the oracle (which replays the recorded
+    * formula minus the gaps) only matches if the bytes really flow
+    * file → parser → scan.
+    */
+  def op01cRestReplay(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.EpochFixture.ensure()
+    spark.read.format("graft.sources.EpochRangeSource")
+      .option("lo", 0).option("hi", 299)
+      .option("epochsPerPartition", 25)
+      .option("fixture", path)
+      .load()
+      .where(col("epoch") >= 40 && col("epoch") <= 260)
+      .select(col("bls_key"), col("epoch"), round(col("balance"), 6).as("balance"))
+      .orderBy("epoch", "bls_key")
+  }
+
   /** OP-02 nested-JSON flatten: parse a JSON payload column into typed
     * fields (reference: /root/reference/src/utils/archive.py:19-33 —
     * execution-payload withdrawals[] JSON).
@@ -271,6 +294,7 @@ object SourceSinkOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "op01_source_scan" -> (op01SourceScan _),
     "op01b_dsv2_scan" -> (op01bDsv2Scan _),
+    "op01c_rest_replay" -> (op01cRestReplay _),
     "op02_json_flatten" -> (op02JsonFlatten _),
     "op03_point_lookup" -> (op03PointLookup _),
     "op04_dimension_scan" -> (op04DimensionScan _),
@@ -295,6 +319,15 @@ object SourceSinkOps {
         |       round(32.0 + ((epoch * 31 + key * 7) % 1000) / 1000.0, 6) AS balance
         |FROM generate_series(100, 163) AS e(epoch),
         |     generate_series(0, 15) AS k(key)
+        |ORDER BY epoch, bls_key""".stripMargin,
+    // Replays EpochFixture.balance minus the recorded gaps (epoch % 37).
+    "op01c_rest_replay" ->
+      """SELECT printf('0x%04d', key) AS bls_key, epoch,
+        |       round(32.0 + ((epoch * 31 + key * 7) % 1000) / 1000.0
+        |             + ((epoch * 13 + key * 3) % 89) / 10000.0, 6) AS balance
+        |FROM generate_series(40, 260) AS e(epoch),
+        |     generate_series(0, 15) AS k(key)
+        |WHERE epoch % 37 <> 0
         |ORDER BY epoch, bls_key""".stripMargin,
     "op02_json_flatten" ->
       """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -31,6 +31,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format("graft.sources.EpochRangeSource")
   *   .option("lo", 0).option("hi", 999).load()`.
+  *
+  * REPLAY MODE (`option("fixture", path)`): instead of the synthetic
+  * generator, each partition reads its epoch slice from a RECORDED
+  * archive file — one JSON line per epoch,
+  * `{"epoch":N,"validators":[{"bls_key":"0x0001","balance":32.5},...]}`,
+  * the persisted shape of the reference's per-epoch beacon REST payloads
+  * (/root/reference/src/utils/archive.py:10-33). This makes the ingest
+  * path generic: the same partition planning / pushdown / pruning
+  * contract over real recorded bytes, no network required. Each reader
+  * streams the file and keeps only its slice's epochs — a production
+  * archive would shard into one object per epoch range so a slice reads
+  * exactly its shard; the single-file form keeps the fixture
+  * self-contained.
   */
 class EpochRangeSource extends TableProvider {
 
@@ -46,7 +59,8 @@ class EpochRangeSource extends TableProvider {
       opts.getLong("lo", 0L),
       opts.getLong("hi", 99L),
       opts.getInt("keysPerEpoch", 16),
-      opts.getInt("epochsPerPartition", 10))
+      opts.getInt("epochsPerPartition", 10),
+      Option(opts.get("fixture")))
   }
 }
 
@@ -62,7 +76,8 @@ object EpochRangeSource {
 }
 
 private[sources] class EpochRangeTable(
-    lo: Long, hi: Long, keysPerEpoch: Int, epochsPerPartition: Int)
+    lo: Long, hi: Long, keysPerEpoch: Int, epochsPerPartition: Int,
+    fixture: Option[String])
     extends Table with SupportsRead {
 
   require(keysPerEpoch > 0, s"keysPerEpoch must be positive, got $keysPerEpoch")
@@ -75,11 +90,12 @@ private[sources] class EpochRangeTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EpochRangeScanBuilder(lo, hi, keysPerEpoch, epochsPerPartition)
+    new EpochRangeScanBuilder(lo, hi, keysPerEpoch, epochsPerPartition, fixture)
 }
 
 private[sources] class EpochRangeScanBuilder(
-    var lo: Long, var hi: Long, keysPerEpoch: Int, epochsPerPartition: Int)
+    var lo: Long, var hi: Long, keysPerEpoch: Int, epochsPerPartition: Int,
+    fixture: Option[String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = EpochRangeSource.schema
@@ -133,34 +149,128 @@ private[sources] class EpochRangeScanBuilder(
       }.toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new EpochRangeReaderFactory(keysPerEpoch, required)
+      new EpochRangeReaderFactory(keysPerEpoch, required, fixture)
   }
 }
 
 private[sources] case class EpochSlice(lo: Long, hi: Long) extends InputPartition
 
 private[sources] class EpochRangeReaderFactory(
-    keysPerEpoch: Int, required: StructType) extends PartitionReaderFactory {
+    keysPerEpoch: Int, required: StructType, fixture: Option[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[EpochSlice]
-    new PartitionReader[InternalRow] {
-      private var epoch = slice.lo - 1
-      private var key = keysPerEpoch - 1
-      // Projection resolved ONCE per reader — the per-row path only calls
-      // the prebuilt generators, no per-row name matching.
-      private val fieldGen: Array[() => Any] = required.fields.map(_.name match {
-        case "bls_key" => () => UTF8String.fromString(f"0x$key%04d")
-        case "epoch" => () => epoch
-        case "balance" => () => EpochRangeSource.balanceOf(epoch, key)
-      })
-      override def next(): Boolean = {
-        if (key + 1 < keysPerEpoch) { key += 1; true }
-        else if (epoch + 1 <= slice.hi) { epoch += 1; key = 0; true }
-        else false
+    fixture match {
+      case Some(path) => new FixtureReplayReader(slice, path, required)
+      case None => new PartitionReader[InternalRow] {
+        private var epoch = slice.lo - 1
+        private var key = keysPerEpoch - 1
+        // Projection resolved ONCE per reader — the per-row path only calls
+        // the prebuilt generators, no per-row name matching.
+        private val fieldGen: Array[() => Any] = required.fields.map(_.name match {
+          case "bls_key" => () => UTF8String.fromString(f"0x$key%04d")
+          case "epoch" => () => epoch
+          case "balance" => () => EpochRangeSource.balanceOf(epoch, key)
+        })
+        override def next(): Boolean = {
+          if (key + 1 < keysPerEpoch) { key += 1; true }
+          else if (epoch + 1 <= slice.hi) { epoch += 1; key = 0; true }
+          else false
+        }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(fieldGen.toIndexedSeq.map(_.apply()))
+        override def close(): Unit = ()
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fieldGen.toIndexedSeq.map(_.apply()))
-      override def close(): Unit = ()
     }
+  }
+}
+
+/** Replays a recorded per-epoch REST archive (JSON lines) for one epoch
+  * slice: streams the file, parses only lines whose epoch falls in the
+  * slice, and emits one row per validator entry. Jackson is Spark's own
+  * bundled JSON parser — no extra dependency. Epochs ABSENT from the
+  * archive produce no rows (a recorded archive has gaps where the
+  * upstream had none to serve) — that is the point of replay mode: the
+  * data comes from the file, not a formula.
+  */
+private[sources] class FixtureReplayReader(
+    slice: EpochSlice, path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = java.nio.file.Files.newBufferedReader(
+    java.nio.file.Path.of(path))
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private var curEpoch = 0L
+  private var curKey: String = _
+  private var curBalance = 0.0
+  private var validators: java.util.Iterator[com.fasterxml.jackson.databind.JsonNode] = _
+
+  // Projection resolved once per reader, like the synthetic path.
+  private val fieldGen: Array[() => Any] = required.fields.map(_.name match {
+    case "bls_key" => () => UTF8String.fromString(curKey)
+    case "epoch" => () => curEpoch
+    case "balance" => () => curBalance
+  })
+
+  override def next(): Boolean = {
+    while (validators == null || !validators.hasNext) {
+      val line = reader.readLine()
+      if (line == null) return false
+      if (line.nonEmpty) {
+        val node = om.readTree(line)
+        val ep = node.get("epoch").asLong()
+        if (ep >= slice.lo && ep <= slice.hi) {
+          curEpoch = ep
+          validators = node.get("validators").elements()
+        }
+      }
+    }
+    val v = validators.next()
+    curKey = v.get("bls_key").asText()
+    curBalance = v.get("balance").asDouble()
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fieldGen.toIndexedSeq.map(_.apply()))
+
+  override def close(): Unit = reader.close()
+}
+
+/** Writes the deterministic recorded archive the replay tests/oracle use:
+  * epochs 0..299 with every `epoch % 37 == 0` line MISSING (recorded
+  * archives have gaps), 16 validators per present epoch, balances from a
+  * formula the DuckDB oracle replays. The gaps + a second jitter term
+  * (absent from the synthetic generator) make the oracle check fail
+  * unless the rows genuinely come from parsing the file.
+  */
+object EpochFixture {
+  val Epochs: Range = 0 to 299
+  val Keys = 16
+
+  def balance(epoch: Long, key: Int): Double =
+    32.0 + ((epoch * 31 + key * 7) % 1000) / 1000.0 +
+      ((epoch * 13 + key * 3) % 89) / 10000.0
+
+  def present(epoch: Long): Boolean = epoch % 37 != 0
+
+  private lazy val root = graft.ops.ProcessTmp.dir("graft_fixture")
+
+  /** Write-once per process; returns the archive path. */
+  def ensure(): String = synchronized {
+    val p = java.nio.file.Path.of(root, "epoch_archive.jsonl")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val sb = new StringBuilder
+      for (epoch <- Epochs if present(epoch)) {
+        val vals = (0 until Keys).map { k =>
+          s"""{"bls_key":"0x${"%04d".format(k)}","balance":${balance(epoch, k)}}"""
+        }.mkString(",")
+        sb.append(s"""{"epoch":$epoch,"validators":[$vals]}""").append('\n')
+      }
+      java.nio.file.Files.writeString(p, sb.toString)
+    }
+    p.toString
   }
 }

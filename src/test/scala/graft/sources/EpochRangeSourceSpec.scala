@@ -57,4 +57,24 @@ class EpochRangeSourceSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("epoch"))
     assert(df.distinct().count() == 10)
   }
+
+  test("fixture replay: rows come from the recorded archive, gaps and all") {
+    val path = EpochFixture.ensure()
+    val df = src("lo" -> "0", "hi" -> "299", "epochsPerPartition" -> "25",
+      "fixture" -> path)
+    // 300 epochs minus the 9 recorded gaps (0, 37, ..., 296), 16 keys each
+    val presentEpochs = EpochFixture.Epochs.count(e => EpochFixture.present(e.toLong))
+    assert(df.count() == presentEpochs.toLong * EpochFixture.Keys)
+    // gap epochs yield nothing — proof the data is read, not generated
+    assert(df.where(col("epoch") === 37).count() == 0)
+    // a spot value matches the recorded payload (jitter term included)
+    val got = df.where(col("epoch") === 5 && col("bls_key") === "0x0003")
+      .select("balance").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(EpochFixture.balance(5, 3)))
+    // epoch pushdown still prunes partitions in replay mode
+    val window = df.where(col("epoch") >= 250)
+    assert(window.rdd.getNumPartitions == 2)
+    // column pruning still applies
+    assert(df.select("epoch").schema.fieldNames.toSeq == Seq("epoch"))
+  }
 }
