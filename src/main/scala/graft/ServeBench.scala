@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+
+/** Serving-concurrency micro-harness — the Spark-side analog of the
+  * reference's locust load test (/root/reference/test/utils/load_testing.py:
+  * N HttpUsers hammering an endpoint): all `pipe_*` serving queries run
+  * concurrently from `SPARK_GRAFT_THREADS` driver threads against ONE
+  * SparkSession, and the harness reports p50/p95 latency overall and the
+  * mean per pipe. Guards the serving edge against driver-side contention
+  * regressions (catalog/analyzer locks, codegen cache churn, scheduler
+  * fairness) that a one-query-at-a-time bench can't see.
+  *
+  * `pipe_training_corpus` is excluded — it is the batch corpus-composition
+  * pipeline, not a serving endpoint.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_THREADS=8 SPARK_GRAFT_ROUNDS=3
+  *   sbt "runMain graft.ServeBench"` → one JSON line on stdout.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "8").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR keeps one heavy pipe from head-of-line-blocking the tiny
+      // point lookups — the multi-tenant serving posture.
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipes = SparkEntry.queries.toSeq
+      .filter { case (n, _) => n.startsWith("pipe_") && n != "pipe_training_corpus" }
+      .sortBy(_._1)
+
+    // Warm once single-threaded: codegen/footers are per-JVM costs a
+    // long-lived serving session has long since paid.
+    pipes.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    spark.sharedState.cacheManager.clearCache()
+
+    // Work queue: every pipe `rounds` times, deterministically shuffled so
+    // threads interleave different pipes rather than convoying on one.
+    val work = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    new scala.util.Random(42).shuffle(
+      Seq.fill(rounds)(pipes).flatten).foreach(work.add)
+
+    val lat = new ConcurrentLinkedQueue[(String, Double)]()
+    val t0 = System.nanoTime()
+    val workers = (1 to threads).map { _ =>
+      new Thread(() => {
+        var item = work.poll()
+        while (item != null) {
+          val (name, fn) = item
+          val s0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            System.err.println(s"[serve] $name failed: ${e.getMessage}")
+          }
+          lat.add((name, (System.nanoTime() - s0) / 1e6))
+          item = work.poll()
+        }
+      })
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    import scala.jdk.CollectionConverters._
+    val all = lat.asScala.toSeq
+    val sorted = all.map(_._2).sorted
+    def pct(p: Double): Double = sorted((p * (sorted.size - 1)).round.toInt)
+    val perPipe = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, xs) =>
+      s"\"" + n + "\":" + f"${xs.map(_._2).sum / xs.size}%.1f"
+    }.mkString("{", ",", "}")
+    val qps = all.size / wallSec
+    println(f"""{"metric":"serving_p95_ms","value":${pct(0.95)}%.1f,"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"wall_sec":$wallSec%.2f,"qps":$qps%.2f,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
