@@ -1,0 +1,116 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup family: generates two deterministic
+  * `documents` fixtures from the SAME generator — 5k rows (the sf0.1 row
+  * count) and 50k rows (sf1) — so the corpora are self-similar and the
+  * only variable is row count. Runs ns_dedup_minhash and
+  * ns_dedup_components on both in one session and reports wall time plus
+  * total shuffle read/write bytes per run: one real data point behind the
+  * 100 TB extrapolation — the banded candidate generation should grow
+  * near-linearly in rows (docs and their band buckets), never
+  * quadratically (all-pairs).
+  *
+  * The fixtures land under /tmp (NOT /root/testdata, which is read-only
+  * driver property) and are reused across runs.
+  *
+  * Usage: `sbt "runMain graft.ScaleRehearsal"` → one JSON line per
+  * (query, scale) on stdout.
+  */
+object ScaleRehearsal {
+
+  /** Deterministic word-salad corpus matching the driver fixtures' shape:
+    * 30..89 words from a small vocabulary, hash-picked per (doc, pos); every
+    * doc_id % 10 == 9 copies doc_id-1's text with one word appended (a
+    * planted near-duplicate for minhash/banding to find). Pure column
+    * expressions — generation itself is distributed and scale-free.
+    */
+  private def generate(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    val vocab = Seq("spark", "query", "table", "column", "filter", "join",
+      "group", "order", "window", "batch", "stream", "stage", "task",
+      "shuffle", "scan", "sort", "hash", "agg", "value", "key", "line",
+      "part", "customer", "supplier", "nation", "region", "vector",
+      "fast", "slow", "small", "large", "dedup")
+    val vlit = array(vocab.map(lit): _*)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      // near-dup targets copy the PREVIOUS doc's words
+      .withColumn("src_id", when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("_v", vlit)
+      .withColumn("n_words", (pmod(hash(col("src_id") * 7), lit(60)) + lit(30)).cast("int"))
+      // Each token is vocab word + a hashed numeric suffix (0..99): ~3200
+      // distinct tokens. A bare 32-word vocabulary makes the shingle space
+      // so small that band buckets collide SPURIOUSLY more and more as N
+      // grows (quadratic candidate blow-up a real corpus doesn't have —
+      // real text's token space dwarfs the corpus).
+      .withColumn("words", expr(
+        s"transform(sequence(1, n_words), p -> concat(" +
+          s"element_at(_v, CAST(pmod(hash(src_id * 131 + p), ${vocab.size}) AS INT) + 1), " +
+          s"'_', CAST(pmod(hash(src_id * 37 + p * 11), 100) AS STRING)))"))
+      .withColumn("text",
+        when(col("doc_id") % 10 === 9,
+          concat(array_join(col("words"), " "), lit(" dedup")))
+          .otherwise(array_join(col("words"), " ")))
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod(hash(col("doc_id") * 3), lit(3)) + 1).cast("int")))
+      .withColumn("source", element_at(array(lit("web"), lit("wiki"), lit("code")),
+        (pmod(hash(col("doc_id") * 5), lit(3)) + 1).cast("int")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 5k matches the sf0.1 row count; 25k→50k isolates a clean 2x-rows
+    // comparison where AQE picks the SAME plan shape on both sides (at 5k
+    // the joins still broadcast, so its shuffle bytes under-count).
+    val scales = Seq(("synth5k", 5000L), ("synth25k", 25000L),
+      ("synth50k", 50000L), ("synth100k", 100000L)).map {
+      case (name, n) =>
+        val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+        if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+          generate(spark, dir, n)
+        }
+        (name, dir)
+    }
+
+    // Shuffle-volume listener: sums stage-level shuffle read/write bytes.
+    val readB = new LongAdder; val writeB = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        readB.add(sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        writeB.add(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    BenchWarm.generic(spark, "/root/testdata/sf0.1")
+    BenchWarm.families(spark, "/root/testdata/sf0.1")
+
+    for (q <- Seq("ns_dedup_minhash", "ns_dedup_components");
+         (sfName, dir) <- scales) {
+      readB.reset(); writeB.reset()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      println(f"""{"query":"$q","sf":"$sfName","rows":$rows,"sec":$dt%.2f,"shuffle_write_mb":${writeB.sum / 1e6}%.1f,"shuffle_read_mb":${readB.sum / 1e6}%.1f}""")
+    }
+    spark.stop()
+  }
+}
