@@ -35,17 +35,22 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Leftover in-query caches (shingle/signature frames) are dropped
-      // OUTSIDE the timed window: each query is measured cold and cannot
-      // pressure its alphabetical successors' memory (the r2 bench showed
-      // unchanged sub-second ops 2.5-3.9x slower from exactly this).
+      // Leftover in-query caches (shingle/signature frames) AND lingering
+      // localCheckpoint RDD blocks are dropped OUTSIDE the timed window:
+      // each query is measured cold and cannot pressure its alphabetical
+      // successors' memory (the r2 bench showed unchanged sub-second ops
+      // 2.5-3.9x slower from exactly this). Same cleanup as TimeQ's cold
+      // mode, so TimeQ predicts these numbers.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       (name, dt, probe)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sent = results.map { case (k, _, p) => s"\"" + k + "\":" + f"$p%.2f" }
-      .mkString("{", ",", "}")
+    // Double.toString (locale-independent), never f"%.2f" inside JSON.
+    val sent = results.map { case (k, _, p) =>
+      s"\"" + k + "\":" + (math.round(p * 100) / 100.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"sf":"$sfDir"}""")
     spark.stop()

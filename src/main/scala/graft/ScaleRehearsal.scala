@@ -6,15 +6,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale rehearsal for the dedup family: generates two deterministic
-  * `documents` fixtures from the SAME generator — 5k rows (the sf0.1 row
-  * count) and 50k rows (sf1) — so the corpora are self-similar and the
-  * only variable is row count. Runs ns_dedup_minhash and
-  * ns_dedup_components on both in one session and reports wall time plus
-  * total shuffle read/write bytes per run: one real data point behind the
-  * 100 TB extrapolation — the banded candidate generation should grow
-  * near-linearly in rows (docs and their band buckets), never
-  * quadratically (all-pairs).
+/** Scale rehearsal for the dedup family: generates deterministic
+  * `documents` fixtures from the SAME generator at four scales — 5k rows
+  * (the sf0.1 row count), 25k, 50k (sf1), and 100k — so the corpora are
+  * self-similar and the only variable is row count. Runs ns_dedup_minhash
+  * and ns_dedup_components on each in one session and reports wall time
+  * plus total shuffle read/write bytes per run (one JSON line each): real
+  * data points behind the 100 TB extrapolation — the banded candidate
+  * generation should grow near-linearly in rows within a plan regime
+  * (expect one step where join sides cross the broadcast threshold),
+  * never quadratically (all-pairs).
   *
   * The fixtures land under /tmp (NOT /root/testdata, which is read-only
   * driver property) and are reused across runs.
@@ -83,7 +84,9 @@ object ScaleRehearsal {
       ("synth50k", 50000L), ("synth100k", 100000L)).map {
       case (name, n) =>
         val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
-        if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        // _SUCCESS gate, not just isDirectory: a killed prior run leaves a
+        // partial parquet dir that would silently become the corpus.
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) {
           generate(spark, dir, n)
         }
         (name, dir)
@@ -109,7 +112,12 @@ object ScaleRehearsal {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      println(f"""{"query":"$q","sf":"$sfName","rows":$rows,"sec":$dt%.2f,"shuffle_write_mb":${writeB.sum / 1e6}%.1f,"shuffle_read_mb":${readB.sum / 1e6}%.1f}""")
+      // Double.toString, not f"%.2f": the f interpolator is locale-
+      // dependent (comma decimals on e.g. de_DE break the JSON).
+      val sec = math.round(dt * 100) / 100.0
+      val wMb = math.round(writeB.sum / 1e5) / 10.0
+      val rMb = math.round(readB.sum / 1e5) / 10.0
+      println(s"""{"query":"$q","sf":"$sfName","rows":$rows,"sec":$sec,"shuffle_write_mb":$wMb,"shuffle_read_mb":$rMb}""")
     }
     spark.stop()
   }

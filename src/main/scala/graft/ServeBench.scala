@@ -52,19 +52,27 @@ object ServeBench {
     new scala.util.Random(42).shuffle(
       Seq.fill(rounds)(pipes).flatten).foreach(work.add)
 
-    val lat = new ConcurrentLinkedQueue[(String, Double)]()
+    val lat = new ConcurrentLinkedQueue[(String, Double, Boolean)]()
     val t0 = System.nanoTime()
-    val workers = (1 to threads).map { _ =>
+    val workers = (1 to threads).map { i =>
       new Thread(() => {
+        // One FAIR pool per worker: with scheduler.mode=FAIR the ROOT pool
+        // shares fairly across child pools, but all jobs from all threads
+        // would otherwise land in the single built-in "default" pool,
+        // whose internal order is FIFO — i.e. FAIR would never engage.
+        // Dynamically-named pools get weight 1 each = equal sharing.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"serve$i")
         var item = work.poll()
         while (item != null) {
           val (name, fn) = item
           val s0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () }
-          catch { case e: Throwable =>
-            System.err.println(s"[serve] $name failed: ${e.getMessage}")
-          }
-          lat.add((name, (System.nanoTime() - s0) / 1e6))
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[serve] $name failed: ${e.getMessage}")
+              false
+            }
+          lat.add((name, (System.nanoTime() - s0) / 1e6, ok))
           item = work.poll()
         }
       })
@@ -75,13 +83,19 @@ object ServeBench {
 
     import scala.jdk.CollectionConverters._
     val all = lat.asScala.toSeq
-    val sorted = all.map(_._2).sorted
-    def pct(p: Double): Double = sorted((p * (sorted.size - 1)).round.toInt)
-    val perPipe = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, xs) =>
-      s"\"" + n + "\":" + f"${xs.map(_._2).sum / xs.size}%.1f"
+    // Failures must not contaminate the latency stats (a fast-failing
+    // query would DEFLATE p50/p95) — report them as their own counter.
+    val failures = all.count(!_._3)
+    val good = all.filter(_._3)
+    val sorted = good.map(_._2).sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) -1.0 else sorted((p * (sorted.size - 1)).round.toInt)
+    def ms(x: Double): String = (math.round(x * 10) / 10.0).toString
+    val perPipe = good.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, xs) =>
+      s"\"" + n + "\":" + ms(xs.map(_._2).sum / xs.size)
     }.mkString("{", ",", "}")
-    val qps = all.size / wallSec
-    println(f"""{"metric":"serving_p95_ms","value":${pct(0.95)}%.1f,"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"wall_sec":$wallSec%.2f,"qps":$qps%.2f,"p50_ms":${pct(0.50)}%.1f,"p95_ms":${pct(0.95)}%.1f,"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
+    val qps = math.round(good.size / wallSec * 100) / 100.0
+    println(s"""{"metric":"serving_p95_ms","value":${ms(pct(0.95))},"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"failures":$failures,"wall_sec":${math.round(wallSec * 100) / 100.0},"qps":$qps,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,6 +51,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case DoubleType => (a, i) => a.getDouble(i)
   }
 
+  // Hoisted per-plan (dataType is fixed once resolved): nullSafeEval is the
+  // HOT path when this expression sits under a CodegenFallback HOF (the
+  // array_sort-based centroid ranking evaluates it k times per row) — no
+  // per-call closure allocation.
+  private lazy val gx = getDouble(elemType(left))
+  private lazy val gy = getDouble(elemType(right))
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -59,7 +66,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
     }
-    val gx = getDouble(elemType(left)); val gy = getDouble(elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = gx(x, i)

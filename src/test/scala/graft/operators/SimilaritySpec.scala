@@ -127,8 +127,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF cluster assignment is a pure projection — zero exchanges") {
     import graft.model.Tables
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     val cents = SimilarityOps.seedCentroids(emb)
@@ -137,18 +138,24 @@ class SimilaritySpec extends SparkSpec {
     }.toSeq
     val assign = emb.select(col("vec_id"),
       SimilarityOps.centroidRanking(lits)(0)("cent_id").as("cluster"))
-    assign.count() // force AQE to finalize the plan
-    val plan = assign.queryExecution.executedPlan
-    def collectAll[A](f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]) = {
-      def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[A] =
-        f.lift(p).toSeq ++ p.children.flatMap(go) ++
-          p.subqueries.flatMap(go)
-      go(plan)
-    }
-    val shuffles = collectAll { case s: ShuffleExchangeExec => s }
-    val bcasts = collectAll { case b: BroadcastExchangeExec => b }
-    assert(shuffles.isEmpty && bcasts.isEmpty,
-      s"assign stage is not exchange-free:\n${plan.toString.take(2000)}")
+    // AdaptiveSparkPlanExec is a LEAF node — a plain .children walk would
+    // pass vacuously on any AQE-wrapped plan; recurse into inputPlan like
+    // ServingEndpointsSpec does.
+    def collectAll(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectAll)) ++
+        p.subqueries.flatMap(collectAll) ++ (p match {
+          case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)
+          case _ => Nil
+        })
+    val nodes = collectAll(assign.queryExecution.executedPlan)
+    // Self-check that the walk sees through the AQE wrapper: the scan must
+    // be visible (guards against the traversal going vacuous again).
+    assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
+      s"plan walk found no scan — traversal broken:\n${nodes.map(_.nodeName)}")
+    val exchanges = nodes.filter(n =>
+      n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
+    assert(exchanges.isEmpty,
+      s"assign stage is not exchange-free: ${exchanges.map(_.nodeName)}")
     // and the assignment is total: every vector lands in a cluster
     assert(assign.where(col("cluster").isNull).count() == 0)
   }
