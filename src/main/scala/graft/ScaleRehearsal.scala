@@ -66,6 +66,26 @@ object ScaleRehearsal {
     docs.coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Deterministic 64-d embeddings matching the driver fixture's schema
+    * (vec_id, embedding float[], label): hash-derived uniform components in
+    * [-0.5, 0.5); every vec_id % 10 == 9 copies vec_id-1's vector with one
+    * component nudged (a planted near-duplicate). Distributed generation,
+    * same shape at every scale.
+    */
+  private def generateEmbeddings(spark: SparkSession, dir: String, nVecs: Long): Unit = {
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"))
+      .withColumn("src_id", when(col("vec_id") % 10 === 9, col("vec_id") - 1)
+        .otherwise(col("vec_id")))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), i -> CAST(pmod(hash(src_id * 131 + i), 1000) / 1000.0 - 0.5 AS FLOAT))"))
+      .withColumn("embedding", when(col("vec_id") % 10 === 9,
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.01 AS FLOAT), x))"))
+        .otherwise(col("embedding")))
+      .withColumn("label", pmod(hash(col("src_id") * 17), lit(10)).cast("int"))
+      .select("vec_id", "embedding", "label")
+    vecs.coalesce(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -104,8 +124,18 @@ object ScaleRehearsal {
     BenchWarm.generic(spark, "/root/testdata/sf0.1")
     BenchWarm.families(spark, "/root/testdata/sf0.1")
 
-    for (q <- Seq("ns_dedup_minhash", "ns_dedup_components");
-         (sfName, dir) <- scales) {
+    // Embedding fixtures for the similarity family: 2k matches the sf0.1
+    // row count, then 4x steps (same generator throughout).
+    val simScales = Seq(("vec2k", 2000L), ("vec8k", 8000L),
+      ("vec32k", 32000L)).map { case (name, n) =>
+      val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
+        generateEmbeddings(spark, dir, n)
+      }
+      (name, dir)
+    }
+
+    def measure(q: String, sfName: String, dir: String): Unit = {
       readB.reset(); writeB.reset()
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(q)(spark, dir).count()
@@ -119,6 +149,18 @@ object ScaleRehearsal {
       val rMb = math.round(readB.sum / 1e5) / 10.0
       println(s"""{"query":"$q","sf":"$sfName","rows":$rows,"sec":$sec,"shuffle_write_mb":$wMb,"shuffle_read_mb":$rMb}""")
     }
+
+    for (q <- Seq("ns_dedup_minhash", "ns_dedup_components");
+         (sfName, dir) <- scales) measure(q, sfName, dir)
+    // ivf/lsh top-k are OUTPUT-BOUNDED (100 queries x k rows regardless of
+    // corpus size) — the right scale subjects. Near-dup PAIR ENUMERATION is
+    // Ω(|output|) by definition and the uniform fixture's similarity graph
+    // is dense at the 0.35 threshold (true pairs grow quadratically:
+    // 2.4k/36k/560k at 2k/8k/32k vectors, measured once) — at 100 TB you
+    // raise the threshold or go straight to components, you don't
+    // enumerate a dense graph.
+    for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk");
+         (sfName, dir) <- simScales) measure(q, sfName, dir)
     spark.stop()
   }
 }
