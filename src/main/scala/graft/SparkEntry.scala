@@ -25,6 +25,8 @@ object SparkEntry {
       (SortSetOps.queries, SortSetOps.oracles),
       (ScalarOps.queries, ScalarOps.oracles),
       (TextOps.queries, TextOps.oracles),
+      (SessionOps.queries, SessionOps.oracles),
+      (SamplingOps.queries, SamplingOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),

@@ -139,15 +139,22 @@ class SimilaritySpec extends SparkSpec {
     val assign = emb.select(col("vec_id"),
       SimilarityOps.centroidRanking(lits)(0)("cent_id").as("cluster"))
     // AdaptiveSparkPlanExec is a LEAF node — a plain .children walk would
-    // pass vacuously on any AQE-wrapped plan; recurse into inputPlan like
-    // ServingEndpointsSpec does.
+    // pass vacuously on any AQE-wrapped plan. Worse, its inputPlan is
+    // pre-EnsureRequirements, where NO plan has exchanges yet — so pin
+    // against the plain (AQE-off) executedPlan, which carries the real
+    // exchange nodes if any stage needs one.
     def collectAll(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(collectAll)) ++
         p.subqueries.flatMap(collectAll) ++ (p match {
           case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)
           case _ => Nil
         })
-    val nodes = collectAll(assign.queryExecution.executedPlan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val nodes =
+      try collectAll(assign.queryExecution.executedPlan)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!nodes.exists(_.isInstanceOf[AdaptiveSparkPlanExec]),
+      "AQE still on — an exchange-free pin would be vacuous")
     // Self-check that the walk sees through the AQE wrapper: the scan must
     // be visible (guards against the traversal going vacuous again).
     assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
