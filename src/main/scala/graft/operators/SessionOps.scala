@@ -40,9 +40,9 @@ object SessionOps {
       .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
       .withColumn("new_sess",
         // First event, or gap strictly greater than the threshold ⇒ new
-        // session (ties at exactly GapUs stay merged — same rule as the
-        // oracle; `session_window` uses strict-less-than merge, and the
-        // spec cross-validates the two agree on this data).
+        // session. Ties at exactly GapUs stay merged — the same rule as
+        // the oracle AND as Spark's native session_window (whose window
+        // end is inclusive for the next event; the spec pins a tie case).
         when(lag("tus", 1).over(byUser).isNull
           || col("tus") - lag("tus", 1).over(byUser) > GapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_sess").over(running))

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.operators.SessionOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming sessionization == batch sessionization, across micro-batch
+  * splits, with watermark-driven finalization.
+  */
+class StreamingSessionsSpec extends SparkSpec {
+
+  private val keep = Seq("user_id", "n_events", "start_us", "end_us", "total_value")
+
+  /** Far-future sentinel that pushes the watermark past every real
+    * session's close; its own (still-open) session must never emit.
+    */
+  private val sentinel = (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 999999L, 0.0)
+
+  private def runStream(
+      batches: Seq[Seq[(java.sql.Timestamp, Long, Double)]]): Set[Seq[Any]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val query = StreamingSessions.sessionStream(
+      input.toDS().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData(Seq(sentinel)); query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("sessions_out")
+    assert(out.where(col("user_id") === sentinel._2).isEmpty,
+      "the sentinel's open session leaked into append output")
+    out.selectExpr(keep: _*).collect().map(_.toSeq).toSet
+  }
+
+  test("sessions split across micro-batches merge in state and match batch") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: one session of 3 events (gaps < 8h) straddling the split,
+      // then a second session 20h later
+      (t("2024-01-01 00:00:00"), 1L, 1.0), (t("2024-01-01 05:00:00"), 1L, 2.0),
+      (t("2024-01-01 09:00:00"), 1L, 3.0), (t("2024-01-02 05:00:00"), 1L, 4.0),
+      // user 2: boundary case — a gap of EXACTLY 8h stays merged, in both
+      // session_window (window end is inclusive for the next event) and
+      // the lag form (new session only when gap is strictly > GapUs)
+      (t("2024-01-01 00:00:00"), 2L, 5.0), (t("2024-01-01 08:00:00"), 2L, 6.0))
+    val got = runStream(Seq(rows.take(2), rows.drop(2)))
+    val batch = SessionOps.sessionWindowAgg(rows.toDF("ts", "user_id", "value"))
+      .selectExpr(keep: _*).collect().map(_.toSeq).toSet
+    assert(got == batch, s"streaming $got != batch $batch")
+    assert(got.size == 3, s"expected 2 sessions for user1, 1 merged for user2: $got")
+    assert(got.exists(r => r.head == 2L && r(1) == 2L), "user2's tie did not merge")
+  }
+
+  test("fixture events through two micro-batches equal the batch rollup") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1.getTime)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val got = runStream(Seq(b1, b2))
+    val batch = SessionOps.nsSessionAgg(spark, sfDir)
+      .selectExpr(keep: _*).collect().map(_.toSeq).toSet
+    assert(got == batch,
+      s"sizes ${got.size} vs ${batch.size}; only-stream=${(got -- batch).take(3)} " +
+        s"only-batch=${(batch -- got).take(3)}")
+  }
+
+  test("file pipeline appends each finalized session exactly once across restart") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sess_cp").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    // Time-ordered halves (event_id follows ts in the fixture), so run 2's
+    // watermark catches up past run 1's sessions.
+    val mid = raw.selectExpr("CAST(approx_percentile(ts, 0.5) AS BIGINT)").first().getLong(0)
+    land(raw.where(col("ts") <= mid), "a.parquet")
+    StreamingSessions.sessionFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    // Sentinel file pushes the watermark past every real session's close;
+    // restart consumes ONLY the new files from the checkpointed index.
+    land(raw.where(col("ts") > mid), "b.parquet")
+    land(raw.limit(1).withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw nanos
+      .withColumn("user_id", lit(999999L)), "z_sentinel.parquet")
+    StreamingSessions.sessionFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out).where(col("user_id") =!= 999999L)
+      .selectExpr(keep: _*).collect().map(_.toSeq)
+    val batch = SessionOps.nsSessionAgg(spark, sfDir)
+      .selectExpr(keep: _*).collect().map(_.toSeq)
+    // exactly once: no duplicate session rows across the two runs
+    assert(got.length == got.distinct.length, "duplicate finalized sessions")
+    assert(got.toSet == batch.toSet,
+      s"sizes ${got.length} vs ${batch.length}")
+  }
+}
