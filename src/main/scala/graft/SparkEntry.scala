@@ -27,6 +27,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (SessionOps.queries, SessionOps.oracles),
       (SamplingOps.queries, SamplingOps.oracles),
+      (PackingOps.queries, PackingOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing + corpus mixing over `documents` (builder brief +
+  * SURVEY.md §7.4): the last two steps of a pretraining data pipeline —
+  * concatenate documents into fixed token-budget training chunks, and
+  * interleave heterogeneous sources at controlled ratios.
+  *
+  * Both are deterministic and windowed PER STREAM (lang / source): no
+  * global single-partition window anywhere, so the plans parallelize by
+  * stream at any scale — the 100 TB form packs each shard independently,
+  * which is exactly how packing is run in practice (chunk boundaries are
+  * a per-shard, not global, property).
+  */
+object PackingOps {
+
+  /** Tokens per training chunk. Fixture docs run ~10-110 BPE-ish tokens,
+    * so 256 gives multi-document chunks with regular straddles.
+    */
+  val ChunkTokens: Long = 256L
+
+  private val bpeTokens: Column =
+    expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+      .cast("long")
+
+  /** Concat-and-chunk packing (the standard pretraining form): documents
+    * concatenate in deterministic order within their language stream and
+    * the stream is cut every [[ChunkTokens]] tokens; a document spans
+    * chunks [first_chunk, last_chunk]. One exchange on `lang` for the
+    * running-sum window; everything else is arithmetic on the row.
+    */
+  def nsPackChunks(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bpeTokens.as("toks"))
+      .withColumn("cum_before", coalesce(sum("toks").over(byLang), lit(0L)))
+      .select(
+        col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        // `div`, not `/`: Long integer division end-to-end (a double
+        // divide would be exact here but only below 2^53 tokens).
+        expr(s"cum_before div $ChunkTokens").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div $ChunkTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Deterministic weighted source interleave (the "temperature mixing"
+    * step): each source is shuffled by the affine sample key, then rows
+    * merge in order of rank/weight — a source with weight w contributes
+    * w rows per unit of mix position. The position is kept in EXACT
+    * integer arithmetic (rank·6/w with w ∈ {1,2,3}) so both engines
+    * order identically with no float ties. Per-source windows only; the
+    * merge itself is just a sort key, not a global window.
+    */
+  def nsCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+      .orderBy("sample_key", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        SamplingOps.sampleKeyCol)
+      .withColumn("src_weight",
+        (substring(col("source"), 4, 10).cast("long") % 3 + 1))
+      .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
+      .withColumn("pos6", expr("rank_in_source * 6 div src_weight"))
+      .select("doc_id", "source", "lang", "src_weight", "rank_in_source", "pos6")
+      .orderBy("pos6", "source", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_pack_chunks" -> (nsPackChunks _),
+    "ns_corpus_mix" -> (nsCorpusMix _))
+
+  val oracles: Map[String, String] = Map(
+    "ns_pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (
+         |  -- DuckDB SUM(BIGINT) is HUGEINT; cast back so the schema
+         |  -- (and every derived //) stays BIGINT like the Spark side.
+         |  SELECT doc_id, lang, toks,
+         |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, lang, toks, cum_before,
+         |       cum_before // ${ChunkTokens} AS first_chunk,
+         |       (cum_before + toks - 1) // ${ChunkTokens} AS last_chunk,
+         |       (cum_before + toks - 1) // ${ChunkTokens} - cum_before // ${ChunkTokens} + 1 AS n_chunks
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "ns_corpus_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, lang,
+        |         (doc_id * 2654435761 + 97) % 1000000007 AS sample_key,
+        |         CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS src_weight
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, lang, src_weight,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY sample_key, doc_id) AS BIGINT) AS rank_in_source
+        |  FROM h)
+        |SELECT doc_id, source, lang, src_weight, rank_in_source,
+        |       rank_in_source * 6 // src_weight AS pos6
+        |FROM r ORDER BY pos6, source, doc_id""".stripMargin)
+}

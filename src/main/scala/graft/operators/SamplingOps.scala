@@ -23,7 +23,7 @@ object SamplingOps {
     * dense from 0, and at larger scale the key column would be hashed
     * first — documented, not hidden).
     */
-  private val sampleKey: Column =
+  private[operators] val sampleKeyCol: Column =
     pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)).as("sample_key")
 
   /** Exact stratified 20% sample: per-language quota = ceil(0.2 · |lang|),
@@ -36,7 +36,7 @@ object SamplingOps {
   def nsCorpusSampleExact(spark: SparkSession, dir: String): DataFrame = {
     val byLang = Window.partitionBy("lang")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKey)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKeyCol)
       .withColumn("sample_rank",
         row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
       .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.2))
@@ -53,7 +53,7 @@ object SamplingOps {
     */
   def nsCorpusSampleHash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKey)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKeyCol)
       .where(col("sample_key") % 5 === 0)
       .orderBy("doc_id")
 

@@ -8,6 +8,33 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  protected def collectAllPlans(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAllPlans)) ++
+      p.subqueries.flatMap(collectAllPlans) ++ (p match {
+        case a: AdaptiveSparkPlanExec => collectAllPlans(a.inputPlan)
+        case _ => Nil
+      })
+
+  /** Plan nodes with AQE off: AdaptiveSparkPlanExec.inputPlan is
+    * pre-EnsureRequirements (NO exchanges yet), so any exchange-counting
+    * pin against it passes vacuously. A plain executedPlan carries the
+    * real ShuffleExchangeExec nodes.
+    */
+  protected def noAqeNodes(build: => org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nodes = collectAllPlans(build.queryExecution.executedPlan)
+      assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
+        s"plan walk found no scan — traversal broken:\n${nodes.map(_.nodeName)}")
+      assert(!nodes.exists(_.isInstanceOf[AdaptiveSparkPlanExec]),
+        "AQE still on — exchange counts would be vacuous")
+      nodes
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
 
 object SparkSpec {

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Packing/mixing invariants + plan pins. */
+class PackingOpsSpec extends SparkSpec {
+
+  test("pack chunks: per-lang streams are contiguous with no token holes") {
+    val rows = PackingOps.nsPackChunks(spark, sfDir)
+      .orderBy("lang", "doc_id")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      // cum_before is exactly the running total (no holes, no overlap)
+      var expected = 0L
+      docs.foreach { case (_, toks, cumBefore, first, last) =>
+        assert(cumBefore == expected, s"$lang: hole at cum_before=$cumBefore")
+        assert(first == cumBefore / PackingOps.ChunkTokens)
+        assert(last == (cumBefore + toks - 1) / PackingOps.ChunkTokens)
+        assert(last >= first)
+        expected += toks
+      }
+      // the stream covers chunks 0..max with no skipped chunk index
+      val covered = docs.flatMap(d => d._4 to d._5).toSet
+      assert(covered == (0L to covered.max).toSet, s"$lang: chunk hole")
+    }
+    // and straddles actually occur at this budget (the operator is not
+    // degenerate one-doc-per-chunk)
+    assert(rows.exists(r => r._5 > r._4), "no document straddles a chunk")
+  }
+
+  test("corpus mix: prefix source counts track weights; per-source order is by sample key") {
+    val rows = PackingOps.nsCorpusMix(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val weights = rows.groupBy(_._1).map { case (s, rs) => s -> rs.head._2 }
+    val totalW = weights.values.sum.toDouble
+    // In a prefix where no source is exhausted, each source's share is
+    // within ±2 rows of N·w/Σw (integer pos6 ties permit small jitter).
+    val perSource = rows.map(_._1).groupBy(identity).map { case (s, g) => s -> g.size }
+    val n = (perSource.values.min * totalW / weights.values.max).toInt.min(rows.length)
+    val prefix = rows.take(n).groupBy(_._1).map { case (s, g) => s -> g.size }
+    weights.foreach { case (s, w) =>
+      val got = prefix.getOrElse(s, 0).toDouble
+      val want = n * w / totalW
+      assert(math.abs(got - want) <= 2.0,
+        s"source $s (w=$w): $got rows in prefix $n, expected ~$want")
+    }
+    // rank_in_source is dense 1..|source| (the shuffled order is a permutation)
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq, s"$s ranks not dense")
+    }
+  }
+
+  test("packing plans: one hash exchange per stream window, none for the mix ranks beyond source") {
+    val packShuffles = noAqeNodes(PackingOps.nsPackChunks(spark, sfDir))
+      .collect { case e: ShuffleExchangeExec => e }
+    val (packRange, packHash) = packShuffles.partition(
+      _.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(packHash.size == 1 && packHash.head.outputPartitioning.toString.contains("lang"),
+      s"pack: expected one lang hash exchange, got ${packHash.map(_.outputPartitioning)}")
+    assert(packRange.size <= 1)
+
+    val mixShuffles = noAqeNodes(PackingOps.nsCorpusMix(spark, sfDir))
+      .collect { case e: ShuffleExchangeExec => e }
+    val (mixRange, mixHash) = mixShuffles.partition(
+      _.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(mixHash.size == 1 && mixHash.head.outputPartitioning.toString.contains("source"),
+      s"mix: expected one source hash exchange, got ${mixHash.map(_.outputPartitioning)}")
+    assert(mixRange.size <= 1)
+  }
+}

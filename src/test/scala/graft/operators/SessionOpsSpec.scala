@@ -10,30 +10,6 @@ import org.apache.spark.sql.functions._
 /** Sessionization + sampling semantics and plan-shape pins. */
 class SessionOpsSpec extends SparkSpec {
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectAll)) ++
-      p.subqueries.flatMap(collectAll) ++ (p match {
-        case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)
-        case _ => Nil
-      })
-
-  /** Plan nodes with AQE off: AdaptiveSparkPlanExec.inputPlan is
-    * pre-EnsureRequirements (NO exchanges yet), so any exchange-COUNTING
-    * pin against it passes vacuously. A plain executedPlan carries the
-    * real ShuffleExchangeExec nodes.
-    */
-  private def noAqeNodes(build: => org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val nodes = collectAll(build.queryExecution.executedPlan)
-      assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
-        s"plan walk found no scan — traversal broken:\n${nodes.map(_.nodeName)}")
-      assert(!nodes.exists(_.isInstanceOf[AdaptiveSparkPlanExec]),
-        "AQE still on — exchange counts would be vacuous")
-      nodes
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-  }
-
   test("lag-based sessions match Spark's native session_window exactly") {
     val lagBased = SessionOps.nsSessionAgg(spark, sfDir)
       .select("user_id", "n_events", "start_us", "end_us", "total_value")
