@@ -59,28 +59,40 @@ object SamplingOps {
 
   /** Per-language length quantiles (exact linear-interpolation
     * percentiles), plus an in-query accuracy gate on the sketch path:
-    * `approx_percentile` (t-digest-style, single streaming pass — what
-    * 100 TB actually runs) must land within 5% of exact, and the oracle
-    * pins that boolean TRUE — same pattern as the HLL gate in op31b.
-    * Exact `percentile` buffers each group's values (fine for a
-    * per-language profile: group count = |langs|, values spill-safe);
-    * the sketch is the scale path precisely because it does not.
+    * `approx_percentile` (single streaming pass, bounded memory — what
+    * 100 TB actually runs) is gated by RANK, not value: at accuracy
+    * 10000 its rank error is ≤ ⌈n/10000⌉, so the sketch value must lie
+    * between the order statistics bracketing the interpolated position,
+    * widened by that slack. (A value-relative gate is data-dependent —
+    * adjacent order stats can sit arbitrarily far apart — and flaked at
+    * sf0.001.) The oracle pins the gate TRUE — the op31b HLL pattern.
+    * Exact `percentile`/collect_list buffer each group's values (fine
+    * for a per-language profile: group count = |langs|); the sketch is
+    * the scale path precisely because it does not.
     */
   def nsTextQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qArr = Array(0.25, 0.5, 0.75, 0.9)
     val qs = "array(0.25D, 0.5D, 0.75D, 0.9D)"
+    val n = size(col("vals"))
+    val pos = element_at(lit(qArr), col("qi") + 1) * (n - 1)
+    val slack = ceil(n / 10000.0)
+    val loIdx = greatest(floor(pos) - slack, lit(0)).cast("int")
+    val hiIdx = least(ceil(pos) + slack, (n - 1).cast("long")).cast("int")
+    val approx = element_at(col("approx_qs"), col("qi") + 1)
     Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(
         expr(s"percentile(n_chars, $qs)").as("exact_qs"),
-        expr(s"approx_percentile(n_chars, $qs, 10000)").as("approx_qs"))
+        expr(s"approx_percentile(n_chars, $qs, 10000)").as("approx_qs"),
+        array_sort(collect_list(col("n_chars"))).as("vals"))
       .select(col("lang"), posexplode(col("exact_qs")).as(Seq("qi", "qv")),
-        col("approx_qs"))
+        col("approx_qs"), col("vals"))
       .select(
         col("lang"),
-        element_at(lit(Array(0.25, 0.5, 0.75, 0.9)), col("qi") + 1).as("q"),
+        element_at(lit(qArr), col("qi") + 1).as("q"),
         round(col("qv"), 6).as("n_chars_q"),
-        (abs(element_at(col("approx_qs"), col("qi") + 1) - col("qv"))
-          <= col("qv") * 0.05).as("approx_within_5pct"))
+        (approx >= element_at(col("vals"), loIdx + 1)
+          && approx <= element_at(col("vals"), hiIdx + 1)).as("approx_rank_ok"))
       .orderBy("lang", "q")
   }
 
@@ -116,6 +128,6 @@ object SamplingOps {
         |SELECT lang,
         |       unnest([0.25, 0.5, 0.75, 0.9]) AS q,
         |       round(unnest(qs), 6) AS n_chars_q,
-        |       TRUE AS approx_within_5pct
+        |       TRUE AS approx_rank_ok
         |FROM q ORDER BY lang, q""".stripMargin)
 }
