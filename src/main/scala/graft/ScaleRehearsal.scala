@@ -86,6 +86,31 @@ object ScaleRehearsal {
     vecs.coalesce(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Deterministic events fixtures for the sessionization family: users
+    * scale WITH row count at a fixed 67 events/user (the per-user series
+    * — the unit sessionization works on — is self-similar; only the user
+    * population grows). ts is raw TIMESTAMP(NANOS)-style Long like the
+    * driver fixture; per-user steps are 6 h ± a hashed 0-12 h jitter, so
+    * a healthy fraction of gaps crosses the 8 h session threshold.
+    */
+  private def generateEvents(spark: SparkSession, dir: String, nEvents: Long): Unit = {
+    val perUser = 67L
+    val baseNs = 1704067200000000000L // 2024-01-01
+    val hourNs = 3600L * 1000000000L
+    val events = spark.range(nEvents).select(col("id").as("event_id"))
+      .withColumn("user_id", expr(s"event_id div $perUser"))
+      .withColumn("seq", pmod(col("event_id"), lit(perUser)))
+      .withColumn("ts",
+        lit(baseNs) + col("seq") * lit(6L * hourNs)
+          + pmod(hash(col("user_id") * 131 + col("seq")), lit(12L * hourNs)))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value",
+        (pmod(hash(col("event_id") * 17), lit(10000)) / lit(100.0)))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(8).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -138,7 +163,17 @@ object ScaleRehearsal {
     def measure(q: String, sfName: String, dir: String): Unit = {
       readB.reset(); writeB.reset()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, dir).count()
+      // Execute the FULL physical plan (windows, sorts, payload columns),
+      // not .count(): for a count-only consumer Catalyst legally prunes
+      // payload expressions — a projection+window+sort plan collapses to
+      // a parquet-footer count (measured: 472 B of shuffle for the 100k-row
+      // packing query) and the "measurement" would be of nothing.
+      val df = SparkEntry.queries(q)(spark, dir)
+      val acc = spark.sparkContext.longAccumulator(s"rows_$q")
+      df.queryExecution.toRdd.foreachPartition { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; acc.add(n)
+      }
+      val rows = acc.value
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -161,6 +196,21 @@ object ScaleRehearsal {
     // enumerate a dense graph.
     for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
+
+    // Sessionization: 100k events matches the sf0.1 row count, then 4x
+    // steps with users scaling alongside (fixed 67 events/user — the
+    // per-user series is the self-similar unit). Packing reuses the
+    // document corpora (per-lang streams; the window is the subject).
+    val sessScales = Seq(("ev100k", 100000L), ("ev400k", 400000L),
+      ("ev1600k", 1600000L)).map { case (name, n) =>
+      val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").isFile) {
+        generateEvents(spark, dir, n)
+      }
+      (name, dir)
+    }
+    for ((sfName, dir) <- sessScales) measure("ns_session_agg", sfName, dir)
+    for ((sfName, dir) <- scales) measure("ns_pack_chunks", sfName, dir)
     spark.stop()
   }
 }

@@ -21,11 +21,19 @@ object TimeQ {
       BenchWarm.generic(spark, dir)
       BenchWarm.families(spark, dir)
     }
+    // SPARK_GRAFT_FULL=1 times the dataset's own physical plan to the last
+    // row (Bench's full_s), instead of the count() consumer (Bench's
+    // `queries` series) — count() lets Catalyst prune payload expressions.
+    val full = sys.env.get("SPARK_GRAFT_FULL").contains("1")
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        if (full)
+          fn(spark, dir).queryExecution.toRdd.foreachPartition { it =>
+            while (it.hasNext) it.next()
+          }
+        else fn(spark, dir).count()
         println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
         // SPARK_GRAFT_COLD=1 measures each run cache-cold like Bench does
         // (run2+ still benefit from JIT warmth — the steady-state signal).
