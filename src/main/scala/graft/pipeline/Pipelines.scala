@@ -475,7 +475,52 @@ object Pipelines {
       .orderBy("predicted_lang", "tier")
   }
 
+  /** The COMPLETE corpus-build pipeline, survivor to training chunk:
+    * dedup survivorship → quality gate (drop tier 'low') → language ID →
+    * deterministic 50% stratified sample per predicted language →
+    * concat-and-chunk packing at [[graft.operators.PackingOps.ChunkTokens]]
+    * tokens. Output is one row per SELECTED document with its sample rank
+    * and chunk span — the manifest a pretraining data job materializes.
+    *
+    * Composition of published operators ([[graft.operators.DedupOps]],
+    * [[graft.operators.TextOps]], [[graft.operators.SamplingOps]]'s
+    * affine key, [[graft.operators.PackingOps]]'s chunk arithmetic); the
+    * oracle composes those operators' published SQL the same way. Scale
+    * shape: the dedup stage dominates (banded, see PLANS.md); everything
+    * after is one exchange on predicted_lang shared by the sample-rank
+    * window, the packing window, and nothing else.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("predicted_lang")
+    val packW = byLang.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = graft.operators.DedupOps.nsDedupCorpus(spark, dir).select("doc_id")
+    val quality = graft.operators.TextOps.nsTextQuality(spark, dir)
+      .select("doc_id", "tier").where(col("tier") =!= "low")
+    val lang = graft.operators.TextOps.nsTextLangId(spark, dir)
+      .select("doc_id", "predicted_lang")
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("toks"))
+    survivors.join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+      .withColumn("sample_key",
+        pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)))
+      .withColumn("sample_rank",
+        row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
+      .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.5))
+      .where(col("sample_rank") <= col("quota"))
+      .withColumn("cum_before", coalesce(sum("toks").over(packW), lit(0L)))
+      .select(
+        col("doc_id"), col("predicted_lang"), col("tier"), col("toks"),
+        col("sample_rank"), col("cum_before"),
+        expr(s"cum_before div ${graft.operators.PackingOps.ChunkTokens}").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div ${graft.operators.PackingOps.ChunkTokens}")
+          .as("last_chunk"))
+      .orderBy("predicted_lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus_build" -> (corpusBuild _),
     "pipe_index_apr_average" -> (indexAprAverage _),
     "pipe_lsd_wise_apr" -> (lsdWiseApr _),
     "pipe_user_income_mev" -> (userIncomeMev _),
@@ -536,6 +581,42 @@ object Pipelines {
   /** Composes the published oracles of the constituent operators as
     * subqueries — the SQL moves in lockstep with the operator oracles.
     */
+  private def corpusBuildOracle: String = {
+    val chunk = graft.operators.PackingOps.ChunkTokens
+    s"""WITH surv AS (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_dedup_corpus")}) c),
+       |qual AS (SELECT doc_id, tier
+       |         FROM (${graft.operators.TextOps.oracles("ns_text_quality")}) q
+       |         WHERE tier <> 'low'),
+       |lng AS (SELECT doc_id, predicted_lang
+       |        FROM (${graft.operators.TextOps.oracles("ns_text_langid")}) l),
+       |tok AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+       |        FROM documents),
+       |base AS (
+       |  SELECT s.doc_id, lng.predicted_lang, qual.tier, tok.toks,
+       |         (s.doc_id * 2654435761 + 97) % 1000000007 AS sample_key
+       |  FROM surv s
+       |  JOIN qual ON s.doc_id = qual.doc_id
+       |  JOIN lng ON s.doc_id = lng.doc_id
+       |  JOIN tok ON s.doc_id = tok.doc_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY predicted_lang
+       |              ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank,
+       |         count(*) OVER (PARTITION BY predicted_lang) AS cnt
+       |  FROM base),
+       |sel AS (SELECT * FROM r WHERE sample_rank <= ceil(cnt * 0.5)),
+       |p AS (
+       |  SELECT doc_id, predicted_lang, tier, toks, sample_rank,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY predicted_lang
+       |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              0) AS BIGINT) AS cum_before
+       |  FROM sel)
+       |SELECT doc_id, predicted_lang, tier, toks, sample_rank, cum_before,
+       |       cum_before // $chunk AS first_chunk,
+       |       (cum_before + toks - 1) // $chunk AS last_chunk
+       |FROM p ORDER BY predicted_lang, doc_id""".stripMargin
+  }
+
   private def trainingCorpusOracle: String =
     s"""SELECT l.predicted_lang, q.tier, count(*) AS n_docs,
        |       CAST((sum(CAST(round((q.quality_score + 1) * 1e6) AS BIGINT)) * 2
@@ -647,6 +728,7 @@ object Pipelines {
          |FROM latest JOIN cust ON user_id = c_custkey
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
+    "pipe_corpus_build" -> corpusBuildOracle,
     "pipe_extract_catchup" ->
       s"""WITH f AS (SELECT max($epochExpr) AS finalized_epoch FROM events),
          |ls AS (SELECT user_id, max($epochExpr) AS last_epoch FROM events GROUP BY user_id),
