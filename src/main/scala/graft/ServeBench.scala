@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   * regressions (catalog/analyzer locks, codegen cache churn, scheduler
   * fairness) that a one-query-at-a-time bench can't see.
   *
-  * `pipe_training_corpus` is excluded — it is the batch corpus-composition
-  * pipeline, not a serving endpoint.
+  * `pipe_training_corpus` and `pipe_corpus_build` are excluded — they are
+  * the batch corpus-curation pipelines, not serving endpoints.
   *
   * Usage: `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_THREADS=8 SPARK_GRAFT_ROUNDS=3
   *   sbt "runMain graft.ServeBench"` → one JSON line on stdout.
@@ -38,7 +38,9 @@ object ServeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val pipes = SparkEntry.queries.toSeq
-      .filter { case (n, _) => n.startsWith("pipe_") && n != "pipe_training_corpus" }
+      .filter { case (n, _) =>
+        n.startsWith("pipe_") &&
+          n != "pipe_training_corpus" && n != "pipe_corpus_build" }
       .sortBy(_._1)
 
     // Warm once single-threaded: codegen/footers are per-JVM costs a
