@@ -29,7 +29,7 @@ object DedupOps {
     * distincts it and [[shingleSetsOnePass]] set-aggregates it, so the
     * exact-Jaccard and MinHash paths cannot desynchronize.
     */
-  private def explodedShingles(docs: DataFrame): DataFrame =
+  private[operators] def explodedShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
       .where(size(col("w")) >= 3)
@@ -571,7 +571,36 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION — the eval-leak scan every pretraining
+    * corpus runs: a probe set's distinct shingles (here the doc_id ≡ 0
+    * mod 50 slice — in production, the benchmark/eval suites) are joined
+    * against the corpus's shingles; any overlap is reported with its
+    * ratio, and heavy overlap (≥ 10 shared shingles) is flagged for
+    * drop. Shares [[shingles]] with the whole dedup family — one
+    * tokenization definition, oracle in lockstep via the same CTE.
+    *
+    * Scale shape: eval sets are tiny vs the corpus, so the probe-side
+    * distinct shingle set BROADCASTS; the corpus side streams through
+    * the hash semi-join and only the per-doc count aggregations shuffle
+    * (on doc_id). No corpus-vs-corpus join anywhere.
+    */
+  def nsDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val benchSh = shingles(docs.where(col("doc_id") % 50 === 0))
+      .select("sh").distinct()
+    val corpusSh = shingles(docs.where(col("doc_id") % 50 =!= 0))
+    val card = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      .join(card, "doc_id")
+      .select(col("doc_id"), col("n_common"), col("n_shingles"),
+        round(col("n_common") / col("n_shingles"), 6).as("contamination_ratio"),
+        (col("n_common") >= 10).as("drop_doc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_decontaminate" -> (nsDecontaminate _),
     "ns_dedup_exact" -> (nsDedupExact _),
     "ns_dedup_jaccard" -> (nsDedupJaccard _),
     "ns_dedup_minhash" -> (nsDedupMinhash _),
@@ -724,6 +753,19 @@ object DedupOps {
        |ORDER BY batch_doc, corpus_doc""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ns_decontaminate" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+         |ccard AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+         |ov AS (
+         |  SELECT c.doc_id, count(*) AS n_common
+         |  FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
+         |SELECT ov.doc_id, ov.n_common, ccard.n_shingles,
+         |       round(ov.n_common * 1.0 / ccard.n_shingles, 6) AS contamination_ratio,
+         |       ov.n_common >= 10 AS drop_doc
+         |FROM ov JOIN ccard ON ov.doc_id = ccard.doc_id
+         |ORDER BY ov.doc_id""".stripMargin,
     "ns_dedup_minhash" -> minhashOracle,
     "ns_dedup_simhash" -> simhashOracle,
     "ns_dedup_incremental" -> incrementalOracle,

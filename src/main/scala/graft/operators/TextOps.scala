@@ -193,7 +193,30 @@ object TextOps {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Intra-document repetition scoring (the Gopher-style repetition
+    * filter): duplicate word-3-gram ratio and the top 3-gram's share of
+    * all occurrences. Reuses [[DedupOps.explodedShingles]] — ONE
+    * tokenization definition across the dedup and text families (the
+    * fingerprint stands in for the string; same-fingerprint collisions
+    * are the dedup family's documented negligible odds). Per-row explode
+    * + two doc_id-clustered aggregations; no cross-doc joins at all, so
+    * the shape is scan-bound at any scale.
+    */
+  def nsTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.explodedShingles(Tables.documents(spark, dir))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("total_3grams"),
+        count(lit(1)).as("uniq_3grams"),
+        max("c").as("top_count"))
+      .select(col("doc_id"), col("total_3grams"), col("uniq_3grams"),
+        round(lit(1) - col("uniq_3grams") / col("total_3grams"), 6).as("dup_ratio"),
+        round(col("top_count") / col("total_3grams"), 6).as("top_share"))
+      .withColumn("repetitive", col("dup_ratio") > 0.03)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_repetition" -> (nsTextRepetition _),
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
@@ -202,6 +225,26 @@ object TextOps {
     "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
   val oracles: Map[String, String] = Map(
+    "ns_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, shingle, count(*) AS c FROM occ GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS total_3grams,
+        |         count(*) AS uniq_3grams,
+        |         CAST(max(c) AS BIGINT) AS top_count
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, total_3grams, uniq_3grams,
+        |       round(1 - uniq_3grams * 1.0 / total_3grams, 6) AS dup_ratio,
+        |       round(top_count * 1.0 / total_3grams, 6) AS top_share,
+        |       round(1 - uniq_3grams * 1.0 / total_3grams, 6) > 0.03 AS repetitive
+        |FROM d ORDER BY doc_id""".stripMargin,
     "ns_text_rollhash" -> rollhashOracle,
     "ns_text_rollhash_fast" -> rollhashOracle,
     "ns_text_tokens" ->
