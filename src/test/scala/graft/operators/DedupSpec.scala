@@ -162,6 +162,37 @@ class DedupSpec extends SparkSpec {
       DedupOps.minhashNearDupPairs(sets, DedupOps.signaturesFromSets(sets), 0.5)))
   }
 
+  test("decontamination: probe side broadcasts; overlap matches a per-doc recompute") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = DedupOps.nsDecontaminate(spark, sfDir)
+    val nodes = noAqeNodes(df)
+    // the shingle-overlap join must be the broadcast hash join (probe set
+    // is tiny vs the corpus); a sort-merge there would mean the corpus
+    // shuffled on the shingle key — the shape that dies at 100 TB
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"no broadcast join in decontamination plan:\n${nodes.map(_.nodeName)}")
+    assert(!nodes.exists {
+      case j: SortMergeJoinExec =>
+        j.leftKeys.exists(_.references.exists(_.name == "sh"))
+      case _ => false
+    }, "corpus shingles were shuffled for the probe join")
+    // semantic check vs an independent scala recompute on the raw text
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    def sh(ws: Seq[String]): Set[String] =
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    val bench = docs.collect { case (id, ws) if id % 50 == 0 => sh(ws) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val want = docs.collect {
+      case (id, ws) if id % 50 != 0 && (sh(ws) & bench).nonEmpty =>
+        id -> (sh(ws) & bench).size.toLong
+    }.toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"overlap mismatch: ${(got.toSet diff want.toSet).take(3)}")
+  }
+
   test("exact dedup keeps one survivor per fingerprint") {
     val out = DedupOps.nsDedupExact(spark, sfDir).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
