@@ -46,4 +46,32 @@ class PipelineGoldenSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
     assert(board.toSeq == Seq(("B", 30.0, 0.0, 1L), ("A", 25.0, 5.0, 2L)))
   }
+
+  test("corpus build: selected docs are high-quality survivors; per-lang streams pack contiguously") {
+    val rows = Pipelines.corpusBuild(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // every selected doc is a dedup survivor and not low-quality
+    val survivors = graft.operators.DedupOps.nsDedupCorpus(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lowQ = graft.operators.TextOps.nsTextQuality(spark, sfDir)
+      .where(col("tier") === "low").select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, _, tier, _, _, _, _, _) =>
+      assert(survivors(id), s"doc $id not a survivor")
+      assert(!lowQ(id) && tier != "low", s"doc $id is low quality")
+    }
+    // the 50% per-lang quota holds, and packing is hole-free per stream
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val ranks = docs.map(_._5).sorted
+      assert(ranks.toSeq == (1L to docs.length).toSeq, s"$lang ranks not dense")
+      var expected = 0L
+      docs.sortBy(_._1).foreach { case (_, _, _, toks, _, cumBefore, first, last) =>
+        assert(cumBefore == expected, s"$lang: packing hole at $cumBefore")
+        assert(first == cumBefore / graft.operators.PackingOps.ChunkTokens)
+        assert(last >= first)
+        expected += toks
+      }
+    }
+  }
 }
