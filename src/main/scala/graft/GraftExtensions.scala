@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
         MinHashAgg(children.head, DedupOps.hashParams, DedupOps.Prime)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_from_set"),
+      new ExpressionInfo(classOf[graft.functions.MinHashFromSet].getName, "minhash_from_set"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinHashFromSet(children.head, DedupOps.hashParams, DedupOps.Prime)))
   }
 }

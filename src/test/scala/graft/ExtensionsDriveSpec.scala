@@ -57,6 +57,12 @@ class ExtensionsDriveSpec extends AnyFunSuite {
         (7L * a + b) % graft.operators.DedupOps.Prime
       }
       assert(sig == expected, s"$sig != $expected")
+      // minhash_from_set: the one-pass scalar twin over an array input
+      // must agree with the aggregate form on a one-element set.
+      val sig2 = s.sql(
+        "SELECT minhash_from_set(array(CAST(7 AS BIGINT))) AS sig")
+        .collect().head.getSeq[Long](0)
+      assert(sig2 == expected, s"minhash_from_set $sig2 != $expected")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
