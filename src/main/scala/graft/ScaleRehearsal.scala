@@ -210,7 +210,13 @@ object ScaleRehearsal {
       (name, dir)
     }
     for ((sfName, dir) <- sessScales) measure("ns_session_agg", sfName, dir)
-    for ((sfName, dir) <- scales) measure("ns_pack_chunks", sfName, dir)
+    // Filters over the document corpora: packing (per-lang window),
+    // decontamination (probe-set broadcast semi-join — the probe is the
+    // fixed %50 slice, so it grows with the corpus here; in production it
+    // is a fixed eval set and the flat-broadcast property is even
+    // stronger), repetition (explode + doc-clustered agg, scan-bound).
+    for (q <- Seq("ns_pack_chunks", "ns_decontaminate", "ns_text_repetition");
+         (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }
 }

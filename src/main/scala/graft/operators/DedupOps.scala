@@ -42,6 +42,24 @@ object DedupOps {
   private[operators] def shingles(docs: DataFrame): DataFrame =
     explodedShingles(docs).distinct()
 
+  /** The SAME per-doc distinct shingle set as [[shingleSetsOnePass]], as a
+    * PURE PROJECTION (array_distinct over a transform) — zero exchanges,
+    * but the fingerprinting runs in higher-order-function lambdas
+    * (interpreted, not codegen). Measured at the 100k-doc rehearsal this
+    * costs ~4x the wall of the explode→collect_set form even though that
+    * one shuffles — kept as the documented (and spec-pinned, vs
+    * [[shingleSetsOnePass]]) twin so the trade stays measured, NOT as a
+    * recommended path. See [[nsDecontaminate]]'s scaladoc for numbers.
+    */
+  private[operators] def arrayShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> " +
+          "CAST(conv(substring(sha2(concat_ws(' ', w[i], w[i+1], w[i+2]), 256), 1, 15), 16, 10) AS BIGINT))"))
+        .as("shs"))
+
   /** Exact Jaccard over pairs that share >=1 shingle. The shingle
     * equality join IS the candidate pruning: disjoint docs never meet —
     * that join is the exact query's contract (LSH variants replace it
@@ -580,9 +598,17 @@ object DedupOps {
     * tokenization definition, oracle in lockstep via the same CTE.
     *
     * Scale shape: eval sets are tiny vs the corpus, so the probe-side
-    * distinct shingle set BROADCASTS; the corpus side streams through
-    * the hash semi-join and only the per-doc count aggregations shuffle
-    * (on doc_id). No corpus-vs-corpus join anywhere.
+    * distinct shingle set BROADCASTS; the corpus side streams through the
+    * broadcast hash join and the (doc, shingle) distinct — a LINEAR,
+    * uniformly-hashed shuffle, the same one-wide-operation posture as
+    * [[shingleSetsOnePass]]. Two "shuffle-free" rewrites were measured
+    * and REJECTED (100k-doc rehearsal, local[32]): per-doc in-array
+    * distinct via interpreted HOF lambdas cut shuffle 172 MB → ~1 MB but
+    * cost 4-8x the wall (sha256-in-lambda 18 s, string array_distinct
+    * 34 s, vs 4.4 s here) — fingerprinting in codegen plus a linear
+    * exchange beats interpreted per-row set algebra at every scale where
+    * the exchange is not the bottleneck, and it parallelizes when it is.
+    * No corpus-vs-corpus join anywhere.
     */
   def nsDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -162,6 +162,16 @@ class DedupSpec extends SparkSpec {
       DedupOps.minhashNearDupPairs(sets, DedupOps.signaturesFromSets(sets), 0.5)))
   }
 
+  test("projection-form shingle sets equal the explode->collect_set sets") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val viaAgg = DedupOps.shingleSetsOnePass(docs)
+      .select("doc_id", "shs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val viaProj = DedupOps.arrayShingles(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(viaProj.nonEmpty && viaProj == viaAgg)
+  }
+
   test("decontamination: probe side broadcasts; overlap matches a per-doc recompute") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     val df = DedupOps.nsDecontaminate(spark, sfDir)
@@ -173,7 +183,8 @@ class DedupSpec extends SparkSpec {
       s"no broadcast join in decontamination plan:\n${nodes.map(_.nodeName)}")
     assert(!nodes.exists {
       case j: SortMergeJoinExec =>
-        j.leftKeys.exists(_.references.exists(_.name == "sh"))
+        j.leftKeys.exists(_.references.exists(r =>
+          r.name == "sh" || r.name == "shingle"))
       case _ => false
     }, "corpus shingles were shuffled for the probe join")
     // semantic check vs an independent scala recompute on the raw text
