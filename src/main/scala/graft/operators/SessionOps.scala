@@ -33,11 +33,18 @@ object SessionOps {
     * Timestamps stay in epoch-micros Longs end-to-end — exact arithmetic,
     * and the DuckDB oracle mirrors it with epoch_us(ts).
     */
-  def nsSessionAgg(spark: SparkSession, dir: String): DataFrame = {
+  def nsSessionAgg(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value")))
+
+  /** The sessionization core over any (user_id, tus: Long, value) frame —
+    * [[nsSessionAgg]] binds it to the fixture events; the property spec
+    * drives it with adversarial random series (exact-gap ties included).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("tus")
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+    events
       .withColumn("new_sess",
         // First event, or gap strictly greater than the threshold ⇒ new
         // session. Ties at exactly GapUs stay merged — the same rule as

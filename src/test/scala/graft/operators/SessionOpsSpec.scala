@@ -28,6 +28,48 @@ class SessionOpsSpec extends SparkSpec {
       "no user with more than one session")
   }
 
+  test("property: random series with exact-gap ties match a brute-force fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val gap = SessionOps.GapUs
+    for (trial <- 1 to 3) {
+      // increments draw from {exactly gap, gap±1, small, huge}: the tie
+      // (exactly gap ⇒ MERGE) and both near-misses are always exercised
+      val rows = (1L to 6L).flatMap { uid =>
+        var t = 1700000000000000L + uid
+        (0 until 40).map { _ =>
+          t += (rnd.nextInt(5) match {
+            case 0 => gap
+            case 1 => gap - 1
+            case 2 => gap + 1
+            case 3 => rnd.nextLong(1000000L) + 1
+            case _ => gap * 3
+          })
+          (uid, t, (rnd.nextInt(1000) + 1).toDouble / 4.0)
+        }
+      }
+      val got = SessionOps.sessionize(rows.toDF("user_id", "tus", "value"))
+        .collect().map(_.toSeq)
+      // brute force: fold each user's sorted series, splitting at > gap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(_._2)
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          case (acc, e) =>
+            if (e._2 - acc.last.last._2 > gap) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          Seq[Any](uid, (i + 1).toLong, s.size.toLong, s.head._2, s.last._2,
+            s.last._2 - s.head._2,
+            BigDecimal(s.map(_._3).sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }.sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(got.toSeq == want,
+        s"trial $trial: ${got.length} vs ${want.length} sessions")
+    }
+  }
+
   test("sessionization plan: ONE hash exchange feeds windows and the rollup") {
     val nodes = noAqeNodes(SessionOps.nsSessionAgg(spark, sfDir))
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
