@@ -63,8 +63,18 @@ object StreamingDedup {
     val (baseBanded, baseSets) = dedup.corpusIndexMaterialized(corpusDocs)
     // Admitted-documents extension of the index; grows per batch. Batches
     // run sequentially on the stream thread, so plain vars are safe.
-    var extBanded = baseBanded.limit(0).localCheckpoint()
-    var extSets = baseSets.limit(0).localCheckpoint()
+    // On a RESTART the extension must be rebuilt from the sink: committed
+    // batches never replay, so their admissions would otherwise vanish
+    // from the index and their near-dups be re-admitted. The sink is the
+    // committed truth (each batch dir is overwrite-idempotent), so the
+    // rebuilt extension equals the pre-restart one.
+    val session = corpusDocs.sparkSession
+    val prior = scala.util.Try(session.read.parquet(outPath).drop("batch_id"))
+      .toOption.filter(df => !df.isEmpty)
+    val (extB0, extS0) = prior.map(dedup.corpusIndexMaterialized)
+      .getOrElse((baseBanded.limit(0), baseSets.limit(0)))
+    var extBanded = extB0.localCheckpoint()
+    var extSets = extS0.localCheckpoint()
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val curIds = batch.select("doc_id")

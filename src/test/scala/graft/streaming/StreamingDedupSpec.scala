@@ -119,4 +119,38 @@ class StreamingDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(admitted == Set(1L, 3L), s"got $admitted")
   }
+
+  test("restart rebuilds the admission index from the sink") {
+    import spark.implicits._
+    val sameText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((100L, "completely different corpus material words here"))
+      .toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_adm_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_adm_out").toString + "/admitted"
+    val cp = java.nio.file.Files.createTempDirectory("graft_restart_adm_cp").toString
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_restart_adm_split").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    def stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    // Run 1: doc 1 admitted (no corpus near-dup), query terminates.
+    land(Seq((1L, sameText)), "a.parquet")
+    StreamingDedup.nearDupAdmission(stream, corpus, out, cp).awaitTermination()
+    // Run 2 (fresh invocation, same checkpoint + sink): doc 2 duplicates
+    // the PRE-RESTART admission — the rebuilt index must reject it; doc 3
+    // is fresh and must pass.
+    land(Seq((2L, sameText),
+      (3L, "another unrelated collection of words entirely fresh content")), "b.parquet")
+    StreamingDedup.nearDupAdmission(stream, corpus, out, cp).awaitTermination()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L), s"got $admitted")
+  }
 }
