@@ -92,9 +92,29 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** "Resize" (downsample) stub: keep every 2nd payload byte and compute
+    * a position-weighted checksum over the kept bytes — the strided-byte
+    * selection IS the plumbing a real resampler needs (the arithmetic is
+    * the stub part, like [[StubDecoder]]). Pure per-row column
+    * expressions; nothing wide anywhere.
+    */
+  def nsMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .where(length(col("payload")) > 0)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        ceil(length(col("payload")) / 2.0).cast("long").as("resized_bytes"),
+        expr(
+          "aggregate(sequence(1, length(payload), 2), CAST(0 AS BIGINT), " +
+            "(acc, i) -> acc + CAST(ascii(substring(payload, i, 1)) AS BIGINT) * ((i % 97) + 1))")
+          .as("resize_checksum"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
-    "ns_multimodal_frames" -> (nsMultimodalFrames _))
+    "ns_multimodal_frames" -> (nsMultimodalFrames _),
+    "ns_multimodal_resize" -> (nsMultimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "ns_multimodal_features" ->
@@ -116,5 +136,22 @@ object MultimodalOps {
         |       frame_idx * 32 AS byte_offset,
         |       (n_bytes * 31 + frame_idx * 7) % 256 AS stub_feature
         |FROM f WHERE frame_idx % 4 = 0 AND n_bytes > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "ns_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE length(text) > 0),
+        |k AS (
+        |  SELECT doc_id, n_bytes,
+        |         unnest(range(1, CAST(n_bytes + 1 AS BIGINT), 2)) AS i
+        |  FROM m),
+        |s AS (
+        |  SELECT k.doc_id, k.n_bytes,
+        |         CAST(SUM(CAST(ascii(substring(m.text, CAST(k.i AS INT), 1)) AS BIGINT)
+        |              * ((k.i % 97) + 1)) AS BIGINT) AS resize_checksum
+        |  FROM k JOIN m ON k.doc_id = m.doc_id GROUP BY k.doc_id, k.n_bytes)
+        |SELECT doc_id, n_bytes,
+        |       CAST(ceil(n_bytes / 2.0) AS BIGINT) AS resized_bytes,
+        |       resize_checksum
+        |FROM s ORDER BY doc_id""".stripMargin)
 }
