@@ -53,6 +53,12 @@ object Bench {
       // the dataset's own physical plan to the last row. `queries` keeps
       // the count() consumer for continuity with the r1-r3 recordings —
       // the driver's bench gate compares like with like.
+      // Measurement conditions: full_s runs after the count pass, so the
+      // OS page cache is warm — but it is ambient-warm for BOTH series
+      // anyway (BenchWarm touches every fixture table before timing and
+      // earlier queries re-read the same files); Spark-level caches are
+      // cleared between the passes, and the full plan compiles its own
+      // generated classes (different consumer → different codegen).
       val t1 = System.nanoTime()
       try {
         fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>

@@ -101,8 +101,11 @@ object ScaleRehearsal {
       .withColumn("user_id", expr(s"event_id div $perUser"))
       .withColumn("seq", pmod(col("event_id"), lit(perUser)))
       .withColumn("ts",
+        // xxhash64, NOT hash(): murmur3 is 32-bit, so pmod by a 12h nano
+        // range would quantize jitter to {≈0, ≈12h} (|h| < 2^31 ns ≈ 2 s)
+        // instead of the uniform 0-12h the gap distribution needs.
         lit(baseNs) + col("seq") * lit(6L * hourNs)
-          + pmod(hash(col("user_id") * 131 + col("seq")), lit(12L * hourNs)))
+          + pmod(xxhash64(col("user_id") * 131 + col("seq")), lit(12L * hourNs)))
       .withColumn("event_type", lit("view"))
       .withColumn("value",
         (pmod(hash(col("event_id") * 17), lit(10000)) / lit(100.0)))

@@ -23,7 +23,10 @@ object PackingOps {
     */
   val ChunkTokens: Long = 256L
 
-  private val bpeTokens: Column =
+  /** Canonical BPE-ish token count — `private[graft]` so compositions
+    * (pipe_corpus_build) share ONE definition instead of re-inlining it.
+    */
+  private[graft] val bpeTokens: Column =
     expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
       .cast("long")
 
@@ -38,6 +41,10 @@ object PackingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bpeTokens.as("toks"))
+      // Zero-token docs contribute nothing to any chunk, and at a chunk
+      // boundary their span arithmetic degenerates (last_chunk =
+      // first_chunk - 1) — exclude them, matching the oracle.
+      .where(col("toks") > 0)
       .withColumn("cum_before", coalesce(sum("toks").over(byLang), lit(0L)))
       .select(
         col("doc_id"), col("lang"), col("toks"), col("cum_before"),
@@ -80,7 +87,8 @@ object PackingOps {
       s"""WITH t AS (
          |  SELECT doc_id, lang,
          |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0),
          |c AS (
          |  -- DuckDB SUM(BIGINT) is HUGEINT; cast back so the schema
          |  -- (and every derived //) stays BIGINT like the Spark side.
@@ -94,9 +102,9 @@ object PackingOps {
          |       (cum_before + toks - 1) // ${ChunkTokens} - cum_before // ${ChunkTokens} + 1 AS n_chunks
          |FROM c ORDER BY lang, doc_id""".stripMargin,
     "ns_corpus_mix" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id, source, lang,
-        |         (doc_id * 2654435761 + 97) % 1000000007 AS sample_key,
+        |         (doc_id * ${SamplingOps.SampleKeyA} + ${SamplingOps.SampleKeyB}) % ${SamplingOps.SampleKeyP} AS sample_key,
         |         CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS src_weight
         |  FROM documents),
         |r AS (

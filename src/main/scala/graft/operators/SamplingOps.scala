@@ -23,8 +23,11 @@ object SamplingOps {
     * dense from 0, and at larger scale the key column would be hashed
     * first — documented, not hidden).
     */
-  private[operators] val sampleKeyCol: Column =
-    pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)).as("sample_key")
+  private[graft] val SampleKeyA = 2654435761L
+  private[graft] val SampleKeyB = 97L
+  private[graft] val SampleKeyP = 1000000007L
+  private[graft] val sampleKeyCol: Column =
+    pmod(col("doc_id") * lit(SampleKeyA) + lit(SampleKeyB), lit(SampleKeyP)).as("sample_key")
 
   /** Exact stratified 20% sample: per-language quota = ceil(0.2 · |lang|),
     * taken in sample-key order. One exchange on `lang` feeds the count
@@ -103,9 +106,9 @@ object SamplingOps {
 
   val oracles: Map[String, String] = Map(
     "ns_corpus_sample_exact" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id, lang, source, n_chars,
-        |         (doc_id * 2654435761 + 97) % 1000000007 AS sample_key
+        |         (doc_id * ${SampleKeyA} + ${SampleKeyB}) % ${SampleKeyP} AS sample_key
         |  FROM documents),
         |r AS (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
@@ -116,10 +119,10 @@ object SamplingOps {
         |FROM r WHERE sample_rank <= ceil(cnt * 0.2)
         |ORDER BY lang, sample_rank""".stripMargin,
     "ns_corpus_sample_hash" ->
-      """SELECT doc_id, lang, source, n_chars,
-        |       (doc_id * 2654435761 + 97) % 1000000007 AS sample_key
+      s"""SELECT doc_id, lang, source, n_chars,
+        |       (doc_id * ${SampleKeyA} + ${SampleKeyB}) % ${SampleKeyP} AS sample_key
         |FROM documents
-        |WHERE (doc_id * 2654435761 + 97) % 1000000007 % 5 = 0
+        |WHERE (doc_id * ${SampleKeyA} + ${SampleKeyB}) % ${SampleKeyP} % 5 = 0
         |ORDER BY doc_id""".stripMargin,
     "ns_text_quantiles" ->
       """WITH q AS (

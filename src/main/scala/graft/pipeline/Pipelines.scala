@@ -500,11 +500,10 @@ object Pipelines {
     val lang = graft.operators.TextOps.nsTextLangId(spark, dir)
       .select("doc_id", "predicted_lang")
     val toks = Tables.documents(spark, dir).select(col("doc_id"),
-      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-        .cast("long").as("toks"))
+      graft.operators.PackingOps.bpeTokens.as("toks"))
+      .where(col("toks") > 0) // zero-token docs span no chunk (see PackingOps)
     survivors.join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
-      .withColumn("sample_key",
-        pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)))
+      .withColumn("sample_key", graft.operators.SamplingOps.sampleKeyCol)
       .withColumn("sample_rank",
         row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
       .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.5))
@@ -591,10 +590,11 @@ object Pipelines {
        |        FROM (${graft.operators.TextOps.oracles("ns_text_langid")}) l),
        |tok AS (SELECT doc_id,
        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
-       |        FROM documents),
+       |        FROM documents
+       |        WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0),
        |base AS (
        |  SELECT s.doc_id, lng.predicted_lang, qual.tier, tok.toks,
-       |         (s.doc_id * 2654435761 + 97) % 1000000007 AS sample_key
+       |         (s.doc_id * ${graft.operators.SamplingOps.SampleKeyA} + ${graft.operators.SamplingOps.SampleKeyB}) % ${graft.operators.SamplingOps.SampleKeyP} AS sample_key
        |  FROM surv s
        |  JOIN qual ON s.doc_id = qual.doc_id
        |  JOIN lng ON s.doc_id = lng.doc_id

@@ -69,8 +69,17 @@ object StreamingDedup {
     // committed truth (each batch dir is overwrite-idempotent), so the
     // rebuilt extension equals the pre-restart one.
     val session = corpusDocs.sparkSession
-    val prior = scala.util.Try(session.read.parquet(outPath).drop("batch_id"))
-      .toOption.filter(df => !df.isEmpty)
+    // ONLY a genuinely absent sink means first start. Any other read
+    // failure (transient FS error, corrupt footer) must propagate — a
+    // catch-all fallback would silently restart with an EMPTY index and
+    // re-admit near-dups of prior admissions, the exact bug this rebuild
+    // exists to prevent.
+    val sinkPath = new org.apache.hadoop.fs.Path(outPath)
+    val fs = sinkPath.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(sinkPath)) Some(session.read.parquet(outPath).drop("batch_id"))
+        .filter(df => !df.isEmpty)
+      else None
     val (extB0, extS0) = prior.map(dedup.corpusIndexMaterialized)
       .getOrElse((baseBanded.limit(0), baseSets.limit(0)))
     var extBanded = extB0.localCheckpoint()

@@ -127,8 +127,6 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF cluster assignment is a pure projection — zero exchanges") {
     import graft.model.Tables
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
@@ -138,27 +136,10 @@ class SimilaritySpec extends SparkSpec {
     }.toSeq
     val assign = emb.select(col("vec_id"),
       SimilarityOps.centroidRanking(lits)(0)("cent_id").as("cluster"))
-    // AdaptiveSparkPlanExec is a LEAF node — a plain .children walk would
-    // pass vacuously on any AQE-wrapped plan. Worse, its inputPlan is
-    // pre-EnsureRequirements, where NO plan has exchanges yet — so pin
-    // against the plain (AQE-off) executedPlan, which carries the real
-    // exchange nodes if any stage needs one.
-    def collectAll(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(collectAll)) ++
-        p.subqueries.flatMap(collectAll) ++ (p match {
-          case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)
-          case _ => Nil
-        })
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val nodes =
-      try collectAll(assign.queryExecution.executedPlan)
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(!nodes.exists(_.isInstanceOf[AdaptiveSparkPlanExec]),
-      "AQE still on — an exchange-free pin would be vacuous")
-    // Self-check that the walk sees through the AQE wrapper: the scan must
-    // be visible (guards against the traversal going vacuous again).
-    assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
-      s"plan walk found no scan — traversal broken:\n${nodes.map(_.nodeName)}")
+    // SparkSpec.noAqeNodes: AQE's inputPlan is pre-EnsureRequirements
+    // (no exchanges yet), so the pin runs against the AQE-off executed
+    // plan, which carries the real exchange nodes if any stage needs one.
+    val nodes = noAqeNodes(assign) // scan-visibility self-check is inside
     val exchanges = nodes.filter(n =>
       n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
     assert(exchanges.isEmpty,
