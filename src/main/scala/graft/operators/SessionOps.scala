@@ -79,8 +79,42 @@ object SessionOps {
         max(unix_micros(col("ts"))).as("end_us"),
         round(sum("value"), 6).as("total_value"))
 
+  /** Ordered funnel per session (view → click → purchase): a step counts
+    * only if it happens strictly AFTER the previous step's first
+    * occurrence — the standard conversion-funnel semantics. Rides the
+    * SAME single user_id exchange as [[nsSessionAgg]]: session ids from
+    * the two windows, then one grouped aggregation with conditional mins;
+    * the step logic is pure row arithmetic on the aggregated frame.
+    */
+  def nsSessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tus")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("tus"))).as(s"t_$t")
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("new_sess",
+        when(lag("tus", 1).over(byUser).isNull
+          || col("tus") - lag("tus", 1).over(byUser) > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(running))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        col("t_view").isNotNull.as("step_view"),
+        // a null step timestamp makes the comparison NULL, not false —
+        // coalesce pins missing steps to a non-conversion
+        coalesce(col("t_view").isNotNull && col("t_click") > col("t_view"),
+          lit(false)).as("step_click"),
+        coalesce(col("t_view").isNotNull && col("t_click") > col("t_view")
+          && col("t_purchase") > col("t_click"), lit(false)).as("step_purchase"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ns_session_agg" -> (nsSessionAgg _))
+    "ns_session_agg" -> (nsSessionAgg _),
+    "ns_session_funnel" -> (nsSessionFunnel _))
 
   val oracles: Map[String, String] = Map(
     "ns_session_agg" ->
@@ -98,5 +132,26 @@ object SessionOps {
          |       max(tus) - min(tus) AS duration_us,
          |       round(sum(value), 6) AS total_value
          |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin)
+         |ORDER BY user_id, session_id""".stripMargin,
+    "ns_session_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+         |f AS (SELECT user_id, tus, event_type,
+         |        CASE WHEN lag(tus) OVER w IS NULL
+         |                  OR tus - lag(tus) OVER w > ${GapUs} THEN 1 ELSE 0 END AS new_sess
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         |s AS (SELECT user_id, tus, event_type,
+         |        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |      FROM f),
+         |g AS (SELECT user_id, session_id, count(*) AS n_events,
+         |        min(CASE WHEN event_type = 'view' THEN tus END) AS t_view,
+         |        min(CASE WHEN event_type = 'click' THEN tus END) AS t_click,
+         |        min(CASE WHEN event_type = 'purchase' THEN tus END) AS t_purchase
+         |      FROM s GROUP BY user_id, session_id)
+         |SELECT user_id, session_id, n_events,
+         |       t_view IS NOT NULL AS step_view,
+         |       COALESCE(t_view IS NOT NULL AND t_click > t_view, FALSE) AS step_click,
+         |       COALESCE(t_view IS NOT NULL AND t_click > t_view
+         |                AND t_purchase > t_click, FALSE) AS step_purchase
+         |FROM g ORDER BY user_id, session_id""".stripMargin)
 }

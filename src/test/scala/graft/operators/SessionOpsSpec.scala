@@ -70,6 +70,19 @@ class SessionOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel steps are monotone and actually cascade on the fixture") {
+    val rows = SessionOps.nsSessionFunnel(spark, sfDir).collect()
+      .map(r => (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, c, p) =>
+      assert(!(c && !v), "click step without view step")
+      assert(!(p && !c), "purchase step without click step")
+    }
+    val (nv, nc, np) = (rows.count(_._1), rows.count(_._2), rows.count(_._3))
+    assert(nv > nc && nc > np && np >= 0 && nv > 0,
+      s"funnel not cascading: view=$nv click=$nc purchase=$np")
+  }
+
   test("sessionization plan: ONE hash exchange feeds windows and the rollup") {
     val nodes = noAqeNodes(SessionOps.nsSessionAgg(spark, sfDir))
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
