@@ -70,8 +70,14 @@ object PackingOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         SamplingOps.sampleKeyCol)
+      // Unbounded substr: both engines parse the FULL numeric suffix of
+      // 'srcN' ids, whatever its length (a bounded substring(…, 4, 10)
+      // silently truncated a hypothetical longer id on the Spark side
+      // only). Non-numeric suffixes are outside the contract: Spark casts
+      // to NULL where DuckDB errors — the fixture generator guarantees
+      // numeric.
       .withColumn("src_weight",
-        (substring(col("source"), 4, 10).cast("long") % 3 + 1))
+        (expr("substr(source, 4)").cast("long") % 3 + 1))
       .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
       .withColumn("pos6", expr("rank_in_source * 6 div src_weight"))
       .select("doc_id", "source", "lang", "src_weight", "rank_in_source", "pos6")

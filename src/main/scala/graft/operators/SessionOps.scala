@@ -80,35 +80,59 @@ object SessionOps {
         round(sum("value"), 6).as("total_value"))
 
   /** Ordered funnel per session (view → click → purchase): a step counts
-    * only if it happens strictly AFTER the previous step's first
-    * occurrence — the standard conversion-funnel semantics. Rides the
-    * SAME single user_id exchange as [[nsSessionAgg]]: session ids from
-    * the two windows, then one grouped aggregation with conditional mins;
-    * the step logic is pure row arithmetic on the aggregated frame.
+    * only if SOME matching event happens strictly AFTER the previous
+    * step's completion time — the standard conversion-funnel semantics.
+    * Concretely: t_view is the session's first view; t_click the first
+    * click strictly after t_view (a click BEFORE the first view does not
+    * complete the step, but a later one still can); t_purchase the first
+    * purchase strictly after that click.
+    *
+    * Rides the SAME single user_id exchange as [[nsSessionAgg]]: the
+    * sequential step mins are unbounded-frame window aggregates over
+    * (user_id, session_id) — hash-partitioning on user_id already
+    * co-locates every session, so Catalyst plans sorts but NO further
+    * exchange (pinned by SessionOpsSpec), and the final rollup reuses the
+    * same partitioning via the grouping-key prefix.
     */
-  def nsSessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def nsSessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type")))
+
+  /** The funnel core over any (user_id, tus: Long, event_type) frame —
+    * [[nsSessionFunnel]] binds it to the fixture events; the property spec
+    * drives it with adversarial shuffled-step random series.
+    */
+  def funnel(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("tus")
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def firstOf(t: String) =
-      min(when(col("event_type") === t, col("tus"))).as(s"t_$t")
-    Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+    // Unbounded frame over the whole session: every row sees the step
+    // times, so each conditional min can reference the previous step's.
+    val bySession = Window.partitionBy("user_id", "session_id")
+    events
       .withColumn("new_sess",
         when(lag("tus", 1).over(byUser).isNull
           || col("tus") - lag("tus", 1).over(byUser) > GapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_sess").over(running))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tus"))).over(bySession))
+      // a null t_view makes the comparison NULL ⇒ when() yields NULL ⇒ the
+      // min ignores it: no view, no click step — exactly the funnel rule
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tus") > col("t_view"),
+          col("tus"))).over(bySession))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("tus") > col("t_click"),
+          col("tus"))).over(bySession))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        firstOf("view"), firstOf("click"), firstOf("purchase"))
+        // window aggregates are constant within the session; min() just
+        // collapses the duplicated per-row copies
+        min("t_view").as("tv"), min("t_click").as("tc"), min("t_purchase").as("tp"))
       .select(
         col("user_id"), col("session_id"), col("n_events"),
-        col("t_view").isNotNull.as("step_view"),
-        // a null step timestamp makes the comparison NULL, not false —
-        // coalesce pins missing steps to a non-conversion
-        coalesce(col("t_view").isNotNull && col("t_click") > col("t_view"),
-          lit(false)).as("step_click"),
-        coalesce(col("t_view").isNotNull && col("t_click") > col("t_view")
-          && col("t_purchase") > col("t_click"), lit(false)).as("step_purchase"))
+        col("tv").isNotNull.as("step_view"),
+        col("tc").isNotNull.as("step_click"),
+        col("tp").isNotNull.as("step_purchase"))
       .orderBy("user_id", "session_id")
   }
 
@@ -143,15 +167,18 @@ object SessionOps {
          |        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
          |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          |      FROM f),
-         |g AS (SELECT user_id, session_id, count(*) AS n_events,
-         |        min(CASE WHEN event_type = 'view' THEN tus END) AS t_view,
-         |        min(CASE WHEN event_type = 'click' THEN tus END) AS t_click,
-         |        min(CASE WHEN event_type = 'purchase' THEN tus END) AS t_purchase
-         |      FROM s GROUP BY user_id, session_id)
-         |SELECT user_id, session_id, n_events,
-         |       t_view IS NOT NULL AS step_view,
-         |       COALESCE(t_view IS NOT NULL AND t_click > t_view, FALSE) AS step_click,
-         |       COALESCE(t_view IS NOT NULL AND t_click > t_view
-         |                AND t_purchase > t_click, FALSE) AS step_purchase
-         |FROM g ORDER BY user_id, session_id""".stripMargin)
+         |g AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+         |             OVER (PARTITION BY user_id, session_id) AS t_view FROM s),
+         |h AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus > t_view
+         |                         THEN tus END)
+         |             OVER (PARTITION BY user_id, session_id) AS t_click FROM g),
+         |i AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t_click
+         |                         THEN tus END)
+         |             OVER (PARTITION BY user_id, session_id) AS t_purchase FROM h)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(t_view) IS NOT NULL AS step_view,
+         |       min(t_click) IS NOT NULL AS step_click,
+         |       min(t_purchase) IS NOT NULL AS step_purchase
+         |FROM i GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin)
 }

@@ -70,6 +70,72 @@ class SessionOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: ordered funnel matches a brute-force per-session fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val gap = SessionOps.GapUs
+    val types = Vector("view", "click", "purchase", "scroll")
+    for (trial <- 1 to 3) {
+      // event types are drawn independently of time, so out-of-order
+      // prefixes (click before the first view, purchase before the first
+      // qualifying click) occur constantly — the exact shape the old
+      // session-wide-min semantics got wrong
+      val rows = (1L to 8L).flatMap { uid =>
+        var t = 1700000000000000L + uid
+        (0 until 50).map { _ =>
+          t += (if (rnd.nextInt(10) == 0) gap + 1 else rnd.nextLong(100000L) + 1)
+          (uid, t, types(rnd.nextInt(types.size)))
+        }
+      }
+      val got = SessionOps.funnel(rows.toDF("user_id", "tus", "event_type"))
+        .collect().map(_.toSeq)
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(_._2)
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          case (acc, e) =>
+            if (e._2 - acc.last.last._2 > gap) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          val tView = s.collectFirst { case (_, t, "view") => t }
+          val tClick = tView.flatMap(v =>
+            s.collectFirst { case (_, t, "click") if t > v => t })
+          val tPurchase = tClick.flatMap(c =>
+            s.collectFirst { case (_, t, "purchase") if t > c => t })
+          Seq[Any](uid, (i + 1).toLong, s.size.toLong,
+            tView.isDefined, tClick.isDefined, tPurchase.isDefined)
+        }
+      }.sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(got.toSeq == want, s"trial $trial funnel mismatch")
+    }
+  }
+
+  test("funnel recovers from a click that precedes the first view") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    // click, view, click, purchase — old session-wide-min semantics said
+    // step_click=false (min click < first view); ordered semantics say true
+    val rows = Seq(
+      (1L, t0, "click"), (1L, t0 + 10, "view"),
+      (1L, t0 + 20, "click"), (1L, t0 + 30, "purchase"),
+      // purchase lands between view and the qualifying click: no conversion
+      (2L, t0, "view"), (2L, t0 + 5, "purchase"), (2L, t0 + 9, "click"))
+    val got = SessionOps.funnel(rows.toDF("user_id", "tus", "event_type"))
+      .select("user_id", "step_view", "step_click", "step_purchase")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, true, true, true), (2L, true, true, false)), got.toSeq)
+  }
+
+  test("funnel plan: still exactly one hash exchange (session windows reuse it)") {
+    val nodes = noAqeNodes(SessionOps.nsSessionFunnel(spark, sfDir))
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    val hash = shuffles.filterNot(
+      _.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(hash.size == 1 && hash.head.outputPartitioning.toString.contains("user_id"),
+      s"funnel should reuse the single user_id exchange: " +
+        s"${shuffles.map(_.outputPartitioning)}")
+  }
+
   test("funnel steps are monotone and actually cascade on the fixture") {
     val rows = SessionOps.nsSessionFunnel(spark, sfDir).collect()
       .map(r => (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
