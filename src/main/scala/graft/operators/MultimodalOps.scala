@@ -23,23 +23,31 @@ object MultimodalOps {
   /** One media row: payload is the raw bytes, mime a typed tag. */
   case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Decoded features; in a real pipeline: dimensions, channels, frame
-    * count, embedding, ...
+  /** Decoded features; px_sum is the pixel-component byte sum for payloads
+    * with a real codec, -1 for stub-decoded mimes.
     */
   case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Long,
-      width: Long, height: Long, channels: Long)
+      width: Long, height: Long, channels: Long, px_sum: Long)
 
-  /** STUB: a real implementation would decode the payload (JPEG/PNG/WAV...)
-    * and return true dimensions. This fake derives deterministic pseudo
-    * dimensions from the byte length so the full pipeline is testable and
-    * oracle-checkable offline.
+  /** Mime-dispatched decode: REAL parsers ([[ImageCodecs]]) for PPM and
+    * BMP — width/height/channels read from the actual header bytes, the
+    * pixel statistic from walking the actual pixel array — and the
+    * clearly-marked deterministic stub only for mimes with no offline
+    * codec (JPEG/PNG/WAV need libs this container doesn't have; a real
+    * deployment adds `case`s here, nothing else changes).
     */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.payload.length.toLong
-      MediaFeatures(r.doc_id, r.mime, n,
-        width = n % 640L, height = (n * 7L) % 480L, channels = 3L)
+  object Decoder {
+    def decode(r: MediaRecord): MediaFeatures = r.mime match {
+      case ImageFixtures.PpmMime =>
+        val (w, h, c, s) = ImageCodecs.decodePpm(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
+      case ImageFixtures.BmpMime =>
+        val (w, h, c, s) = ImageCodecs.decodeBmp(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
+      case _ => // STUB: pseudo dimensions from byte length, px_sum = -1
+        val n = r.payload.length.toLong
+        MediaFeatures(r.doc_id, r.mime, n, n % 640L, (n * 7L) % 480L, 3L, -1L)
     }
   }
 
@@ -51,17 +59,39 @@ object MultimodalOps {
         lit("text/plain").as("mime"),
         col("text").cast("binary").as("payload"))
 
-  /** Binary payload -> per-partition batched decode -> typed features. */
+  /** Mixed-mime corpus: every third document becomes a REAL generated BMP
+    * (doc_id ≡ 0 mod 3) or PPM (≡ 1) payload ([[ImageFixtures]]); the rest
+    * stay text. The generation is fixture machinery — the decode path sees
+    * only the bytes.
+    */
+  def mixedMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3).toInt match {
+          case 0 => MediaRecord(id, ImageFixtures.BmpMime, ImageFixtures.bmp(id))
+          case 1 => MediaRecord(id, ImageFixtures.PpmMime, ImageFixtures.ppm(id))
+          case _ => MediaRecord(id, "text/plain",
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF()
+  }
+
+  /** Binary payload -> per-partition batched decode -> typed features.
+    * PPM/BMP rows go through the real codecs; text rows through the stub.
+    */
   def nsMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mixedMediaTable(spark, dir)
       .as[MediaRecord]
       .mapPartitions { batch =>
         // Real decoders are initialized HERE, once per partition.
-        batch.map(StubDecoder.decode)
+        batch.map(Decoder.decode)
       }
       .toDF()
-      .select("doc_id", "mime", "n_bytes", "width", "height", "channels")
+      .select("doc_id", "mime", "n_bytes", "width", "height", "channels", "px_sum")
       .orderBy("doc_id")
   }
 
@@ -117,13 +147,41 @@ object MultimodalOps {
     "ns_multimodal_resize" -> (nsMultimodalResize _))
 
   val oracles: Map[String, String] = Map(
+    // Replays the ImageFixtures formulas symbolically: PPM n_bytes =
+    // header ("P6\n<w> <h>\n255\n" = 9 + digits) + 3wh, BMP = 54 + padded
+    // stride × h, px_sum = Σ (id·31 + i) % 256 over the 3wh pixel bytes —
+    // so a hash-match proves the Spark-side codec parsed the REAL header
+    // and pixels (and skipped BMP padding, which is 0xAB, not 0).
     "ns_multimodal_features" ->
-      """SELECT doc_id, 'text/plain' AS mime,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        |       CAST(3 AS BIGINT) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id % 3 AS m,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
+        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
+        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(3*w*h - 1 AS BIGINT))) AS i
+        |  FROM d WHERE m <> 2),
+        |px AS (
+        |  SELECT doc_id, CAST(SUM((doc_id*31 + i) % 256) AS BIGINT) AS px_sum
+        |  FROM u GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE d.m WHEN 1 THEN 'image/x-portable-pixmap'
+        |                WHEN 0 THEN 'image/bmp' ELSE 'text/plain' END AS mime,
+        |       CAST(CASE d.m
+        |         WHEN 1 THEN 9 + length(CAST(d.w AS VARCHAR))
+        |                     + length(CAST(d.h AS VARCHAR)) + 3*d.w*d.h
+        |         WHEN 0 THEN 54 + ((3*d.w + 3) // 4 * 4) * d.h
+        |         ELSE octet_length(encode(d.text)) END AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN d.m <> 2 THEN d.w
+        |            ELSE octet_length(encode(d.text)) % 640 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN d.m <> 2 THEN d.h
+        |            ELSE (octet_length(encode(d.text)) * 7) % 480 END AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       COALESCE(px.px_sum, CAST(-1 AS BIGINT)) AS px_sum
+        |FROM d LEFT JOIN px ON d.doc_id = px.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "ns_multimodal_frames" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-codec contract: decoders parse actual bytes, reject malformed
+  * payloads, and the mixed-mime features query routes every mime to the
+  * right decoder.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def expectedPxSum(id: Long, nPx: Long): Long =
+    (0L until nPx).map(i => (id * 31 + i) % 256).sum
+
+  test("PPM codec round-trips generated headers and pixels") {
+    for (id <- Seq(0L, 1L, 7L, 12L, 13L, 99L, 1000L)) {
+      val (w, h, c, s) = ImageCodecs.decodePpm(ImageFixtures.ppm(id))
+      assert((w, h, c) == (id % 13 + 1, id % 7 + 1, 3L), s"id=$id header")
+      assert(s == expectedPxSum(id, 3 * w * h), s"id=$id pixel sum")
+    }
+  }
+
+  test("PPM codec parses the header from bytes, not from conventions") {
+    // hand-authored payload with multi-digit dims and extra whitespace
+    val px = Array.tabulate(3 * 20 * 11)(_.toByte)
+    val bytes = "P6\n  20\t 11 \n255\n".getBytes("US-ASCII") ++ px
+    val (w, h, c, s) = ImageCodecs.decodePpm(bytes)
+    assert((w, h, c) == (20L, 11L, 3L))
+    assert(s == px.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("BMP codec round-trips and skips row padding") {
+    for (id <- Seq(0L, 3L, 6L, 9L, 33L, 999L)) {
+      val bytes = ImageFixtures.bmp(id)
+      val (w, h, c, s) = ImageCodecs.decodeBmp(bytes)
+      assert((w, h, c) == (id % 11 + 1, id % 5 + 1, 3L), s"id=$id header")
+      assert(s == expectedPxSum(id, 3 * w * h), s"id=$id pixel sum")
+      // the generator pads rows with 0xAB: when padding exists, a naive
+      // whole-block sum must DIVERGE from the codec's pixel-only sum
+      if ((3 * w) % 4 != 0) {
+        val naive = bytes.drop(54).map(b => (b & 0xff).toLong).sum
+        assert(naive != s, s"id=$id: padding bytes leaked into the sum")
+      }
+    }
+  }
+
+  test("codecs fail loud on malformed payloads") {
+    val okPpm = ImageFixtures.ppm(5L)
+    val okBmp = ImageFixtures.bmp(6L)
+    // bad magic
+    intercept[IllegalArgumentException](ImageCodecs.decodePpm(okBmp))
+    intercept[IllegalArgumentException](ImageCodecs.decodeBmp(okPpm))
+    // truncated pixel data
+    intercept[IllegalArgumentException](
+      ImageCodecs.decodePpm(okPpm.dropRight(1)))
+    intercept[IllegalArgumentException](
+      ImageCodecs.decodeBmp(okBmp.dropRight(1)))
+    // unsupported variant: flip bpp to 32
+    val bad = okBmp.clone(); bad(28) = 32.toByte
+    intercept[IllegalArgumentException](ImageCodecs.decodeBmp(bad))
+  }
+
+  test("features query decodes all three mimes with real headers") {
+    val rows = MultimodalOps.nsMultimodalFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byMime = rows.groupBy(_.getString(1))
+    assert(byMime.keySet ==
+      Set(ImageFixtures.PpmMime, ImageFixtures.BmpMime, "text/plain"))
+    rows.foreach { r =>
+      val (id, mime, w, h, px) =
+        (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(6))
+      mime match {
+        case ImageFixtures.PpmMime =>
+          assert((w, h) == (id % 13 + 1, id % 7 + 1) && px >= 0)
+        case ImageFixtures.BmpMime =>
+          assert((w, h) == (id % 11 + 1, id % 5 + 1) && px >= 0)
+        case _ => assert(px == -1L, "stub rows must mark px_sum = -1")
+      }
+    }
+  }
+}
