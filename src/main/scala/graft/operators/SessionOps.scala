@@ -136,6 +136,35 @@ object SessionOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** The ordered funnel through Spark's native `session_window` — the form
+    * the streaming twin uses. The sequential step logic can't ride window
+    * functions there (the session isn't a window partition until it
+    * closes), so the aggregation collects the session's (tus, event_type)
+    * events and the step mins are higher-order-function folds over that
+    * array in a post-aggregation projection — state per session is O(its
+    * events), the same bound `collect_list` session analytics carry in
+    * production. Not separately oracled: the spec proves it row-identical
+    * to [[funnel]]; exposed so batch and streaming share one definition.
+    */
+  def sessionWindowFunnel(events: DataFrame, gap: String = "8 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        collect_list(struct(unix_micros(col("ts")).as("tus"),
+          col("event_type").as("et"))).as("evs"))
+      .withColumn("t_view",
+        expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.tus))"))
+      .withColumn("t_click", expr(
+        "array_min(transform(filter(evs, e -> e.et = 'click' AND e.tus > t_view), e -> e.tus))"))
+      .withColumn("t_purchase", expr(
+        "array_min(transform(filter(evs, e -> e.et = 'purchase' AND e.tus > t_click), e -> e.tus))"))
+      .select(col("user_id"), col("w"), col("n_events"), col("start_us"),
+        col("t_view").isNotNull.as("step_view"),
+        col("t_click").isNotNull.as("step_click"),
+        col("t_purchase").isNotNull.as("step_purchase"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_session_agg" -> (nsSessionAgg _),
     "ns_session_funnel" -> (nsSessionFunnel _))

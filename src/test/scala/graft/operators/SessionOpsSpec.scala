@@ -136,6 +136,24 @@ class SessionOpsSpec extends SparkSpec {
         s"${shuffles.map(_.outputPartitioning)}")
   }
 
+  test("native session_window funnel matches the lag-based funnel") {
+    val native = SessionOps.sessionWindowFunnel(Tables.events(spark, sfDir))
+      .select("user_id", "start_us", "n_events",
+        "step_view", "step_click", "step_purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    // session_window keys sessions by start time; re-number per user in
+    // start order to compare against the lag form's ordinal session_id
+    val got = native.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case (r, i) =>
+        Seq[Any](uid, (i + 1).toLong, r._3, r._4, r._5, r._6) }
+    }.toSet
+    val want = SessionOps.nsSessionFunnel(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want,
+      s"native vs lag funnel: only-native=${(got -- want).take(3)} " +
+        s"only-lag=${(want -- got).take(3)}")
+  }
+
   test("funnel steps are monotone and actually cascade on the fixture") {
     val rows = SessionOps.nsSessionFunnel(spark, sfDir).collect()
       .map(r => (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))

@@ -72,6 +72,79 @@ class StreamingSessionsSpec extends SparkSpec {
         s"only-batch=${(batch -- got).take(3)}")
   }
 
+  /** session_window keys by start time; re-number per user in start order
+    * to compare with the batch funnel's ordinal session_id.
+    */
+  private def ordinalize(
+      rows: Seq[(Long, Long, Long, Boolean, Boolean, Boolean)]): Set[Seq[Any]] =
+    rows.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case (r, i) =>
+        Seq[Any](uid, (i + 1).toLong, r._3, r._4, r._5, r._6) }
+    }.toSet
+
+  private val funnelCols = Seq("user_id", "start_us", "n_events",
+    "step_view", "step_click", "step_purchase")
+
+  private def funnelTuples(df: org.apache.spark.sql.DataFrame) =
+    df.selectExpr(funnelCols: _*).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+
+  test("streaming funnel across micro-batches equals the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(_._1.getTime)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = StreamingSessions.funnelStream(
+      input.toDS().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); query.processAllAvailable() }
+      input.addData(Seq((sentinel._1, sentinel._2, "view")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("funnel_out").where(col("user_id") =!= sentinel._2)
+    val got = ordinalize(funnelTuples(out))
+    val want = SessionOps.nsSessionFunnel(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want,
+      s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
+  test("funnel file pipeline is exactly-once across restart and equals batch") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_funl_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_funl_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_funl_cp").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funl_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    val mid = raw.selectExpr("CAST(approx_percentile(ts, 0.5) AS BIGINT)").first().getLong(0)
+    land(raw.where(col("ts") <= mid), "a.parquet")
+    StreamingSessions.funnelFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    land(raw.where(col("ts") > mid), "b.parquet")
+    land(raw.limit(1).withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("user_id", lit(999999L)), "z_sentinel.parquet")
+    StreamingSessions.funnelFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    val gotRows = funnelTuples(
+      spark.read.parquet(out).where(col("user_id") =!= 999999L))
+    assert(gotRows.length == gotRows.distinct.length, "duplicate finalized sessions")
+    val want = SessionOps.nsSessionFunnel(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(ordinalize(gotRows) == want,
+      s"sizes ${gotRows.length} vs ${want.size}")
+  }
+
   test("file pipeline appends each finalized session exactly once across restart") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
     val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
