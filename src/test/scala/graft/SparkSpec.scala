@@ -19,6 +19,30 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ => Nil
       })
 
+  /** Final AQE-executed plan nodes: forces execution so every query stage
+    * is materialized, then walks AdaptiveSparkPlanExec's CURRENT physical
+    * plan and into each stage — the counterpart of [[noAqeNodes]] for
+    * pins that must also hold in the mode the bench actually runs
+    * (inputPlan-based walks would make absence pins vacuous; the
+    * post-execution final plan carries the real operators).
+    */
+  protected def aqeFinalNodes(build: => org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = build
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(walk)) ++ p.subqueries.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      })
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.toLowerCase.contains("scan")),
+      s"AQE plan walk found no scan — traversal broken:\n${nodes.map(_.nodeName)}")
+    nodes
+  }
+
   /** Plan nodes with AQE off: AdaptiveSparkPlanExec.inputPlan is
     * pre-EnsureRequirements (NO exchanges yet), so any exchange-counting
     * pin against it passes vacuously. A plain executedPlan carries the

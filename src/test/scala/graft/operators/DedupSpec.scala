@@ -175,18 +175,22 @@ class DedupSpec extends SparkSpec {
   test("decontamination: probe side broadcasts; overlap matches a per-doc recompute") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     val df = DedupOps.nsDecontaminate(spark, sfDir)
-    val nodes = noAqeNodes(df)
     // the shingle-overlap join must be the broadcast hash join (probe set
     // is tiny vs the corpus); a sort-merge there would mean the corpus
-    // shuffled on the shingle key — the shape that dies at 100 TB
-    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      s"no broadcast join in decontamination plan:\n${nodes.map(_.nodeName)}")
-    assert(!nodes.exists {
-      case j: SortMergeJoinExec =>
-        j.leftKeys.exists(_.references.exists(r =>
-          r.name == "sh" || r.name == "shingle"))
-      case _ => false
-    }, "corpus shingles were shuffled for the probe join")
+    // shuffled on the shingle key — the shape that dies at 100 TB. The
+    // pin runs in BOTH modes: AQE-off executed plan and the AQE final
+    // plan the bench actually runs.
+    for ((nodes, mode) <- Seq((noAqeNodes(df), "aqe-off"),
+      (aqeFinalNodes(DedupOps.nsDecontaminate(spark, sfDir)), "aqe-final"))) {
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"[$mode] no broadcast join in decontamination plan:\n${nodes.map(_.nodeName)}")
+      assert(!nodes.exists {
+        case j: SortMergeJoinExec =>
+          j.leftKeys.exists(_.references.exists(r =>
+            r.name == "sh" || r.name == "shingle"))
+        case _ => false
+      }, s"[$mode] corpus shingles were shuffled for the probe join")
+    }
     // semantic check vs an independent scala recompute on the raw text
     val docs = graft.model.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

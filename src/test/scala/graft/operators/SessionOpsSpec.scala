@@ -181,6 +181,13 @@ class SessionOpsSpec extends SparkSpec {
     assert(hash.head.outputPartitioning.toString.contains("user_id"),
       s"hash exchange not keyed on user_id: ${hash.head.outputPartitioning}")
     assert(range.size <= 1, s"unexpected extra range exchanges: $range")
+    // the same single-exchange claim must hold on the AQE final plan the
+    // bench runs (stages materialized, real exchanges inside them)
+    val aqeHash = aqeFinalNodes(SessionOps.nsSessionAgg(spark, sfDir))
+      .collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(aqeHash.size == 1,
+      s"AQE final plan: expected one hash exchange, got ${aqeHash.map(_.outputPartitioning)}")
   }
 
   test("hash-threshold sample is shuffle-free before the presentation sort") {

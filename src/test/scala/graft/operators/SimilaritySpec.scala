@@ -144,6 +144,12 @@ class SimilaritySpec extends SparkSpec {
       n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
     assert(exchanges.isEmpty,
       s"assign stage is not exchange-free: ${exchanges.map(_.nodeName)}")
+    // Same absence pin on the AQE FINAL executed plan — the mode the
+    // bench actually runs (post-execution, all stages materialized).
+    val aqeExchanges = aqeFinalNodes(assign).filter(n =>
+      n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
+    assert(aqeExchanges.isEmpty,
+      s"assign stage shuffles under AQE: ${aqeExchanges.map(_.nodeName)}")
     // and the assignment is total: every vector lands in a cluster
     assert(assign.where(col("cluster").isNull).count() == 0)
   }
