@@ -62,6 +62,10 @@ object MergeSink {
     * produces and leaves the rest of the table untouched — the parquet
     * analog of the reference's PK upsert commit. `partitionCol` should be
     * the natural batch key (a date / epoch-bucket column).
+    *
+    * SINGLE-writer contract: two simultaneous writers can interleave
+    * their partition overwrites. Concurrent publishers use
+    * [[publishPartitioned]].
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write
@@ -69,4 +73,94 @@ object MergeSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Write-audit-publish: the concurrent-writer-safe form of
+    * [[writePartitioned]] (the reference got this from MySQL's PK locks
+    * for free; a filesystem table needs its own commit protocol).
+    *
+    *  1. WRITE to `path/_staging/<uuid>` — underscore-prefixed, so
+    *     readers of `path` never see in-flight data;
+    *  2. AUDIT the staged bytes (read back from disk — validating what
+    *     will be published, not the plan that produced it); a throwing
+    *     `audit` vetoes the publish and leaves the live table untouched;
+    *  3. PUBLISH each staged partition into the live table by directory
+    *     rename (atomic per partition) under a root lock file, so two
+    *     simultaneous publishers serialize and every live partition is
+    *     always exactly ONE writer's complete batch — never a mix.
+    *
+    * A crashed publisher leaves at worst a stale lock (broken by the next
+    * writer after `lockTimeoutMs`) and `_staging`/`_trash` garbage that
+    * readers never see. Lock creation uses HDFS-atomic
+    * `create(overwrite=false)`; on a raw local FS the check-then-create
+    * window is microscopic but not zero — production deployments on object
+    * stores would swap in their conditional-put primitive here.
+    */
+  def publishPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      audit: DataFrame => Unit = _ => (),
+      lockTimeoutMs: Long = 60000L): Unit = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val id = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(root, s"_staging/$id")
+    try {
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString)
+      require(staged.columns.contains(partitionCol),
+        s"staged data lost partition column $partitionCol")
+      audit(staged)
+      val lock = new org.apache.hadoop.fs.Path(root, "_publish.lock")
+      acquireLock(fs, lock, lockTimeoutMs)
+      try {
+        fs.listStatus(stage)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+          .foreach { p =>
+            val target = new org.apache.hadoop.fs.Path(root, p.getPath.getName)
+            if (fs.exists(target)) {
+              val trash = new org.apache.hadoop.fs.Path(root, s"_trash/$id/${p.getPath.getName}")
+              fs.mkdirs(trash.getParent)
+              require(fs.rename(target, trash), s"could not retire $target")
+            }
+            require(fs.rename(p.getPath, target), s"could not publish $target")
+          }
+      } finally fs.delete(lock, false)
+    } finally {
+      // veto/crash or success: staging and retired partitions are garbage
+      fs.delete(stage, true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_trash/$id"), true)
+    }
+  }
+
+  private def acquireLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path,
+      timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          // Stale-lock break: a crashed publisher's lock older than the
+          // timeout is removed (safe because each of its partition
+          // renames was atomic — the table is never half-written WITHIN
+          // a partition).
+          val stale =
+            try fs.getFileStatus(lock).getModificationTime <
+              System.currentTimeMillis() - timeoutMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) { fs.delete(lock, false) }
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"publish lock $lock not acquired within ${timeoutMs}ms")
+          else Thread.sleep(50)
+      }
+    }
+  }
 }

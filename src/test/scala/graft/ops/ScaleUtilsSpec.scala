@@ -87,6 +87,63 @@ class ScaleUtilsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 99.0)))
   }
 
+  test("write-audit-publish: audit veto leaves the live table untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap_veto").toString
+    MergeSink.publishPartitioned(
+      Seq((1L, "d1", 1.0)).toDF("k", "day", "v"), dir, "day")
+    intercept[RuntimeException] {
+      MergeSink.publishPartitioned(
+        Seq((2L, "d1", -99.0)).toDF("k", "day", "v"), dir, "day",
+        audit = staged => require(
+          staged.where(col("v") < 0).isEmpty, "negative values staged"))
+    }
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v")))
+    assert(out.toSeq == Seq((1L, 1.0)), s"vetoed batch leaked: ${out.toSeq}")
+    // and no staging/trash residue is visible to readers or on disk
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_staging")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_staging")).isEmpty)
+  }
+
+  test("write-audit-publish: two racing writers never mix a partition") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap_race").toString
+    val perPart = 50
+    def batch(writer: String, days: Seq[String]) =
+      days.flatMap(d => (1 to perPart).map(i => (writer, d, i.toLong)))
+        .toDF("writer", "day", "v")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def publish(writer: String, days: Seq[String]) = Future {
+      val df = batch(writer, days)
+      start.await()
+      MergeSink.publishPartitioned(df, dir, "day")
+    }
+    // overlapping partition d2: exactly one writer's complete batch wins
+    val fa = publish("A", Seq("d1", "d2"))
+    val fb = publish("B", Seq("d2", "d3"))
+    start.countDown()
+    Await.result(fa.zip(fb), 120.seconds) // propagates either side's failure
+    val out = spark.read.parquet(dir)
+      .select(col("writer"), col("day").cast("string"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byDay = out.groupBy(_._2)
+    assert(byDay.keySet == Set("d1", "d2", "d3"))
+    assert(byDay("d1").forall(_._1 == "A") && byDay("d1").length == perPart)
+    assert(byDay("d3").forall(_._1 == "B") && byDay("d3").length == perPart)
+    val d2Writers = byDay("d2").map(_._1).distinct
+    assert(d2Writers.length == 1,
+      s"partition d2 mixes writers: ${d2Writers.toSeq}")
+    assert(byDay("d2").length == perPart &&
+      byDay("d2").map(_._3).sorted.toSeq == (1 to perPart).map(_.toLong),
+      s"partition d2 is not one complete batch: ${byDay("d2").length} rows")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     ev.write.mode("overwrite").bucketBy(8, "user_id")
