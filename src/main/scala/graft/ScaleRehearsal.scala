@@ -218,7 +218,8 @@ object ScaleRehearsal {
     // fixed %50 slice, so it grows with the corpus here; in production it
     // is a fixed eval set and the flat-broadcast property is even
     // stronger), repetition (explode + doc-clustered agg, scan-bound).
-    for (q <- Seq("ns_pack_chunks", "ns_decontaminate", "ns_text_repetition");
+    for (q <- Seq("ns_pack_chunks", "ns_pack_chunks_global",
+           "ns_decontaminate", "ns_text_repetition");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

@@ -56,6 +56,46 @@ object PackingOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Global-continuity packing: ONE continuous token stream across every
+    * shard (lang), cut every [[ChunkTokens]] tokens — the chunk ids are
+    * globally consecutive, exactly what a multi-shard 100 TB pack job
+    * emits when the trainer wants one logical stream instead of per-shard
+    * streams. Two passes, neither global over rows:
+    *
+    *  1. per-shard token totals (one row per shard) → running offsets via
+    *     a window over the TINY aggregated frame (shard count, not rows);
+    *  2. the per-shard running sums of [[nsPackChunks]], shifted by the
+    *     broadcast-joined shard offset into global stream positions.
+    *
+    * Equivalent to a single global ORDER BY (lang, doc_id) window — the
+    * spec proves it against that brute-force form — but the plan touches
+    * doc rows only under per-shard partitioning: the single-partition
+    * window runs on shard-count rows, and the offset join broadcasts.
+    */
+  def nsPackChunksGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOrder = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bpeTokens.as("toks"))
+      .where(col("toks") > 0)
+    val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
+      .withColumn("shard_offset",
+        coalesce(sum("shard_toks").over(shardOrder), lit(0L)))
+      .select("lang", "shard_offset")
+    docs
+      .withColumn("cum_in_shard", coalesce(sum("toks").over(byLang), lit(0L)))
+      .join(broadcast(offsets), Seq("lang"))
+      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+      .select(
+        col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        expr(s"cum_before div $ChunkTokens").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div $ChunkTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
   /** Deterministic weighted source interleave (the "temperature mixing"
     * step): each source is shuffled by the affine sample key, then rows
     * merge in order of rank/weight — a source with weight w contributes
@@ -86,6 +126,7 @@ object PackingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_pack_chunks" -> (nsPackChunks _),
+    "ns_pack_chunks_global" -> (nsPackChunksGlobal _),
     "ns_corpus_mix" -> (nsCorpusMix _))
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +148,34 @@ object PackingOps {
          |       (cum_before + toks - 1) // ${ChunkTokens} AS last_chunk,
          |       (cum_before + toks - 1) // ${ChunkTokens} - cum_before // ${ChunkTokens} + 1 AS n_chunks
          |FROM c ORDER BY lang, doc_id""".stripMargin,
+    // Same window algebra as ns_pack_chunks, with the shard offset CTE on
+    // top — the oracle states the semantics as the single global stream.
+    "ns_pack_chunks_global" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0),
+         |o AS (
+         |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
+         |  FROM t GROUP BY lang),
+         |oo AS (
+         |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+         |  FROM o),
+         |c AS (
+         |  SELECT doc_id, lang, toks,
+         |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+         |  FROM t)
+         |SELECT c.doc_id, c.lang, c.toks,
+         |       oo.shard_offset + c.cum_in_shard AS cum_before,
+         |       (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
+         |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk,
+         |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens}
+         |         - (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} + 1 AS n_chunks
+         |FROM c JOIN oo USING (lang)
+         |ORDER BY lang, doc_id""".stripMargin,
     "ns_corpus_mix" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,

@@ -54,6 +54,49 @@ class PackingOpsSpec extends SparkSpec {
     }
   }
 
+  test("global packing equals the single-global-window brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val got = PackingOps.nsPackChunksGlobal(spark, sfDir).collect().map(_.toSeq)
+    // the semantics: ONE stream ordered by (lang, doc_id) — computed here
+    // via the global window the production plan deliberately avoids
+    val w = Window.orderBy("lang", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), PackingOps.bpeTokens.as("toks"))
+      .where(col("toks") > 0)
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        expr(s"cum_before div ${PackingOps.ChunkTokens}").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div ${PackingOps.ChunkTokens}").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("lang", "doc_id").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // continuity: the stream starts at 0 and the last chunk covers the
+    // global token total — no per-shard reset anywhere
+    val totalToks = got.map(_(2).asInstanceOf[Long]).sum
+    assert(got.head(3) == 0L, "stream must start at position 0")
+    assert(got.map(_(5).asInstanceOf[Long]).max ==
+      (totalToks - 1) / PackingOps.ChunkTokens,
+      "global last chunk does not cover the token total")
+  }
+
+  test("global packing: single-partition exchange carries shard aggregates, not doc rows") {
+    val nodes = noAqeNodes(PackingOps.nsPackChunksGlobal(spark, sfDir))
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    val single = shuffles.filter(_.outputPartitioning.numPartitions == 1)
+    assert(single.nonEmpty,
+      "expected the shard-offset window's single-partition exchange")
+    single.foreach { e =>
+      assert(collectAllPlans(e).exists(_.nodeName.toLowerCase.contains("aggregate")),
+        s"single-partition exchange feeds on raw doc rows: ${e.child.nodeName}")
+    }
+    val hash = shuffles.filterNot(e => e.outputPartitioning.numPartitions == 1 ||
+      e.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(hash.nonEmpty &&
+      hash.forall(_.outputPartitioning.toString.contains("lang")),
+      s"doc rows must ride lang-hash exchanges only: ${hash.map(_.outputPartitioning)}")
+  }
+
   test("packing plans: one hash exchange per stream window, none for the mix ranks beyond source") {
     val packShuffles = noAqeNodes(PackingOps.nsPackChunks(spark, sfDir))
       .collect { case e: ShuffleExchangeExec => e }
