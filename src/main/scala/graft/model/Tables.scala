@@ -91,8 +91,37 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Static dimensions eligible for the serving-session cache — bounded
+    * by construction: the enumerated dimension tables only, never the
+    * fact/corpus tables (events/lineitem/orders/documents/embeddings),
+    * which stream at 100 TB. At scale these dims are the
+    * broadcast-sized side of every serving join.
+    */
+  private val DimensionTables = Set("customer", "supplier", "part", "nation", "region")
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Reads a fixture table. With `spark.graft.serving.cacheDims=true`
+    * (opt-in, set by long-lived serving sessions like ServeBench; OFF for
+    * Verify/Bench so correctness and per-query timings stay cache-cold)
+    * the static dimension tables are persisted once per (session, path)
+    * and shared across concurrent serving requests — a serving session
+    * re-reading an unchanged dimension parquet per request pays scan +
+    * decode on every one of its joins for nothing.
+    */
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cacheOn = DimensionTables(name) &&
+      spark.conf.getOption("spark.graft.serving.cacheDims").contains("true")
+    if (cacheOn) {
+      val df = dimCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+      // Self-healing: a cacheManager.clearCache() elsewhere (warm loops,
+      // Verify hygiene) silently unpersists; re-mark so the NEXT request
+      // rebuilds the cache instead of silently scanning forever.
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    } else spark.read.parquet(path)
+  }
 
   /** The fixtures store `events.ts` as parquet TIMESTAMP(NANOS), which Spark
     * only reads as a nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong,

@@ -93,6 +93,32 @@ object IncomeKernel {
       .select(k, e, col("earnings"), col("losses"), col("apr"), col("epochs_since_active"))
   }
 
+  private val servingIncomeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The income state every serving pipeline reads — and the engine analog
+    * of the reference's architecture, where the API handlers read income
+    * MATERIALIZED into MySQL by the poll-loop writers
+    * (/root/reference/src/api_handler.py reads tables that
+    * validator_income_handler.py maintains) and never recompute it per
+    * request. With `spark.graft.serving.cacheIncome=true` (opt-in; set by
+    * long-lived serving sessions like ServeBench) the frame is persisted
+    * once per (session, dataset) and every request joins against it; in
+    * production the same role is played by the incrementally-maintained
+    * snapshot of [[graft.streaming.StreamingIncome]]. OFF by default, so
+    * Verify and Bench measure the full cache-cold derivation.
+    */
+  def servingIncome(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def build = cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    if (spark.conf.getOption("spark.graft.serving.cacheIncome").contains("true")) {
+      val df = servingIncomeCache.computeIfAbsent((spark, dir), _ => build)
+      // Self-healing after an external cacheManager.clearCache(), like
+      // the Tables dimension cache.
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    } else build
+  }
+
   /** APR analog of /root/reference/src/utils/financials.py:4-9:
     * (earnings / n_epochs) annualized against a fixed principal.
     * Pure column arithmetic — no UDF (SURVEY.md §2.10).

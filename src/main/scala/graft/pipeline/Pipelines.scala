@@ -44,7 +44,7 @@ object Pipelines {
     * every key starts from its first observed epoch in one window pass.
     */
   def incomeSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     income
       .withColumn("_rn", row_number().over(w))
@@ -88,7 +88,7 @@ object Pipelines {
     * threat table.
     */
   def userIncome(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     // avg of 6-dp values lands exactly on half-way rounding points whenever
     // sum*1e6 ≡ n/2 (mod n); float noise would then flip the 6th decimal
     // between engines. Average in exact integer micro-units instead:
@@ -122,7 +122,7 @@ object Pipelines {
     * minimum-history gate, materialized like Validator_Daily_APR.
     */
   def dailyApr(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     income
       .withColumn("_rn", row_number().over(w))
@@ -200,7 +200,7 @@ object Pipelines {
     * index.
     */
   def indexEpochApr(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
     val grouped = income
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
@@ -262,7 +262,7 @@ object Pipelines {
     * c_nationkey links income to its index.
     */
   def lsdWiseApr(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     val latest = income
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
@@ -296,7 +296,7 @@ object Pipelines {
     * subgraph lookups; constants are fixture-scaled.
     */
   def userIncomeMev(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     val latest = income
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
@@ -330,7 +330,7 @@ object Pipelines {
     * rank, the history count, and the latest-earnings pick.
     */
   def epochWiseApr(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val wDesc = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     val wAll = Window.partitionBy("user_id")
     income
@@ -351,7 +351,7 @@ object Pipelines {
     * is a 1-row broadcast; the range predicate prunes on the fact side.
     */
   def aprBetweenEpochs(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val fin = income.agg(max(col("epoch")).as("fin"))
     income.crossJoin(broadcast(fin))
       .where(col("epoch") >= col("fin") - 7 && col("epoch") <= col("fin"))
@@ -368,7 +368,7 @@ object Pipelines {
     * keep truncating `div` and flooring `//` in agreement).
     */
   def userIncomeNodeRunner(spark: SparkSession, dir: String): DataFrame = {
-    val income = IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    val income = IncomeKernel.servingIncome(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("epoch").desc)
     val latest = income
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)

@@ -22,7 +22,7 @@ object ServingEndpoints {
   import Pipelines.{dayEpoch, epochExpr, incomeCte}
 
   private def income(spark: SparkSession, dir: String): DataFrame =
-    IncomeKernel.cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
+    IncomeKernel.servingIncome(spark, dir)
 
   /** Latest observed balance per key (row_number over epoch desc — the
     * beacon "current balance" analog shared by the LSD-score and PoN

@@ -74,6 +74,33 @@ class ServingEndpointsSpec extends SparkSpec {
     }
   }
 
+  test("serving dimension cache changes no results, only the physical source") {
+    val probes = Seq("pipe_leaderboard", "pipe_index_validators", "pipe_user_income")
+    val cold = probes.map(q =>
+      q -> graft.SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSeq).toMap
+    spark.conf.set("spark.graft.serving.cacheDims", "true")
+    spark.conf.set("spark.graft.serving.cacheIncome", "true")
+    try {
+      val warm = probes.map(q =>
+        q -> graft.SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSeq).toMap
+      assert(warm == cold, "dimension cache drifted serving results")
+      // and the dims genuinely became in-memory relations
+      val nodes = collectAllPlans(graft.model.Tables.customer(spark, sfDir)
+        .queryExecution.executedPlan)
+      assert(nodes.exists(_.nodeName.toLowerCase.contains("inmemory")),
+        s"customer dim not served from cache: ${nodes.map(_.nodeName)}")
+      // the income snapshot is served from the materialized frame too
+      val incNodes = collectAllPlans(graft.ops.IncomeKernel
+        .servingIncome(spark, sfDir).queryExecution.executedPlan)
+      assert(incNodes.exists(_.nodeName.toLowerCase.contains("inmemory")),
+        s"income not served from the materialization: ${incNodes.map(_.nodeName)}")
+    } finally {
+      spark.conf.unset("spark.graft.serving.cacheDims")
+      spark.conf.unset("spark.graft.serving.cacheIncome")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("savETH index-name override: liquid name wins, solo fills the rest") {
     val got = ServingEndpoints.savethIndexNames(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
