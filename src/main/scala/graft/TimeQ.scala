@@ -13,7 +13,7 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_WARM=1 applies Bench's exact pre-timing warm, so run1
     // here predicts the query's recorded bench number (without it, run1
     // includes the plan-family codegen compile Bench pays before timing).

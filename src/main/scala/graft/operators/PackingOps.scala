@@ -77,9 +77,19 @@ object PackingOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val shardOrder = Window.orderBy("lang")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Tokenize ONCE: both the shard-total pass and the doc-row pass read
+    // this cached 3-column frame — the BPE-ish regexp is the dominant
+    // cost and paid twice it doubled the query in rehearsal (7.5 s vs
+    // 3.9 s per-shard at 100k docs). ReuseExchange can't collapse the two
+    // branches (column pruning specializes each branch's projection below
+    // the exchange), so the share point is explicit. The cached frame is
+    // ids+lang+count, a sliver of the corpus; a 100 TB job materializes
+    // token counts the same way — packing, mixing and length profiling
+    // all reuse them.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bpeTokens.as("toks"))
       .where(col("toks") > 0)
+      .cache()
     val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
       .withColumn("shard_offset",
         coalesce(sum("shard_toks").over(shardOrder), lit(0L)))

@@ -95,6 +95,15 @@ class PackingOpsSpec extends SparkSpec {
     assert(hash.nonEmpty &&
       hash.forall(_.outputPartitioning.toString.contains("lang")),
       s"doc rows must ride lang-hash exchanges only: ${hash.map(_.outputPartitioning)}")
+    // tokenize-once: BOTH branches must read the cached token frame (the
+    // regexp tokenization is the dominant cost; paid twice it doubled the
+    // query in rehearsal) — i.e. two InMemoryTableScans, zero direct
+    // parquet scans of documents in this plan
+    val memScans = nodes.count(_.nodeName.toLowerCase.contains("inmemory"))
+    val pqScans = nodes.count(_.nodeName.toLowerCase.startsWith("scan parquet"))
+    assert(memScans >= 2 && pqScans == 0,
+      s"branches re-tokenize instead of sharing the cached frame " +
+        s"(inmemory=$memScans, parquet=$pqScans):\n${nodes.map(_.nodeName)}")
   }
 
   test("packing plans: one hash exchange per stream window, none for the mix ranks beyond source") {
