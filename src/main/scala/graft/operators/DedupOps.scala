@@ -39,7 +39,7 @@ object DedupOps {
       .select(col("doc_id"),
         conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
 
-  private[operators] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     explodedShingles(docs).distinct()
 
   /** The SAME per-doc distinct shingle set as [[shingleSetsOnePass]], as a
@@ -612,9 +612,20 @@ object DedupOps {
     */
   def nsDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val benchSh = shingles(docs.where(col("doc_id") % 50 === 0))
-      .select("sh").distinct()
-    val corpusSh = shingles(docs.where(col("doc_id") % 50 =!= 0))
+    contaminationProfile(
+      shingles(docs.where(col("doc_id") % 50 =!= 0)),
+      shingles(docs.where(col("doc_id") % 50 === 0)).select("sh").distinct())
+      .orderBy("doc_id")
+  }
+
+  /** The decontamination core over (corpus shingles, distinct probe
+    * shingles): per-doc overlap count/ratio + the drop flag. Shared by
+    * the batch query above and the streaming admission twin
+    * ([[graft.streaming.StreamingDecontaminate]]) — probe side always
+    * broadcasts, no corpus-vs-corpus join anywhere.
+    */
+  private[graft] def contaminationProfile(
+      corpusSh: DataFrame, benchSh: DataFrame): DataFrame = {
     val card = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     corpusSh.join(broadcast(benchSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
@@ -622,7 +633,6 @@ object DedupOps {
       .select(col("doc_id"), col("n_common"), col("n_shingles"),
         round(col("n_common") / col("n_shingles"), 6).as("contamination_ratio"),
         (col("n_common") >= 10).as("drop_doc"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -36,6 +36,33 @@ object StreamingPacking {
           + lit(SamplingOps.SampleKeyB), lit(SamplingOps.SampleKeyP)))
       .where(col("sample_key") % 5 === 0)
 
+  /** readStream → incremental packing → append parquet: the file-landed
+    * exactly-once form (checkpointed file offsets AND state-store token
+    * totals; one file per trigger so shard totals straddle micro-batch —
+    * and, with a second invocation, RESTART — boundaries). The spec
+    * proves a restarted pipeline continues chunk spans from the
+    * checkpointed running totals with no duplicate rows.
+    */
+  def packFilePipeline(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      outPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream
+      .schema(graft.model.Tables.documentsSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    packStream(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental concat-and-chunk packing: per-lang running token totals
     * live in the state store (8 bytes per shard); each arriving document
     * is assigned its global-within-shard chunk span immediately. Within a

@@ -39,6 +39,66 @@ class StreamingPackingSpec extends SparkSpec {
       s"stream admitted ${got.size} vs batch ${want.size}")
   }
 
+  test("pack file pipeline continues chunk spans across a checkpointed restart") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_pack_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_pack_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_pack_cp").toString
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pack_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    val mid = raw.selectExpr("CAST(approx_percentile(doc_id, 0.5) AS BIGINT)")
+      .first().getLong(0)
+    land(raw.where(col("doc_id") <= mid).orderBy("doc_id"), "a.parquet")
+    StreamingPacking.packFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    // restart: run 2 consumes ONLY b.parquet, with running totals from
+    // the checkpointed state store
+    land(raw.where(col("doc_id") > mid).orderBy("doc_id"), "b.parquet")
+    StreamingPacking.packFilePipeline(spark, srcDir.toString, out, cp)
+      .awaitTermination()
+    val cols = Seq("doc_id", "lang", "toks", "cum_before",
+      "first_chunk", "last_chunk", "n_chunks")
+    val gotRows = spark.read.parquet(out).selectExpr(cols: _*)
+      .collect().map(_.toSeq)
+    assert(gotRows.length == gotRows.distinct.length, "duplicate packed rows")
+    val want = PackingOps.nsPackChunks(spark, sfDir).selectExpr(cols: _*)
+      .collect().map(_.toSeq).toSet
+    assert(gotRows.toSet == want,
+      s"sizes ${gotRows.length} vs ${want.size}")
+  }
+
+  test("streaming decontamination admits exactly the batch keep set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_decon_cp").toString
+    val docs = fixtureDocs
+    val probe = Tables.documents(spark, sfDir).where(col("doc_id") % 50 === 0)
+    val corpus = docs.filterNot(_._1 % 50 == 0)
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[(Long, String, String, Long)]
+    val query = StreamingDecontaminate.admissionStream(
+      input.toDS().toDF("doc_id", "lang", "text", "n_chars"), probe, out, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val got = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val dropped = graft.operators.DedupOps.nsDecontaminate(spark, sfDir)
+      .where(col("drop_doc")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.map(_._1).toSet -- dropped
+    assert(dropped.nonEmpty, "fixture has no contaminated docs — test is vacuous")
+    assert(got == want,
+      s"admitted ${got.size} vs expected ${want.size}; " +
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
   test("streaming packing equals batch packing across a mid-shard split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
