@@ -27,6 +27,17 @@ object ImageCodecs {
     * separators, then 3·w·h raw RGB bytes.
     */
   def decodePpm(bytes: Array[Byte]): Decoded = {
+    val (w, h, px) = ppmPixels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    (w, h, 3L, sum)
+  }
+
+  /** Full PPM decode: (width, height, 3·w·h pixel component bytes in
+    * row-major RGB order) — the form resampling kernels consume.
+    */
+  def ppmPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       "not a P6 PPM: bad magic")
     var pos = 2
@@ -46,11 +57,7 @@ object ImageCodecs {
     val need = 3 * w * h
     require(bytes.length - pos >= need,
       s"truncated PPM pixel data: need $need, have ${bytes.length - pos}")
-    var sum = 0L
-    var i = pos
-    val end = pos + need.toInt
-    while (i < end) { sum += bytes(i) & 0xff; i += 1 }
-    (w, h, 3L, sum)
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): little-endian
@@ -58,6 +65,17 @@ object ImageCodecs {
     * padding bytes are NOT pixel data and are excluded from the sum.
     */
   def decodeBmp(bytes: Array[Byte]): Decoded = {
+    val (w, h, px) = bmpPixels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    (w, h, 3L, sum)
+  }
+
+  /** Full BMP decode: (width, height, 3·w·h pixel component bytes with
+    * the row padding STRIPPED, rows in stored bottom-up order).
+    */
+  def bmpPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -73,15 +91,13 @@ object ImageCodecs {
     val stride = (3 * w + 3) / 4 * 4
     require(dataOffset >= 54 && bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
       s"truncated BMP pixel data: need ${stride.toLong * h}, have ${bytes.length - dataOffset}")
-    var sum = 0L
+    val out = new Array[Byte](3 * w * h)
     var row = 0
     while (row < h) {
-      val base = dataOffset + row * stride
-      var i = 0
-      while (i < 3 * w) { sum += bytes(base + i) & 0xff; i += 1 }
+      System.arraycopy(bytes, dataOffset + row * stride, out, row * 3 * w, 3 * w)
       row += 1
     }
-    (w, h, 3L, sum)
+    (w, h, out)
   }
 }
 

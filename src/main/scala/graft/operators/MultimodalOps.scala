@@ -122,24 +122,73 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** "Resize" (downsample) stub: keep every 2nd payload byte and compute
-    * a position-weighted checksum over the kept bytes — the strided-byte
-    * selection IS the plumbing a real resampler needs (the arithmetic is
-    * the stub part, like [[StubDecoder]]). Pure per-row column
-    * expressions; nothing wide anywhere.
+  /** One resized row: out dims (-1 for non-image mimes), the number of
+    * kept units (pixel components, or bytes for the byte-strided stub),
+    * and a position-weighted checksum over exactly the kept data.
     */
-  def nsMultimodalResize(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir)
+  case class ResizedMedia(
+      doc_id: Long, mime: String, n_bytes: Long,
+      out_w: Long, out_h: Long, kept_units: Long, resize_checksum: Long)
+
+  /** 2x strided down-sample on REAL decoded pixels: images decode through
+    * [[ImageCodecs]] (BMP row padding already stripped by the codec),
+    * keep every 2nd pixel per axis, and checksum the kept components
+    * weighted by their INPUT position — nearest-neighbor decimation, the
+    * first stage of any pyramid resampler. Non-image mimes keep the
+    * byte-strided stub (every 2nd byte). Runs in the same per-partition
+    * batched decode shape as [[nsMultimodalFeatures]].
+    */
+  object Resampler {
+    def resize(r: MediaRecord): ResizedMedia = r.mime match {
+      case ImageFixtures.PpmMime | ImageFixtures.BmpMime =>
+        val (w, h, px) =
+          if (r.mime == ImageFixtures.PpmMime) ImageCodecs.ppmPixels(r.payload)
+          else ImageCodecs.bmpPixels(r.payload)
+        val ow = (w + 1) / 2
+        val oh = (h + 1) / 2
+        var sum = 0L
+        var oy = 0L
+        while (oy < oh) {
+          var ox = 0L
+          while (ox < ow) {
+            var c = 0
+            while (c < 3) {
+              val i = ((oy * 2) * w + ox * 2) * 3 + c
+              sum += (px(i.toInt) & 0xff).toLong * ((i % 97) + 1)
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        ResizedMedia(r.doc_id, r.mime, r.payload.length.toLong,
+          ow, oh, ow * oh * 3, sum)
+      case _ => // byte-strided stub for mimes with no offline codec
+        val n = r.payload.length.toLong
+        var sum = 0L
+        var j = 1L
+        while (j <= n) {
+          sum += (r.payload((j - 1).toInt) & 0xff).toLong * ((j % 97) + 1)
+          j += 2
+        }
+        ResizedMedia(r.doc_id, r.mime, n, -1L, -1L, (n + 1) / 2, sum)
+    }
+  }
+
+  /** Mixed-mime 2x down-sample: real pixel decimation for PPM/BMP rows,
+    * byte stride for text rows.
+    */
+  def nsMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mixedMediaTable(spark, dir)
       .where(length(col("payload")) > 0)
-      .select(
-        col("doc_id"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        ceil(length(col("payload")) / 2.0).cast("long").as("resized_bytes"),
-        expr(
-          "aggregate(sequence(1, length(payload), 2), CAST(0 AS BIGINT), " +
-            "(acc, i) -> acc + CAST(ascii(substring(payload, i, 1)) AS BIGINT) * ((i % 97) + 1))")
-          .as("resize_checksum"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(Resampler.resize))
+      .toDF()
+      .select("doc_id", "mime", "n_bytes", "out_w", "out_h",
+        "kept_units", "resize_checksum")
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
@@ -195,21 +244,59 @@ object MultimodalOps {
         |       (n_bytes * 31 + frame_idx * 7) % 256 AS stub_feature
         |FROM f WHERE frame_idx % 4 = 0 AND n_bytes > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Image rows: replay the strided decimation symbolically — output
+    // component k maps back to input index i = ((oy·2)·w + ox·2)·3 + c,
+    // value (id·31 + i) % 256, weight (i % 97) + 1. Text rows keep the
+    // original every-2nd-byte checksum. A hash-match proves the Spark
+    // side decoded real pixels and strided them identically.
     "ns_multimodal_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes
-        |  FROM documents WHERE length(text) > 0),
-        |k AS (
-        |  SELECT doc_id, n_bytes,
-        |         unnest(range(1, CAST(n_bytes + 1 AS BIGINT), 2)) AS i
-        |  FROM m),
-        |s AS (
-        |  SELECT k.doc_id, k.n_bytes,
-        |         CAST(SUM(CAST(ascii(substring(m.text, CAST(k.i AS INT), 1)) AS BIGINT)
-        |              * ((k.i % 97) + 1)) AS BIGINT) AS resize_checksum
-        |  FROM k JOIN m ON k.doc_id = m.doc_id GROUP BY k.doc_id, k.n_bytes)
-        |SELECT doc_id, n_bytes,
-        |       CAST(ceil(n_bytes / 2.0) AS BIGINT) AS resized_bytes,
-        |       resize_checksum
-        |FROM s ORDER BY doc_id""".stripMargin)
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id % 3 AS m,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
+        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
+        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
+        |  FROM documents
+        |  WHERE doc_id % 3 <> 2 OR length(text) > 0),
+        |i1 AS (
+        |  SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        |  FROM d WHERE m <> 2),
+        |i2 AS (
+        |  SELECT doc_id, w, ow, oh,
+        |         unnest(generate_series(0, CAST(oh*ow*3 - 1 AS BIGINT))) AS k
+        |  FROM i1),
+        |ipx AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(((doc_id*31 + i) % 256) * ((i % 97) + 1)) AS BIGINT) AS checksum
+        |  FROM (SELECT doc_id,
+        |          ((k // (ow*3)) * 2 * w + ((k % (ow*3)) // 3) * 2) * 3 + (k % 3) AS i
+        |        FROM i2)
+        |  GROUP BY doc_id),
+        |t1 AS (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM d WHERE m = 2),
+        |t2 AS (
+        |  SELECT doc_id, unnest(range(1, CAST(n + 1 AS BIGINT), 2)) AS j
+        |  FROM t1),
+        |tpx AS (
+        |  SELECT t2.doc_id,
+        |         CAST(SUM(CAST(ascii(substring(t1.text, CAST(t2.j AS INT), 1)) AS BIGINT)
+        |              * ((t2.j % 97) + 1)) AS BIGINT) AS checksum
+        |  FROM t2 JOIN t1 ON t2.doc_id = t1.doc_id GROUP BY t2.doc_id)
+        |SELECT d.doc_id,
+        |       CASE d.m WHEN 1 THEN 'image/x-portable-pixmap'
+        |                WHEN 0 THEN 'image/bmp' ELSE 'text/plain' END AS mime,
+        |       CAST(CASE d.m
+        |         WHEN 1 THEN 9 + length(CAST(d.w AS VARCHAR))
+        |                     + length(CAST(d.h AS VARCHAR)) + 3*d.w*d.h
+        |         WHEN 0 THEN 54 + ((3*d.w + 3) // 4 * 4) * d.h
+        |         ELSE octet_length(encode(d.text)) END AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(i1.ow, -1) AS BIGINT) AS out_w,
+        |       CAST(COALESCE(i1.oh, -1) AS BIGINT) AS out_h,
+        |       CAST(CASE WHEN d.m <> 2 THEN i1.ow*i1.oh*3
+        |            ELSE (octet_length(encode(d.text)) + 1) // 2 END AS BIGINT) AS kept_units,
+        |       COALESCE(ipx.checksum, tpx.checksum) AS resize_checksum
+        |FROM d LEFT JOIN i1 USING (doc_id) LEFT JOIN ipx USING (doc_id)
+        |       LEFT JOIN tpx ON d.doc_id = tpx.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

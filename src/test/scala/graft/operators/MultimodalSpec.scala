@@ -60,6 +60,36 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageCodecs.decodeBmp(bad))
   }
 
+  test("resize decimates real pixels with input-position weights") {
+    def brute(w: Long, h: Long, px: Array[Byte]): (Long, Long, Long) = {
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      val sum = (for {
+        oy <- 0L until oh; ox <- 0L until ow; c <- 0 until 3
+      } yield {
+        val i = ((oy * 2) * w + ox * 2) * 3 + c
+        (px(i.toInt) & 0xff).toLong * ((i % 97) + 1)
+      }).sum
+      (ow, oh, sum)
+    }
+    // PPM ids cover odd AND even dims (w=id%13+1, h=id%7+1)
+    for (id <- Seq(1L, 4L, 7L, 13L, 100L)) {
+      val rec = MultimodalOps.MediaRecord(id, ImageFixtures.PpmMime, ImageFixtures.ppm(id))
+      val got = MultimodalOps.Resampler.resize(rec)
+      val (w, h, px) = ImageCodecs.ppmPixels(rec.payload)
+      val (ow, oh, sum) = brute(w, h, px)
+      assert((got.out_w, got.out_h, got.kept_units, got.resize_checksum) ==
+        (ow, oh, ow * oh * 3, sum), s"ppm id=$id")
+    }
+    // BMP path: same arithmetic after the codec strips row padding
+    for (id <- Seq(3L, 6L, 9L)) {
+      val rec = MultimodalOps.MediaRecord(id, ImageFixtures.BmpMime, ImageFixtures.bmp(id))
+      val got = MultimodalOps.Resampler.resize(rec)
+      val (w, h, px) = ImageCodecs.bmpPixels(rec.payload)
+      val (ow, oh, sum) = brute(w, h, px)
+      assert((got.out_w, got.out_h, got.resize_checksum) == (ow, oh, sum), s"bmp id=$id")
+    }
+  }
+
   test("features query decodes all three mimes with real headers") {
     val rows = MultimodalOps.nsMultimodalFeatures(spark, sfDir).collect()
     assert(rows.nonEmpty)
