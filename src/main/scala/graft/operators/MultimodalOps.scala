@@ -105,7 +105,7 @@ object MultimodalOps {
   def nsMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val frameSize = 32L
     val sampleEvery = 4L
-    mediaTable(spark, dir)
+    mixedMediaTable(spark, dir)
       .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
       // Empty payloads emit no frames. Required for oracle parity too:
       // Spark's sequence(0, -1) yields a DESCENDING [0, -1] while DuckDB's
@@ -231,14 +231,29 @@ object MultimodalOps {
         |       COALESCE(px.px_sum, CAST(-1 AS BIGINT)) AS px_sum
         |FROM d LEFT JOIN px ON d.doc_id = px.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Frame cutting runs over the mixed-mime payloads too: n_bytes per
+    // mime replays the generator formulas (same CASE as the features
+    // oracle), so image payload sizes come from real headers+pixels.
     "ns_multimodal_frames" ->
-      """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id % 3 AS m,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
+        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
+        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
+        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
         |  FROM documents),
+        |mm AS (
+        |  SELECT doc_id,
+        |         CAST(CASE m
+        |           WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+        |                       + length(CAST(h AS VARCHAR)) + 3*w*h
+        |           WHEN 0 THEN 54 + ((3*w + 3) // 4 * 4) * h
+        |           ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+        |  FROM d),
         |f AS (
         |  SELECT doc_id, n_bytes,
         |         unnest(generate_series(0, CAST(floor((n_bytes - 1) / 32) AS BIGINT))) AS frame_idx
-        |  FROM m)
+        |  FROM mm)
         |SELECT doc_id, frame_idx,
         |       frame_idx * 32 AS byte_offset,
         |       (n_bytes * 31 + frame_idx * 7) % 256 AS stub_feature
