@@ -114,6 +114,10 @@ object Tables {
     val cacheOn = DimensionTables(name) &&
       spark.conf.getOption("spark.graft.serving.cacheDims").contains("true")
     if (cacheOn) {
+      // Entries of stopped sessions are unreachable garbage (the cached
+      // frames strongly reference their session) — prune on the way in,
+      // so a long-lived JVM cycling serving sessions doesn't accumulate.
+      dimCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
       val df = dimCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
       // Self-healing: a cacheManager.clearCache() elsewhere (warm loops,
       // Verify hygiene) silently unpersists; re-mark so the NEXT request

@@ -54,6 +54,9 @@ object ImageCodecs {
     require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
     require(maxval == 255, s"unsupported PPM maxval $maxval (8-bit only)")
     pos += 1 // exactly ONE whitespace byte separates maxval from pixel data
+    // declared dims must fit a JVM array BEFORE any Int math touches them
+    require(3L * w * h <= Int.MaxValue - pos,
+      s"PPM dimensions ${w}x$h overflow the pixel buffer")
     val need = 3 * w * h
     require(bytes.length - pos >= need,
       s"truncated PPM pixel data: need $need, have ${bytes.length - pos}")
@@ -88,7 +91,11 @@ object ImageCodecs {
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$h (top-down unsupported)")
     require(planes == 1 && bpp == 24 && compression == 0,
       s"unsupported BMP variant: planes=$planes bpp=$bpp compression=$compression")
-    val stride = (3 * w + 3) / 4 * 4
+    // declared dims must fit a JVM array BEFORE any Int math touches
+    // them — including the stride's +3 padding headroom
+    require(3L * w * h <= Int.MaxValue - 3,
+      s"BMP dimensions ${w}x$h overflow the pixel buffer")
+    val stride = (3 * w + 3) / 4 * 4 // 3w+3 fits Int: guarded above (h >= 1)
     require(dataOffset >= 54 && bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
       s"truncated BMP pixel data: need ${stride.toLong * h}, have ${bytes.length - dataOffset}")
     val out = new Array[Byte](3 * w * h)

@@ -51,14 +51,6 @@ object MultimodalOps {
     }
   }
 
-  /** documents.text bytes stand in for media payloads (binary column). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        lit("text/plain").as("mime"),
-        col("text").cast("binary").as("payload"))
-
   /** Mixed-mime corpus: every third document becomes a REAL generated BMP
     * (doc_id ≡ 0 mod 3) or PPM (≡ 1) payload ([[ImageFixtures]]); the rest
     * stay text. The generation is fixture machinery — the decode path sees

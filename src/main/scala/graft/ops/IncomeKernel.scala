@@ -111,6 +111,8 @@ object IncomeKernel {
   def servingIncome(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     def build = cumulativeIncome(WindowOps.balancesFromEvents(spark, dir))
     if (spark.conf.getOption("spark.graft.serving.cacheIncome").contains("true")) {
+      // prune entries of stopped sessions, same as the Tables dim cache
+      servingIncomeCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
       val df = servingIncomeCache.computeIfAbsent((spark, dir), _ => build)
       // Self-healing after an external cacheManager.clearCache(), like
       // the Tables dimension cache.

@@ -107,6 +107,7 @@ object MergeSink {
     fs.mkdirs(root)
     val id = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(root, s"_staging/$id")
+    var publishOk = false
     try {
       df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
       val staged = spark.read.parquet(stage.toString)
@@ -115,23 +116,58 @@ object MergeSink {
       audit(staged)
       val lock = new org.apache.hadoop.fs.Path(root, "_publish.lock")
       acquireLock(fs, lock, lockTimeoutMs)
+      // Swap log for rollback: fully-swapped (target, retired) pairs plus
+      // the partition mid-swap when a failure hits. A failed publish must
+      // ROLL BACK to the pre-publish table — without it, the outer
+      // cleanup's trash delete would destroy retired live partitions that
+      // were never replaced.
+      val done = scala.collection.mutable.ListBuffer[
+        (org.apache.hadoop.fs.Path, Option[org.apache.hadoop.fs.Path])]()
+      var current: Option[(org.apache.hadoop.fs.Path, Option[org.apache.hadoop.fs.Path])] = None
       try {
         fs.listStatus(stage)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
           .foreach { p =>
             val target = new org.apache.hadoop.fs.Path(root, p.getPath.getName)
-            if (fs.exists(target)) {
-              val trash = new org.apache.hadoop.fs.Path(root, s"_trash/$id/${p.getPath.getName}")
-              fs.mkdirs(trash.getParent)
-              require(fs.rename(target, trash), s"could not retire $target")
-            }
+            val trash =
+              if (fs.exists(target)) {
+                val t = new org.apache.hadoop.fs.Path(root, s"_trash/$id/${p.getPath.getName}")
+                fs.mkdirs(t.getParent)
+                require(fs.rename(target, t), s"could not retire $target")
+                Some(t)
+              } else None
+            current = Some((target, trash))
             require(fs.rename(p.getPath, target), s"could not publish $target")
+            done += ((target, trash))
+            current = None
           }
-      } finally fs.delete(lock, false)
+        publishOk = true
+      } finally {
+        // Roll back BEFORE releasing the lock, so no competing writer
+        // observes the half-published state. Best-effort: a rollback
+        // IOException must not mask the original failure.
+        if (!publishOk) try {
+          current.foreach { case (target, trash) => // retire done, swap failed
+            trash.foreach(t => fs.rename(t, target))
+          }
+          done.foreach { case (target, trash) => // fully swapped: un-publish
+            fs.delete(target, true)
+            trash.foreach(t => fs.rename(t, target))
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[publish] rollback of $root incomplete: ${e.getMessage}")
+        }
+        fs.delete(lock, false)
+      }
     } finally {
-      // veto/crash or success: staging and retired partitions are garbage
+      // Staging is always garbage. The retired originals are garbage only
+      // after a SUCCESSFUL publish — on failure the rollback above moved
+      // them back, and any rollback leftovers must survive for manual
+      // recovery rather than be deleted.
       fs.delete(stage, true)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_trash/$id"), true)
+      if (publishOk)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_trash/$id"), true)
     }
   }
 
@@ -148,14 +184,22 @@ object MergeSink {
       } catch {
         case _: java.io.IOException =>
           // Stale-lock break: a crashed publisher's lock older than the
-          // timeout is removed (safe because each of its partition
-          // renames was atomic — the table is never half-written WITHIN
-          // a partition).
+          // timeout is CLAIMED by renaming it to a unique name — rename
+          // is atomic, so exactly one contender wins and removes it; a
+          // plain delete-then-create would let a slow contender delete a
+          // competitor's FRESH lock and put two publishers inside the
+          // critical section. (Safe to break at all because a crashed
+          // publisher's partition renames were each atomic.)
           val stale =
             try fs.getFileStatus(lock).getModificationTime <
               System.currentTimeMillis() - timeoutMs
             catch { case _: java.io.FileNotFoundException => false }
-          if (stale) { fs.delete(lock, false) }
+          if (stale) {
+            val claim = new org.apache.hadoop.fs.Path(
+              lock.getParent, s"${lock.getName}.stale-${java.util.UUID.randomUUID()}")
+            try { if (fs.rename(lock, claim)) fs.delete(claim, false) }
+            catch { case _: java.io.IOException => () } // lost the claim race
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"publish lock $lock not acquired within ${timeoutMs}ms")

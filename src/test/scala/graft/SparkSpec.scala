@@ -25,6 +25,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pins that must also hold in the mode the bench actually runs
     * (inputPlan-based walks would make absence pins vacuous; the
     * post-execution final plan carries the real operators).
+    *
+    * CALLER CONTRACT: pass a FRESH build expression (a `def`, or an
+    * inline `Ops.query(spark, dir)` call), never a Dataset val already
+    * walked by [[noAqeNodes]] — `queryExecution.executedPlan` is a cached
+    * lazy val, so a shared val would make this walk re-traverse the
+    * AQE-off plan and the pin vacuous.
     */
   protected def aqeFinalNodes(build: => org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec

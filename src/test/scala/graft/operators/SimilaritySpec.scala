@@ -134,7 +134,10 @@ class SimilaritySpec extends SparkSpec {
     val lits = cents.map { case (cid, v) =>
       (cid, org.apache.spark.sql.functions.typedLit(v.toSeq))
     }.toSeq
-    val assign = emb.select(col("vec_id"),
+    // A FRESH frame per mode: queryExecution.executedPlan is a cached
+    // lazy val, so passing one Dataset to both walks would make the
+    // second pin re-traverse the first mode's plan — vacuously.
+    def assign = emb.select(col("vec_id"),
       SimilarityOps.centroidRanking(lits)(0)("cent_id").as("cluster"))
     // SparkSpec.noAqeNodes: AQE's inputPlan is pre-EnsureRequirements
     // (no exchanges yet), so the pin runs against the AQE-off executed
