@@ -215,7 +215,34 @@ object TextOps {
       .withColumn("repetitive", col("dup_ratio") > 0.03)
       .orderBy("doc_id")
 
+  /** Corpus-frequency rarity scoring (the CCNet/Gopher-family quality
+    * signal computed from the corpus itself): per document, the mean
+    * corpus frequency of its words and the fraction of words that are
+    * corpus-rare (global count ≤ 2). Two passes — the word-count table is
+    * trained once over the corpus, then joined back to the exploded words
+    * — with exact Long arithmetic until ONE IEEE divide + round(6) per
+    * output column, so both engines land identical bits (the op33
+    * pattern). At 100 TB the count table is a standard LM-training side
+    * output and the score join is a linear shuffle on the word key
+    * (stopword skew handled by AQE skew-split, or the Skew.salted path).
+    */
+  def nsTextRarity(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+    val counts = words.groupBy("wd").agg(count(lit(1)).as("c"))
+    words.join(counts, "wd")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(sum("c") / count(lit(1)), 6).as("mean_word_freq"),
+        round(sum(when(col("c") <= 2, 1L).otherwise(0L)) / count(lit(1)), 6)
+          .as("rare_ratio"))
+      .withColumn("rare_heavy", col("rare_ratio") > 0.5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_rarity" -> (nsTextRarity _),
     "ns_text_repetition" -> (nsTextRepetition _),
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
@@ -225,6 +252,19 @@ object TextOps {
     "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
   val oracles: Map[String, String] = Map(
+    "ns_text_rarity" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+        |  FROM documents),
+        |c AS (SELECT wd, count(*) AS c FROM w GROUP BY wd),
+        |j AS (SELECT w.doc_id, c.c FROM w JOIN c USING (wd))
+        |SELECT doc_id, count(*) AS n_words,
+        |       round(CAST(sum(c) AS BIGINT) * 1.0 / count(*), 6) AS mean_word_freq,
+        |       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+        |             / count(*), 6) AS rare_ratio,
+        |       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+        |             / count(*), 6) > 0.5 AS rare_heavy
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ns_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
