@@ -217,9 +217,11 @@ object ScaleRehearsal {
     // decontamination (probe-set broadcast semi-join — the probe is the
     // fixed %50 slice, so it grows with the corpus here; in production it
     // is a fixed eval set and the flat-broadcast property is even
-    // stronger), repetition (explode + doc-clustered agg, scan-bound).
+    // stronger), repetition (explode + doc-clustered agg, scan-bound),
+    // rarity (word-count train + broadcast join-back; the count table
+    // grows with DISTINCT words, sublinear in rows on self-similar text).
     for (q <- Seq("ns_pack_chunks", "ns_pack_chunks_global",
-           "ns_decontaminate", "ns_text_repetition");
+           "ns_decontaminate", "ns_text_repetition", "ns_text_rarity");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }
