@@ -241,7 +241,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- Chunking + salient terms -------------------------------------------
+
+  private val ChunkWords = 32  // words per chunk
+  private val ChunkStride = 24 // starts every 24 words → 8-word overlap
+  private val SalientK = 5
+
+  /** RAG-style sliding-window chunking: each document becomes overlapping
+    * [[ChunkWords]]-word chunks whose starts step by [[ChunkStride]]
+    * (8-word overlap), the standard retrieval/embedding prep. Chunk count
+    * is pure non-negative integer arithmetic — `(extra + stride-1) div
+    * stride` — so both engines enumerate identical chunks (no float
+    * ceil at an integer boundary). Per-row explode, no shuffle before the
+    * presentation sort: at 100 TB this is map-side work that scales with
+    * the scan, and the ~1.3× row/byte expansion (32/24) is the declared
+    * cost of overlap, paid once at write time.
+    */
+  def nsTextChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("extra",
+        greatest(lit(0L), size(col("w")).cast("long") - ChunkWords))
+      .withColumn("chunk_idx", explode(
+        expr(s"sequence(CAST(0 AS BIGINT), (extra + ${ChunkStride - 1}) div $ChunkStride)")))
+      .withColumn("chunk",
+        expr(s"slice(w, CAST(chunk_idx * $ChunkStride + 1 AS INT), $ChunkWords)"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_words"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Salient-term extraction: top-[[SalientK]] terms per document ranked
+    * by tf/df (term frequency over document frequency — the idf-flavored
+    * saliency a retrieval index or corpus-inspection tool surfaces).
+    * Ranking uses the round(6) score with a lexicographic tie-break, so
+    * the order is engine-deterministic; tf and df stay exact Longs. Same
+    * scale posture as [[nsTextRarity]]: the df table broadcasts back onto
+    * the doc-clustered tf table (SMJ on the word key past the broadcast
+    * threshold), then one doc_id window — all linear.
+    */
+  def nsTextSalient(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+    val tf = words.groupBy("doc_id", "wd").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "wd").distinct()
+      .groupBy("wd").agg(count(lit(1)).as("df"))
+    tf.join(df, "wd")
+      .withColumn("score", round(col("tf") / col("df"), 6))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("wd")))
+        .cast("long"))
+      .where(col("rnk") <= SalientK)
+      .select("doc_id", "rnk", "wd", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_chunks" -> (nsTextChunks _),
+    "ns_text_salient" -> (nsTextSalient _),
     "ns_text_rarity" -> (nsTextRarity _),
     "ns_text_repetition" -> (nsTextRepetition _),
     "ns_text_tokens" -> (nsTextTokens _),
@@ -252,6 +312,32 @@ object TextOps {
     "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
   val oracles: Map[String, String] = Map(
+    "ns_text_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, w, greatest(0, len(w) - $ChunkWords) AS extra FROM d),
+         |c AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, (extra + ${ChunkStride - 1}) // $ChunkStride))
+         |          AS chunk_idx
+         |      FROM s)
+         |SELECT doc_id, chunk_idx,
+         |       len(list_slice(w, chunk_idx * $ChunkStride + 1,
+         |                      chunk_idx * $ChunkStride + $ChunkWords)) AS n_chunk_words,
+         |       array_to_string(list_slice(w, chunk_idx * $ChunkStride + 1,
+         |                      chunk_idx * $ChunkStride + $ChunkWords), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "ns_text_salient" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+         |  FROM documents),
+         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM w GROUP BY doc_id, wd),
+         |df AS (SELECT wd, count(DISTINCT doc_id) AS df FROM w GROUP BY wd),
+         |s AS (SELECT tf.doc_id, tf.wd, tf.tf, df.df,
+         |             round(tf.tf * 1.0 / df.df, 6) AS score
+         |      FROM tf JOIN df USING (wd)),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, wd) AS rnk FROM s)
+         |SELECT doc_id, rnk, wd, tf, df, score FROM r
+         |WHERE rnk <= $SalientK ORDER BY doc_id, rnk""".stripMargin,
     "ns_text_rarity" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd

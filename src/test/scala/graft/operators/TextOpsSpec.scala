@@ -28,6 +28,55 @@ class TextOpsSpec extends SparkSpec {
       s"rarity mismatch: got=${got.take(2)} want=${want.take(2)}")
   }
 
+  test("chunking matches a brute-force slide and covers every word") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val (cw, stride) = (32, 24)
+    val want = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      val extra = math.max(0, w.length - cw)
+      (0 to ((extra + stride - 1) / stride)).map { i =>
+        val chunk = w.slice(i * stride, i * stride + cw)
+        Seq[Any](id, i.toLong, chunk.length.toLong, chunk.mkString(" "))
+      }
+    }.toSeq
+    val got = TextOps.nsTextChunks(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"chunk mismatch: got=${got.take(2)} want=${want.take(2)}")
+    // coverage + overlap invariants: consecutive chunks of one doc overlap
+    // by cw-stride words unless the tail is short; union covers all words
+    docs.foreach { case (id, t) =>
+      val n = t.split(" ", -1).length
+      val chunks = got.filter(_.head == id)
+      val lastStart = (chunks.size - 1) * stride
+      assert(lastStart + chunks.last(2).asInstanceOf[Long] == n.toLong,
+        s"doc $id tail not covered")
+    }
+  }
+
+  test("salient terms: top-5 per doc by tf/df, exact ranks, score consistent") {
+    val rows = TextOps.nsTextSalient(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length.toLong),
+        s"doc $id ranks not 1..k")
+      assert(rs.length <= 5)
+      // scores non-increasing with rank; score == round(tf/df, 6)
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(5) >= b.getDouble(5))
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val expect = BigDecimal(r.getLong(3).toDouble / r.getLong(4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(5) == expect, s"score drift on doc $id")
+        assert(r.getLong(4) <= nDocs && r.getLong(4) >= 1L)
+      }
+    }
+  }
+
   test("rarity output is sane: ratios in [0,1], freq >= 1, every doc scored") {
     val rows = TextOps.nsTextRarity(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
