@@ -460,7 +460,88 @@ object SimilarityOps {
     ivfSearch(emb, centLits(trainCentroids(emb)))
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  private val PqSubspaces = 8
+  private val PqSubDim = Dim / PqSubspaces // 8
+  private val PqCodes = 16 // 4-bit codes x 8 subspaces = 32-bit PQ code
+
+  /** Seed codebooks: the sub-vectors of the first [[PqCodes]] corpus
+    * vectors, per subspace — the deterministic stand-in for per-subspace
+    * k-means, exactly like [[seedCentroids]] stands in for IVF training.
+    * Shape [subspace][code][dim].
+    */
+  private[operators] def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val seeds = seedCentroids(emb, PqCodes)
+    Array.tabulate(PqSubspaces) { m =>
+      seeds.map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) }
+    }
+  }
+
+  /** ||c||²/2 accumulated in index order — the same left-to-right fold
+    * DuckDB's `list_dot_product(cv, cv)` performs, so the Spark-side
+    * literal and the oracle's runtime value are bit-identical.
+    */
+  private def halfSqNorm(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    0.5 * s
+  }
+
+  /** Per-subspace PQ code: L2-argmin over the codebook via the standard
+    * `argmax(x·c − ||c||²/2)` identity (||x||² is constant per
+    * sub-vector), 4dp-rounded with code tie-breaks — the same
+    * engine-deterministic ranking contract as [[centroidRanking]], inside
+    * ONE projection (zero exchanges; encoding at 100 TB is map-side work
+    * that emits a 32-bit code per 256-byte vector, an 64× shrink).
+    */
+  private[operators] def pqCodeCol(m: Int, books: Array[Array[Array[Double]]]): Column = {
+    val sub = expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")
+    val scored = array(books(m).zipWithIndex.map { case (cv, k) =>
+      struct(
+        round(call_function("dot_product", sub, typedLit(cv.toSeq))
+          - lit(halfSqNorm(cv)), 4).as("s"),
+        lit(k).as("code"))
+    }: _*)
+    array_sort(scored, (l, r) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .when(l("code") < r("code"), -1).when(l("code") > r("code"), 1)
+        .otherwise(0))(0)("code")
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): candidates
+    * carry only their 8 codebook codes; each query scores a candidate as
+    * the LEFT-ASSOCIATED sum over subspaces of q_m · codebook[m][code_m]
+    * (the reconstruction dot product), so the float accumulation order is
+    * fixed and the DuckDB oracle replays it term by term. At 100 TB the
+    * corpus-side table is codes-only (4 bytes/vector vs 256) — the
+    * memory-bound regime PQ exists for — and the codebooks ride along as
+    * literals exactly like the IVF centroids.
+    */
+  def nsSimPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val books = pqCodebooks(emb)
+    val codeCols = (0 until PqSubspaces).map(m => pqCodeCol(m, books).as(s"c$m"))
+    val cands = emb.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = emb.where(col("vec_id") < QuantQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val terms = (0 until PqSubspaces).map { m =>
+      call_function("dot_product",
+        expr(s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"),
+        element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    broadcast(queries).join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", round(terms.reduceLeft(_ + _), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "approx")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_sim_pq_topk" -> (nsSimPqTopk _),
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
@@ -608,7 +689,49 @@ object SimilarityOps {
        |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Generated PQ oracle: replays seed codebooks, per-subspace L2-argmin
+    * encoding (same 4dp round + code tie-break), and the ADC sum with the
+    * SAME left-associated term order as the Spark expression.
+    */
+  private def pqOracle: String = {
+    val adcTerms = (0 until PqSubspaces).map { m =>
+      s"list_dot_product(list_slice(q.v, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}), cb$m.cv)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val codeCols = (0 until PqSubspaces)
+      .map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val cbJoins = (0 until PqSubspaces)
+      .map(m => s"JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = n.c$m").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+       |cb AS (SELECT m, vec_id AS code,
+       |              list_slice(v, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS cv
+       |       FROM e CROSS JOIN ms WHERE vec_id < $PqCodes),
+       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+       |              round(list_dot_product(
+       |                      list_slice(e.v, cb.m * $PqSubDim + 1, (cb.m + 1) * $PqSubDim),
+       |                      cb.cv)
+       |                    - 0.5 * list_dot_product(cb.cv, cb.cv), 4) AS s
+       |       FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                ORDER BY s DESC, code ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |c8 AS (SELECT vec_id AS neighbor_id, $codeCols FROM codes GROUP BY vec_id),
+       |adc AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+       |               round($adcTerms, 4) AS approx
+       |        FROM e q CROSS JOIN c8 n $cbJoins
+       |        WHERE q.vec_id < $QuantQueries AND q.vec_id <> n.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, approx,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY approx DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id, approx FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ns_sim_pq_topk" -> pqOracle,
     "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_ivf_trained" -> ivfTrainedOracle,

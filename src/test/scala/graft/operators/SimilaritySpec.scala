@@ -113,6 +113,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
 
+  test("PQ top-k: valid ranks, 4-bit codes, decent ADC recall vs brute force") {
+    val exact = SimilarityOps.nsSimBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilarityOps.nsSimPqTopk(spark, sfDir).collect()
+    pq.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // PQ queries are QuantQueries(50) < NumQueries(100): compare on overlap
+    val exactQ = exact.filter(_._1 < 50)
+    val recall = exactQ.count(pqPairs.contains).toDouble / exactQ.size
+    // 32-bit codes on weakly-similar uniform vectors are ADC's worst case
+    // (deterministic 0.173 on this fixture): the contract is the codebook
+    // pipeline; the gate is recall far above the ~3/N random baseline.
+    assert(recall >= 0.15, s"PQ ADC recall@3 = $recall")
+  }
+
+  test("PQ encoding is a pure projection — zero exchanges, codes in [0,16)") {
+    import graft.model.Tables
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    graft.functions.DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = SimilarityOps.pqCodebooks(emb)
+    def encode = emb.select(col("vec_id") +:
+      (0 until 8).map(m => SimilarityOps.pqCodeCol(m, books).as(s"c$m")): _*)
+    val exchanges = noAqeNodes(encode).filter(n =>
+      n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
+    assert(exchanges.isEmpty,
+      s"PQ encode is not exchange-free: ${exchanges.map(_.nodeName)}")
+    val aqeExchanges = aqeFinalNodes(encode).filter(n =>
+      n.isInstanceOf[ShuffleExchangeExec] || n.isInstanceOf[BroadcastExchangeExec])
+    assert(aqeExchanges.isEmpty,
+      s"PQ encode shuffles under AQE: ${aqeExchanges.map(_.nodeName)}")
+    // every code is a valid 4-bit codebook index, and the seed vectors
+    // encode to THEMSELVES (vec_id < 16 is its own nearest codebook entry)
+    val rows = encode.collect()
+    rows.foreach { r =>
+      (1 to 8).foreach { i =>
+        val c = r.getInt(i)
+        assert(c >= 0 && c < 16, s"code $c out of range for vec ${r.getLong(0)}")
+      }
+    }
+    rows.filter(_.getLong(0) < 16).foreach { r =>
+      (1 to 8).foreach { i =>
+        assert(r.getInt(i) == r.getLong(0).toInt,
+          s"seed vec ${r.getLong(0)} did not encode to its own code in subspace ${i - 1}")
+      }
+    }
+  }
+
   test("k-means training tightens centroid assignment vs seed centroids") {
     import graft.model.Tables
     graft.functions.CosineSimilarity.register(spark)
