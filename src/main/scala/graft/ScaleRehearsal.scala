@@ -197,7 +197,10 @@ object ScaleRehearsal {
     // 2.4k/36k/560k at 2k/8k/32k vectors, measured once) — at 100 TB you
     // raise the threshold or go straight to components, you don't
     // enumerate a dense graph.
-    for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk");
+    // PQ ADC streams every candidate's 4-byte codes (linear in N at 1/64
+    // the bytes); IVF+PQ prunes that stream to the probed clusters.
+    for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk",
+           "ns_sim_pq_topk", "ns_sim_ivfpq_topk");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x

@@ -509,14 +509,23 @@ object SimilarityOps {
         .otherwise(0))(0)("code")
   }
 
-  /** PQ ANN top-k by asymmetric distance computation (ADC): candidates
-    * carry only their 8 codebook codes; each query scores a candidate as
-    * the LEFT-ASSOCIATED sum over subspaces of q_m · codebook[m][code_m]
-    * (the reconstruction dot product), so the float accumulation order is
-    * fixed and the DuckDB oracle replays it term by term. At 100 TB the
-    * corpus-side table is codes-only (4 bytes/vector vs 256) — the
-    * memory-bound regime PQ exists for — and the codebooks ride along as
-    * literals exactly like the IVF centroids.
+  /** ADC (asymmetric distance computation) score: the LEFT-ASSOCIATED sum
+    * over subspaces of q_m · codebook[m][code_m] — the reconstruction dot
+    * product against a candidate known only by its codes (columns
+    * c0..c7). Fixed accumulation order, so the DuckDB oracle replays the
+    * float arithmetic term by term. Expects a `q_emb` column.
+    */
+  private def adcApprox(books: Array[Array[Array[Double]]]): Column =
+    round((0 until PqSubspaces).map { m =>
+      call_function("dot_product",
+        expr(s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"),
+        element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+    }.reduceLeft(_ + _), 4)
+
+  /** PQ ANN top-k by ADC: candidates carry only their 8 codebook codes.
+    * At 100 TB the corpus-side table is codes-only (4 bytes/vector vs
+    * 256) — the memory-bound regime PQ exists for — and the codebooks
+    * ride along as literals exactly like the IVF centroids.
     */
   def nsSimPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -525,15 +534,40 @@ object SimilarityOps {
     val cands = emb.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
     val queries = emb.where(col("vec_id") < QuantQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val terms = (0 until PqSubspaces).map { m =>
-      call_function("dot_product",
-        expr(s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"),
-        element_at(typedLit(books(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
-    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     broadcast(queries).join(cands, col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", round(terms.reduceLeft(_ + _), 4))
+      .withColumn("approx", adcApprox(books))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "approx")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+PQ — the canonical production ANN index shape (partition pruning
+    * × code compression): vectors get an IVF cluster AND 8 PQ codes in
+    * the same map-side projection; queries probe [[IvfProbes]]/16
+    * clusters and score only co-clustered candidates by ADC. At 100 TB
+    * the inverted lists are partition keys holding 4-byte codes — each
+    * query touches ~1/8 of the data at 1/64 the bytes per vector, and the
+    * scan side never shuffles (the probe side broadcasts).
+    */
+  def nsSimIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val books = pqCodebooks(emb)
+    val ranked = emb.withColumn("_cr", centroidRanking(centLits(seedCentroids(emb))))
+    val codeCols = (0 until PqSubspaces).map(m => pqCodeCol(m, books).as(s"c$m"))
+    val cands = ranked.select(col("vec_id").as("neighbor_id") +:
+      col("_cr")(0)("cent_id").as("cluster") +: codeCols: _*)
+    val probes = ranked.where(col("vec_id") < QuantQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(col("_cr"), 1, IvfProbes)).as("pr"))
+      .select(col("query_id"), col("q_emb"), col("pr")("cent_id").as("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cands, "cluster")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcApprox(books))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= TopK)
       .select("query_id", "rank", "neighbor_id", "approx")
@@ -542,6 +576,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_sim_pq_topk" -> (nsSimPqTopk _),
+    "ns_sim_ivfpq_topk" -> (nsSimIvfPqTopk _),
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
@@ -689,20 +724,15 @@ object SimilarityOps {
        |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Generated PQ oracle: replays seed codebooks, per-subspace L2-argmin
-    * encoding (same 4dp round + code tie-break), and the ADC sum with the
-    * SAME left-associated term order as the Spark expression.
+  /** Shared PQ oracle CTEs (require an `e(vec_id, v)` CTE in scope):
+    * seed codebooks per subspace, per-(vector, subspace) L2-argmin scores
+    * with the same 4dp round + code tie-break as [[pqCodeCol]], and the
+    * pivoted per-vector code row `c8(neighbor_id, c0..c7)`.
     */
-  private def pqOracle: String = {
-    val adcTerms = (0 until PqSubspaces).map { m =>
-      s"list_dot_product(list_slice(q.v, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}), cb$m.cv)"
-    }.reduceLeft((a, b) => s"($a + $b)")
+  private def pqCodeCtes: String = {
     val codeCols = (0 until PqSubspaces)
       .map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
-    val cbJoins = (0 until PqSubspaces)
-      .map(m => s"JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = n.c$m").mkString(" ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    s"""ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
        |cb AS (SELECT m, vec_id AS code,
        |              list_slice(v, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS cv
        |       FROM e CROSS JOIN ms WHERE vec_id < $PqCodes),
@@ -717,10 +747,31 @@ object SimilarityOps {
        |           row_number() OVER (PARTITION BY vec_id, m
        |                ORDER BY s DESC, code ASC) AS rn
        |    FROM sc) WHERE rn = 1),
-       |c8 AS (SELECT vec_id AS neighbor_id, $codeCols FROM codes GROUP BY vec_id),
+       |c8 AS (SELECT vec_id AS neighbor_id, $codeCols FROM codes GROUP BY vec_id)""".stripMargin
+  }
+
+  /** The left-associated ADC sum over a query vector expression `qv`,
+    * joined against codebook rows cb0..cb7 — mirrors [[adcApprox]]'s term
+    * order exactly.
+    */
+  private def adcTermsSql(qv: String): String =
+    (0 until PqSubspaces).map { m =>
+      s"list_dot_product(list_slice($qv, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim}), cb$m.cv)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+
+  private def adcCbJoins: String = (0 until PqSubspaces)
+    .map(m => s"JOIN cb cb$m ON cb$m.m = $m AND cb$m.code = n.c$m").mkString(" ")
+
+  /** Generated PQ oracle: replays seed codebooks, per-subspace L2-argmin
+    * encoding (same 4dp round + code tie-break), and the ADC sum with the
+    * SAME left-associated term order as the Spark expression.
+    */
+  private def pqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$pqCodeCtes,
        |adc AS (SELECT q.vec_id AS query_id, n.neighbor_id,
-       |               round($adcTerms, 4) AS approx
-       |        FROM e q CROSS JOIN c8 n $cbJoins
+       |               round(${adcTermsSql("q.v")}, 4) AS approx
+       |        FROM e q CROSS JOIN c8 n $adcCbJoins
        |        WHERE q.vec_id < $QuantQueries AND q.vec_id <> n.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, approx,
        |             CAST(row_number() OVER (PARTITION BY query_id
@@ -728,10 +779,45 @@ object SimilarityOps {
        |      FROM adc)
        |SELECT query_id, rank, neighbor_id, approx FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Generated IVF+PQ oracle: the seed-centroid assign/probe chain of the
+    * IVF oracle composed with the PQ code CTEs — ADC scoring restricted
+    * to probed clusters, mirroring [[nsSimIvfPqTopk]].
+    */
+  private def ivfPqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
+       |$pqCodeCtes,
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cent_id,
+       |         round(list_cosine_similarity(e.v, c.cv), 4) AS ccos
+       |  FROM e CROSS JOIN c),
+       |ranked AS (
+       |  SELECT vec_id, v, cent_id, ccos,
+       |         row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ccos DESC, cent_id ASC) AS crank
+       |  FROM scored),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS cluster
+       |  FROM ranked WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cent_id AS cluster
+       |  FROM ranked WHERE crank <= $IvfProbes AND vec_id < $QuantQueries),
+       |adc AS (SELECT p.query_id, a.neighbor_id,
+       |               round(${adcTermsSql("p.qv")}, 4) AS approx
+       |        FROM probes p JOIN assign a USING (cluster)
+       |        JOIN c8 n ON n.neighbor_id = a.neighbor_id $adcCbJoins
+       |        WHERE p.query_id <> a.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, approx,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY approx DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id, approx FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ns_sim_pq_topk" -> pqOracle,
+    "ns_sim_ivfpq_topk" -> ivfPqOracle,
     "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_ivf_trained" -> ivfTrainedOracle,

@@ -163,6 +163,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ: neighbors come from probed clusters, ADC scores match plain PQ") {
+    import graft.model.Tables
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = SimilarityOps.seedCentroids(emb)
+    val lits = cents.map { case (cid, v) =>
+      (cid, org.apache.spark.sql.functions.typedLit(v.toSeq))
+    }.toSeq
+    val ranked = emb.withColumn("_cr", SimilarityOps.centroidRanking(lits))
+    val assign = ranked.select(col("vec_id"), col("_cr")(0)("cent_id").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = ranked.select(col("vec_id"),
+      col("_cr")(0)("cent_id").as("p1"), col("_cr")(1)("cent_id").as("p2"))
+      .collect().map(r => r.getLong(0) -> Set(r.getInt(1), r.getInt(2))).toMap
+    val ivfpq = SimilarityOps.nsSimIvfPqTopk(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    // every returned neighbor sits in one of its query's probed clusters
+    ivfpq.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(probes(q).contains(assign(n)),
+        s"neighbor $n (cluster ${assign(n)}) outside query $q's probes ${probes(q)}")
+    }
+    // ADC arithmetic is the same as plain PQ: any pair in both outputs
+    // carries the identical approx score
+    val pqScores = SimilarityOps.nsSimPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = ivfpq.flatMap { r =>
+      pqScores.get((r.getLong(0), r.getLong(2))).map(s => (r.getDouble(3), s))
+    }
+    assert(shared.nonEmpty, "no overlap between PQ and IVF+PQ top-k to cross-check")
+    shared.foreach { case (a, b) => assert(a == b, s"ADC drift: $a vs $b") }
+  }
+
   test("k-means training tightens centroid assignment vs seed centroids") {
     import graft.model.Tables
     graft.functions.CosineSimilarity.register(spark)
