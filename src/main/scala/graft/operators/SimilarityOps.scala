@@ -574,8 +574,70 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  private val PqTrainIters = 2
+
+  /** Per-subspace Lloyd training for the PQ codebooks, all 8 subspaces in
+    * ONE pass per iteration: each vector's current code per subspace is
+    * the map-side [[pqCodeCol]] projection, the member means reduce by
+    * (subspace, code, pos) — 8×16×8 = 1024 rows after map-side combine —
+    * and a code that loses every member keeps its previous entry (the
+    * codebook stays [[PqCodes]] wide). Arithmetic is the
+    * [[trainCentroids]] contract — 4dp-rounded assignment scores, exact
+    * DECIMAL(27,10) sums, ONE double divide + 4dp round per mean — so the
+    * DuckDB oracle replays the iterations symbolically. At 100 TB each
+    * iteration is one scan plus a 1024-row shuffle.
+    */
+  private[operators] def trainPqBooks(emb: DataFrame,
+      iters: Int = PqTrainIters): Array[Array[Array[Double]]] = {
+    var books = pqCodebooks(emb)
+    for (_ <- 1 to iters) {
+      val subStructs = (0 until PqSubspaces).map { m =>
+        struct(lit(m).as("m"), pqCodeCol(m, books).as("code"),
+          expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").as("sub"))
+      }
+      val means = emb
+        .select(explode(array(subStructs: _*)).as("x"))
+        .select(col("x.m"), col("x.code"), posexplode(col("x.sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double")
+          / count(lit(1))).as("mean"))
+        .select(col("m"), col("code"), col("pos"), round(col("mean"), 4).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(_._2).sortBy(_._1).map(_._2).toArray }
+      books = Array.tabulate(PqSubspaces) { m =>
+        Array.tabulate(PqCodes) { k => means.getOrElse((m, k), books(m)(k)) }
+      }
+    }
+    books
+  }
+
+  /** PQ top-k over TRAINED codebooks: [[trainPqBooks]]' per-subspace
+    * Lloyd iterations run first, then the same encode + ADC search as
+    * [[nsSimPqTopk]] — train → index → search for the compressed-domain
+    * path, all oracle-gated like [[nsSimIvfTrained]].
+    */
+  def nsSimPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val books = trainPqBooks(emb)
+    val codeCols = (0 until PqSubspaces).map(m => pqCodeCol(m, books).as(s"c$m"))
+    val cands = emb.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val queries = emb.where(col("vec_id") < QuantQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    broadcast(queries).join(cands, col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcApprox(books))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "approx")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_sim_pq_topk" -> (nsSimPqTopk _),
+    "ns_sim_pq_trained" -> (nsSimPqTrained _),
     "ns_sim_ivfpq_topk" -> (nsSimIvfPqTopk _),
     "ns_sim_bruteforce_topk" -> (nsSimBruteforceTopk _),
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
@@ -724,24 +786,28 @@ object SimilarityOps {
        |WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Shared PQ oracle CTEs (require an `e(vec_id, v)` CTE in scope):
-    * seed codebooks per subspace, per-(vector, subspace) L2-argmin scores
-    * with the same 4dp round + code tie-break as [[pqCodeCol]], and the
-    * pivoted per-vector code row `c8(neighbor_id, c0..c7)`.
+  /** The seed-codebook CTE (requires `e(vec_id, v)` in scope): sub-vectors
+    * of the first [[PqCodes]] vectors, one row per (subspace, code).
     */
-  private def pqCodeCtes: String = {
+  private def pqSeedCbCte(name: String): String =
+    s"""ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+       |$name AS (SELECT m, vec_id AS code,
+       |              list_slice(v, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS cv
+       |       FROM e CROSS JOIN ms WHERE vec_id < $PqCodes)""".stripMargin
+
+  /** The per-(vector, subspace) L2-argmin scoring + code pivot against a
+    * codebook CTE `cbName(m, code, cv)` — same 4dp round + code tie-break
+    * as [[pqCodeCol]]; emits `sc`, `codes`, and `c8(neighbor_id, c0..c7)`.
+    */
+  private def pqEncodeCtes(cbName: String): String = {
     val codeCols = (0 until PqSubspaces)
       .map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
-    s"""ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
-       |cb AS (SELECT m, vec_id AS code,
-       |              list_slice(v, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS cv
-       |       FROM e CROSS JOIN ms WHERE vec_id < $PqCodes),
-       |sc AS (SELECT e.vec_id, cb.m, cb.code,
+    s"""sc AS (SELECT e.vec_id, cb.m, cb.code,
        |              round(list_dot_product(
        |                      list_slice(e.v, cb.m * $PqSubDim + 1, (cb.m + 1) * $PqSubDim),
        |                      cb.cv)
        |                    - 0.5 * list_dot_product(cb.cv, cb.cv), 4) AS s
-       |       FROM e CROSS JOIN cb),
+       |       FROM e CROSS JOIN $cbName cb),
        |codes AS (SELECT vec_id, m, code FROM (
        |    SELECT vec_id, m, code,
        |           row_number() OVER (PARTITION BY vec_id, m
@@ -749,6 +815,11 @@ object SimilarityOps {
        |    FROM sc) WHERE rn = 1),
        |c8 AS (SELECT vec_id AS neighbor_id, $codeCols FROM codes GROUP BY vec_id)""".stripMargin
   }
+
+  /** Shared PQ oracle CTEs: seed codebook (`cb`) + encode against it. */
+  private def pqCodeCtes: String =
+    s"""${pqSeedCbCte("cb")},
+       |${pqEncodeCtes("cb")}""".stripMargin
 
   /** The left-associated ADC sum over a query vector expression `qv`,
     * joined against codebook rows cb0..cb7 — mirrors [[adcApprox]]'s term
@@ -779,6 +850,59 @@ object SimilarityOps {
        |      FROM adc)
        |SELECT query_id, rank, neighbor_id, approx FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** Generated trained-PQ oracle: replays [[trainPqBooks]]' per-subspace
+    * Lloyd iterations symbolically — per iteration, a 4dp-rounded
+    * L2-argmin code assignment and exact DECIMAL(27,10)-summed means with
+    * one double divide and a 4dp round, empty codes retained via LEFT
+    * JOIN + COALESCE — then the same encode + ADC chain as the seed
+    * oracle over the final codebook (aliased `cb` so the shared ADC
+    * fragments apply unchanged).
+    */
+  private def pqTrainedOracle: String = {
+    val iterCtes = (1 to PqTrainIters).map { i =>
+      s"""tsc$i AS (SELECT e.vec_id, cb.m, cb.code,
+         |              round(list_dot_product(
+         |                      list_slice(e.v, cb.m * $PqSubDim + 1, (cb.m + 1) * $PqSubDim),
+         |                      cb.cv)
+         |                    - 0.5 * list_dot_product(cb.cv, cb.cv), 4) AS s
+         |       FROM e CROSS JOIN cb${i - 1} cb),
+         |tcd$i AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |                ORDER BY s DESC, code ASC) AS rn
+         |    FROM tsc$i) WHERE rn = 1),
+         |tmm$i AS (SELECT m, code, pos,
+         |              round(CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)
+         |                    / count(*), 4) AS mean
+         |       FROM (SELECT c.m, c.code,
+         |                    UNNEST(list_slice(e.v, c.m * $PqSubDim + 1,
+         |                                      (c.m + 1) * $PqSubDim)) AS x,
+         |                    UNNEST(range(1, ${PqSubDim + 1})) AS pos
+         |             FROM tcd$i c JOIN e USING (vec_id))
+         |       GROUP BY m, code, pos),
+         |tcb$i AS (SELECT m, code, list(mean ORDER BY pos) AS cv
+         |       FROM tmm$i GROUP BY m, code),
+         |cb$i AS (SELECT p.m, p.code, COALESCE(t.cv, p.cv) AS cv
+         |       FROM cb${i - 1} p LEFT JOIN tcb$i t
+         |         ON p.m = t.m AND p.code = t.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqSeedCbCte("cb0")},
+       |$iterCtes,
+       |cb AS (SELECT * FROM cb$PqTrainIters),
+       |${pqEncodeCtes("cb")},
+       |adc AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+       |               round(${adcTermsSql("q.v")}, 4) AS approx
+       |        FROM e q CROSS JOIN c8 n $adcCbJoins
+       |        WHERE q.vec_id < $QuantQueries AND q.vec_id <> n.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, approx,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY approx DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id, approx FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Generated IVF+PQ oracle: the seed-centroid assign/probe chain of the
     * IVF oracle composed with the PQ code CTEs — ADC scoring restricted
@@ -817,6 +941,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "ns_sim_pq_topk" -> pqOracle,
+    "ns_sim_pq_trained" -> pqTrainedOracle,
     "ns_sim_ivfpq_topk" -> ivfPqOracle,
     "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,

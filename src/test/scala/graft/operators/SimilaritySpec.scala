@@ -200,6 +200,30 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach { case (a, b) => assert(a == b, s"ADC drift: $a vs $b") }
   }
 
+  test("PQ training reduces quantization error vs seed codebooks") {
+    import graft.model.Tables
+    graft.functions.DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = SimilarityOps.pqCodebooks(emb)
+    val trained = SimilarityOps.trainPqBooks(emb)
+    assert(trained.length == 8 && trained.forall(_.length == 16)
+      && trained.flatten.forall(_.length == 8), "trained codebook shape broken")
+    assert(trained.flatten.map(_.toSeq).toSeq != seed.flatten.map(_.toSeq).toSeq,
+      "training left every codebook entry at its seed")
+    // mean squared distance to the best codebook entry, brute force
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    def msd(books: Array[Array[Array[Double]]]): Double = {
+      val total = for (v <- vecs.iterator; m <- (0 until 8).iterator) yield {
+        val sub = v.slice(m * 8, (m + 1) * 8)
+        books(m).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }
+      total.sum / (vecs.length * 8)
+    }
+    val (before, after) = (msd(seed), msd(trained))
+    assert(after < before, s"quantization error did not improve: $before -> $after")
+  }
+
   test("k-means training tightens centroid assignment vs seed centroids") {
     import graft.model.Tables
     graft.functions.CosineSimilarity.register(spark)
