@@ -224,7 +224,8 @@ object ScaleRehearsal {
     // rarity (word-count train + broadcast join-back; the count table
     // grows with DISTINCT words, sublinear in rows on self-similar text).
     for (q <- Seq("ns_pack_chunks", "ns_pack_chunks_global",
-           "ns_decontaminate", "ns_text_repetition", "ns_text_rarity");
+           "ns_decontaminate", "ns_text_repetition", "ns_text_rarity",
+           "ns_text_chunks", "ns_text_salient");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

@@ -12,6 +12,14 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_NOAQE=1 times the static plan — isolates AQE runtime
+    // re-planning (coalesce/broadcast demotion) when a wall looks odd.
+    if (sys.env.get("SPARK_GRAFT_NOAQE").contains("1"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k=v" sets arbitrary session confs — for
+    // bisecting which runtime knob owns an anomaly.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.range(1000).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_WARM=1 applies Bench's exact pre-timing warm, so run1
