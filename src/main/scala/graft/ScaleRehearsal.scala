@@ -198,9 +198,10 @@ object ScaleRehearsal {
     // raise the threshold or go straight to components, you don't
     // enumerate a dense graph.
     // PQ ADC streams every candidate's 4-byte codes (linear in N at 1/64
-    // the bytes); IVF+PQ prunes that stream to the probed clusters.
+    // the bytes); IVF+PQ prunes that stream to the probed clusters;
+    // trained PQ adds 2 Lloyd passes (scan + 1024-row shuffle each).
     for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk",
-           "ns_sim_pq_topk", "ns_sim_ivfpq_topk");
+           "ns_sim_pq_topk", "ns_sim_ivfpq_topk", "ns_sim_pq_trained");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x
