@@ -163,7 +163,11 @@ object ScaleRehearsal {
       (name, dir)
     }
 
+    // Optional trailing args: measure only the named queries (dev loop
+    // for a new family row); no args = the full recorded sweep.
+    val only = args.toSet
     def measure(q: String, sfName: String, dir: String): Unit = {
+      if (only.nonEmpty && !only(q)) return
       readB.reset(); writeB.reset()
       val t0 = System.nanoTime()
       // Execute the FULL physical plan (windows, sorts, payload columns),
@@ -188,7 +192,9 @@ object ScaleRehearsal {
       println(s"""{"query":"$q","sf":"$sfName","rows":$rows,"sec":$sec,"shuffle_write_mb":$wMb,"shuffle_read_mb":$rMb}""")
     }
 
-    for (q <- Seq("ns_dedup_minhash", "ns_dedup_components");
+    // Spans: the (doc, window-hash) exchange is linear in corpus CHARS;
+    // the df-capped bucket explode bounds pair fan-out per span.
+    for (q <- Seq("ns_dedup_minhash", "ns_dedup_components", "ns_dedup_spans");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // ivf/lsh top-k are OUTPUT-BOUNDED (100 queries x k rows regardless of
     // corpus size) — the right scale subjects. Near-dup PAIR ENUMERATION is

@@ -635,6 +635,95 @@ object DedupOps {
         (col("n_common") >= 10).as("drop_doc"))
   }
 
+  // ---- Cross-document repeated spans --------------------------------------
+
+  private[operators] val SpanK = 50
+  private[operators] val SpanDfCap = 64
+  private[operators] val SpanThreshold = 20
+
+  /** Cross-document repeated-span detection — the exact-substring
+    * duplication signal (the Lee-et-al-style dedup complement to the
+    * set-overlap families above): pairs of documents sharing at least
+    * [[SpanThreshold]] DISTINCT [[SpanK]]-char character windows, hashed
+    * with the SAME Rabin-Karp polynomial as [[TextOps.nsTextRollhash]]
+    * (one polynomial contract across the text and dedup families).
+    *
+    * [[SpanK]] = 50 chars (~8 tokens), deliberately much longer than the
+    * 16-char fingerprint k-gram: substring-dedup spans must be long
+    * enough that a match means copied text, not a shared phrase — at 16
+    * chars (~2 tokens) the span space is so small that incidental matches
+    * grow QUADRATICALLY with the corpus (measured on the rehearsal corpus:
+    * 2.9x shuffle bytes per 2x rows; at 50 chars the same sweep is linear
+    * with max df 4).
+    *
+    * Shape, inside-out: an O(n)-per-doc `mapPartitions` pass emits each
+    * doc's distinct window hashes by prefix-hash differencing (bounded
+    * ring buffer, no per-window refold — the [[TextOps.nsTextRollhashFast]]
+    * kernel); ONE exchange on the span hash groups each span's sorted doc
+    * list; buckets wider than [[SpanDfCap]] docs are dropped whole
+    * (boilerplate guard: a span present in d docs implies d²/2 pair rows,
+    * so the cap bounds the fan-out at scale exactly like an LSH bucket
+    * cap — at sf0.1 the hottest span sits in 297 docs); the surviving
+    * buckets explode their ordered pairs in-place (≤ cap²/2 rows per
+    * bucket, a<b by construction — no self-join, so the span pipeline is
+    * computed ONCE), and pairs with >= [[SpanThreshold]] shared spans
+    * surface. Plan = two data exchanges (span hash, then pair key) plus
+    * the presentation sort, and NO join anywhere — pinned in DedupSpec.
+    */
+  def nsDedupSpans(spark: SparkSession, dir: String): DataFrame =
+    spanPairs(Tables.documents(spark, dir))
+
+  /** The span-pair core over any (doc_id, text) frame — see
+    * [[nsDedupSpans]] for the shape. Separated so the spec can drive it
+    * with randomized documents against a brute-force fold.
+    */
+  private[graft] def spanPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (base, mod, k) = (TextOps.RollBase, TextOps.RollMod, SpanK)
+    val spans = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val bk = (1 to k).foldLeft(1L)((acc, _) => acc * base % mod)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[Long]()
+            var i = 0 // char (UTF-16) index
+            var cnt = 0 // code points consumed
+            var p = 0L // running prefix hash
+            val ring = new Array[Long](k + 1)
+            while (i < text.length) {
+              val cp = text.codePointAt(i)
+              ring(cnt % (k + 1)) = p
+              p = (p * base + cp.toLong) % mod
+              cnt += 1
+              if (cnt >= k) {
+                val pPrev = ring((cnt - k) % (k + 1))
+                seen.add(((p - pPrev * bk % mod) % mod + mod) % mod)
+              }
+              i += Character.charCount(cp)
+            }
+            val out = new Array[(Long, Long)](seen.size)
+            val jt = seen.iterator(); var j = 0
+            while (jt.hasNext) { out(j) = (id, jt.next()); j += 1 }
+            out.iterator
+          }
+        }
+      }
+      .toDF("doc_id", "h")
+    spans
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, SpanDfCap))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))")).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_spans"))
+      .where(col("shared_spans") >= SpanThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_decontaminate" -> (nsDecontaminate _),
     "ns_dedup_exact" -> (nsDedupExact _),
@@ -643,7 +732,8 @@ object DedupOps {
     "ns_dedup_simhash" -> (nsDedupSimhash _),
     "ns_dedup_components" -> (nsDedupComponents _),
     "ns_dedup_corpus" -> (nsDedupCorpus _),
-    "ns_dedup_incremental" -> (nsDedupIncremental _))
+    "ns_dedup_incremental" -> (nsDedupIncremental _),
+    "ns_dedup_spans" -> (nsDedupSpans _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
     * pair/cardinality scaffolding of the Jaccard verify.
@@ -820,6 +910,24 @@ object DedupOps {
         |JOIN card cb ON doc_b = cb.doc_id
         |WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "ns_dedup_spans" -> {
+      val fold = s"(acc, x) -> (acc * ${TextOps.RollBase} + x) % ${TextOps.RollMod}"
+      val k = SpanK
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(codes) - ${k - 2}),
+         |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+${k - 1}]), $fold)))) AS h
+         |  FROM c WHERE len(codes) >= $k),
+         |f AS (SELECT doc_id, h FROM w QUALIFY count(*) OVER (PARTITION BY h) <= $SpanDfCap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_spans
+         |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $SpanThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "ns_dedup_components" -> componentsOracle,
     "ns_dedup_corpus" ->
       s"""SELECT d.doc_id, d.lang, CAST(c.n_docs - 1 AS BIGINT) AS n_dups_removed

@@ -98,8 +98,8 @@ object TextOps {
 
   // ---- Rolling-hash fingerprint -------------------------------------------
 
-  private val RollBase = 31L
-  private val RollMod = 1000000007L
+  private[operators] val RollBase = 31L
+  private[operators] val RollMod = 1000000007L
   private val KGram = 16
 
   /** Rolling-hash document fingerprint (the winnowing/Rabin-Karp shape):

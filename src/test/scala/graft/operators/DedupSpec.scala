@@ -260,4 +260,57 @@ class DedupSpec extends SparkSpec {
     assert(run(1) == expected) // forces O(log diameter) contraction rounds
     assert(run(4) == expected) // mixed: contract once, then driver finish
   }
+
+  test("repeated-span pairs match a brute-force window-hash fold (planted blocks + boilerplate cap)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val k = DedupOps.SpanK
+    def rndText(n: Int): String = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // 70 docs (> SpanDfCap = 64) open with the same 120-char boilerplate
+    // prefix — its 71 fully-interior spans must be cap-dropped; 16 docs
+    // embed a shared 150-char block (101 common windows, well over the
+    // 20-span threshold).
+    val boiler = rndText(120)
+    val shared = rndText(150)
+    val docs = (0L until 80L).map { i =>
+      val body = rndText(30 + rnd.nextInt(120))
+      val withShared = if (i % 10 < 2) shared + body else body
+      (i, if (i < 70) boiler + withShared else withShared)
+    }
+    val got = DedupOps.spanPairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // Independent O(n·k) refold of the same polynomial per window.
+    def windowHashes(t: String): Set[Long] = {
+      val cs = t.codePoints.toArray
+      (0 to cs.length - k).map { i =>
+        cs.slice(i, i + k).foldLeft(0L)((acc, c) => (acc * TextOps.RollBase + c) % TextOps.RollMod)
+      }.toSet
+    }
+    val sets = docs.map { case (id, t) => id -> windowHashes(t) }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(df.values.max > DedupOps.SpanDfCap) // the cap genuinely bites
+    val kept = sets.view.mapValues(_.filter(h => df(h) <= DedupOps.SpanDfCap)).toMap
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      n = kept(a).intersect(kept(b)).size if n >= DedupOps.SpanThreshold
+    } yield (a, b, n.toLong)).sortBy(p => (p._1, p._2))
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("span pipeline: no join anywhere, span extraction computed once (both AQE modes)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def build = DedupOps.nsDedupSpans(spark, sfDir)
+    val off = noAqeNodes(build)
+    assert(!off.exists(_.nodeName.toLowerCase.contains("join")),
+      off.map(_.nodeName).toString)
+    // Span hash + pair key + presentation sort — nothing else shuffles.
+    assert(off.count(_.isInstanceOf[ShuffleExchangeExec]) == 3,
+      off.map(_.nodeName).toString)
+    assert(off.count(_.getClass.getSimpleName.startsWith("MapPartitions")) == 1)
+    val fin = aqeFinalNodes(build)
+    assert(!fin.exists(_.nodeName.toLowerCase.contains("join")))
+    assert(fin.count(_.getClass.getSimpleName.startsWith("MapPartitions")) == 1)
+  }
 }
