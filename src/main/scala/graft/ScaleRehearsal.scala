@@ -230,9 +230,12 @@ object ScaleRehearsal {
     // stronger), repetition (explode + doc-clustered agg, scan-bound),
     // rarity (word-count train + broadcast join-back; the count table
     // grows with DISTINCT words, sublinear in rows on self-similar text).
+    // bm25: query count scales with the corpus (every 50th doc), so work
+    // is Q x 12 posting lists — candidate mass grows with BOTH corpus and
+    // query count; the postings cache build is the linear floor.
     for (q <- Seq("ns_pack_chunks", "ns_pack_chunks_global",
            "ns_decontaminate", "ns_text_repetition", "ns_text_rarity",
-           "ns_text_chunks", "ns_text_salient");
+           "ns_text_chunks", "ns_text_salient", "ns_text_bm25");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

@@ -88,4 +88,56 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getBoolean(4) == ratio > 0.5, "rare_heavy flag inconsistent")
     }
   }
+
+  test("bm25 retrieval matches a brute-force fold over the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val words = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+    val tf = words.view.mapValues(_.groupBy(identity).map { case (w, o) => w -> o.size.toLong }).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val nDocs = docs.length.toLong
+    val nToks = words.values.map(_.size.toLong).sum
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Same operation tree as BmTermScore, same sorted-term left fold.
+    val expected = docs.map(_._1).filter(_ % 50 == 0).sorted.flatMap { q =>
+      val qts = tf(q).keys.toSeq.filter(w => df(w) >= 2)
+        .sortBy(w => (df(w), w)).take(12)
+      val cands = docs.map(_._1).filter(_ != q).flatMap { d =>
+        val shared = qts.filter(w => tf(d).contains(w)).sorted
+        if (shared.isEmpty) None
+        else {
+          val dlen = words(d).size.toLong
+          val score = shared.foldLeft(0.0) { (acc, w) =>
+            val idf = math.log(1.0 +
+              ((nDocs.toDouble - df(w).toDouble) + 0.5) / (df(w).toDouble + 0.5))
+            acc + idf * ((tf(d)(w).toDouble * 2.2) / (tf(d)(w).toDouble +
+              1.2 * (0.25 + 0.75 * ((dlen.toDouble * nDocs.toDouble) / nToks.toDouble))))
+          }
+          Some((d, shared.size.toLong, r4(score)))
+        }
+      }
+      cands.sortBy { case (d, _, s) => (-s, d) }.take(10).zipWithIndex.map {
+        case ((d, n, s), i) => Seq[Any](q, (i + 1).toLong, d, n, s)
+      }
+    }.toSeq
+    assert(expected.nonEmpty, "fixture produced no bm25 rows — test is vacuous")
+    val got = TextOps.nsTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"bm25 mismatch: got=${got.take(3)} want=${expected.take(3)}")
+  }
+
+  test("bm25 plan: postings materialized once, no re-explode, broadcast query side") {
+    def build = TextOps.nsTextBm25(spark, sfDir)
+    val nodes = noAqeNodes(build)
+    // Every consumer reads the cached postings; the corpus explode lives
+    // only inside the one cache-build plan.
+    assert(!nodes.exists(_.nodeName.contains("Generate")),
+      nodes.map(_.nodeName).toString)
+    assert(nodes.count(_.nodeName.contains("InMemoryTableScan")) == 5,
+      nodes.map(_.nodeName).toString)
+    assert(nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 2)
+    // Both rank filters (query-term top-12, result top-10) push map-side.
+    assert(nodes.count(_.nodeName.contains("WindowGroupLimit")) >= 2)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
