@@ -206,8 +206,12 @@ object ScaleRehearsal {
     // PQ ADC streams every candidate's 4-byte codes (linear in N at 1/64
     // the bytes); IVF+PQ prunes that stream to the probed clusters;
     // trained PQ adds 2 Lloyd passes (scan + 1024-row shuffle each).
+    // semdedup output IS pair-bounded (dense fixture graph, see above) —
+    // the subject here is that in-cluster pruning holds pair mass to
+    // ~1/k of the all-pairs baseline while staying an equi-join.
     for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk",
-           "ns_sim_pq_topk", "ns_sim_ivfpq_topk", "ns_sim_pq_trained");
+           "ns_sim_pq_topk", "ns_sim_ivfpq_topk", "ns_sim_pq_trained",
+           "ns_sim_semdedup");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x

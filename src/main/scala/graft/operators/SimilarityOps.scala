@@ -460,6 +460,49 @@ object SimilarityOps {
     ivfSearch(emb, centLits(trainCentroids(emb)))
   }
 
+  // ---- SemDeDup: cluster-then-prune embedding dedup -----------------------
+
+  private val SemThreshold = 0.35
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023's
+    * cluster-then-prune shape): every vector map-side assigns to its
+    * nearest seed centroid ([[centroidRanking]] — zero exchanges), the
+    * cosine near-dup search then runs WITHIN clusters only (equi-join on
+    * the cluster id — never the O(N²) all-pairs BroadcastNestedLoop of
+    * [[nsSimNeardupPairs]]), and a vector is pruned when a LOWER-id
+    * member of its own cluster sits at cosine >= [[SemThreshold]].
+    * Output: the pruned vectors with their lowest-id duplicate target,
+    * tightest cosine, and in-cluster duplicate count.
+    *
+    * Scale posture: the within-cluster join is the point — pair
+    * enumeration is bounded by cluster size, and in production k grows
+    * with N to hold cluster size constant (the paper runs 11k clusters
+    * over LAION), so the work is O(N × cluster_size), linear at fixed
+    * cluster occupancy, co-partitioned on the cluster key. The recall
+    * cost (near-dup pairs that straddle a cluster boundary) is measured
+    * against the exact baseline in SimilaritySpec.
+    */
+  def nsSimSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val assign = emb
+      .withColumn("cluster",
+        centroidRanking(centLits(seedCentroids(emb)))(0)("cent_id").cast("long"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val a = assign.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assign.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, "cluster")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .where(col("cos") >= SemThreshold)
+      .groupBy(col("cluster"), col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("dup_of"), max("cos").as("max_cos"),
+        count(lit(1)).as("n_dups"))
+      .select("vec_id", "cluster", "dup_of", "max_cos", "n_dups")
+      .orderBy("vec_id")
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   private val PqSubspaces = 8
@@ -645,6 +688,7 @@ object SimilarityOps {
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
+    "ns_sim_semdedup" -> (nsSimSemdedup _),
     "ns_sim_quant_topk" -> (nsSimQuantTopk _),
     "ns_sim_quant_rerank" -> (nsSimQuantRerank _))
 
@@ -939,7 +983,35 @@ object SimilarityOps {
        |SELECT query_id, rank, neighbor_id, approx FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** Generated SemDeDup oracle: the seed-centroid 4dp argmax assignment
+    * (same CTE shape as [[ivfOracle]]), then the within-cluster pair
+    * prune, mirroring [[nsSimSemdedup]].
+    */
+  private def semdedupOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cent_id,
+       |         round(list_cosine_similarity(e.v, cv), 4) AS ccos
+       |  FROM e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, v, cent_id AS cluster FROM (
+       |    SELECT vec_id, v, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY ccos DESC, cent_id ASC) AS crank
+       |    FROM scored) WHERE crank = 1),
+       |p AS (
+       |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(list_cosine_similarity(a.v, b.v), 4) AS cos
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemThreshold)
+       |SELECT vec_b AS vec_id, cluster, min(vec_a) AS dup_of,
+       |       max(cos) AS max_cos, count(*) AS n_dups
+       |FROM p GROUP BY vec_b, cluster ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ns_sim_semdedup" -> semdedupOracle,
     "ns_sim_pq_topk" -> pqOracle,
     "ns_sim_pq_trained" -> pqTrainedOracle,
     "ns_sim_ivfpq_topk" -> ivfPqOracle,

@@ -267,4 +267,42 @@ class SimilaritySpec extends SparkSpec {
     // and the assignment is total: every vector lands in a cluster
     assert(assign.where(col("cluster").isNull).count() == 0)
   }
+
+  test("semdedup: exactly the same-cluster exact near-dup pairs, grouped; decent recall") {
+    val lits = SimilarityOps.seedCentroids(
+      graft.model.Tables.embeddings(spark, sfDir))
+      .map { case (cid, v) => (cid, typedLit(v.toSeq)) }.toSeq
+    val cluster = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        SimilarityOps.centroidRanking(lits)(0)("cent_id").cast("long").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = SimilarityOps.nsSimNeardupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Expected = exact pairs restricted to co-clustered vectors, grouped
+    // on the higher id with min-dup/max-cos/count — the declared prune.
+    val sameCluster = exact.filter { case (a, b, _) => cluster(a) == cluster(b) }
+    val expected = sameCluster.groupBy(_._2).map { case (b, ps) =>
+      (b, cluster(b), ps.map(_._1).min, ps.map(_._3).max, ps.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SimilarityOps.nsSimSemdedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(expected.nonEmpty && got == expected,
+      s"semdedup mismatch: got=${got.take(3)} want=${expected.take(3)}")
+    // Recall vs the all-pairs baseline: fraction of exact near-dup PAIRS
+    // captured in-cluster. Weakly-similar fixture vectors are the worst
+    // case (cos barely over threshold ⇒ neighbors straddle centroids).
+    val recall = sameCluster.length.toDouble / exact.length
+    assert(recall >= 0.2, s"semdedup pair recall = $recall")
+  }
+
+  test("semdedup plan: within-cluster equi-join, never the all-pairs nested loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def build = SimilarityOps.nsSimSemdedup(spark, sfDir)
+    val nodes = noAqeNodes(build)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      nodes.map(_.nodeName).toString)
+    assert(nodes.exists(_.nodeName.toLowerCase.contains("join")))
+    assert(!aqeFinalNodes(build).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
 }
