@@ -338,10 +338,19 @@ object TextOps {
     * stats broadcast onto the postings, so candidate generation adds NO
     * shuffle; fan-out is bounded by rarest-first term selection. Then one
     * (query, doc) aggregation and one per-query window (both rank
-    * filters push map-side via WindowGroupLimit). Determinism: the
-    * per-term scores fold in sorted-term order (left-associated, same as
-    * the oracle's list_reduce), rank on the round(4) score with a doc_id
-    * tie-break.
+    * filters push map-side via WindowGroupLimit). Determinism: each
+    * term's score is fixed-pointed to integer MICRO-UNITS and the group
+    * sums Longs — integer addition commutes, so the aggregation is
+    * order-free across partitions (a float sum is not), partials combine
+    * map-side, and no per-group array ever materializes (the first cut's
+    * sorted-fold needed ObjectHashAggregate + a collect_list per group:
+    * 3.8 s vs 2.3 s cold at sf0.1). Ranking compares the exact integer
+    * sums (no float in the order), and the reported score is the ONE
+    * IEEE divide + round(6) — round(4) here was a measured landmine:
+    * micro-unit sums are exact 1e-6 multiples, so 1% of them land
+    * precisely on a 4dp half-way boundary, where Spark (decimal-string
+    * HALF_UP) and DuckDB (binary) round apart; at 6dp the value IS the
+    * boundary-free decimal itself.
     */
   def nsTextBm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -363,14 +372,14 @@ object TextOps {
       .where(col("doc_id") =!= col("query_id"))
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("ts", expr(BmTermScore))
+      .withColumn("ts_u", expr(s"CAST(round(($BmTermScore) * 1000000.0, 0) AS BIGINT)"))
     cand.groupBy("query_id", "doc_id")
       .agg(
         count(lit(1)).as("n_common_terms"),
-        expr("round(aggregate(sort_array(collect_list(struct(wd, ts))), " +
-          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ts), 4)").as("score"))
+        sum("ts_u").as("score_u"))
+      .withColumn("score", round(col("score_u").cast("double") / 1000000.0, 6))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
+        Window.partitionBy("query_id").orderBy(col("score_u").desc, col("doc_id")))
         .cast("long"))
       .where(col("rnk") <= BmTopK)
       .select("query_id", "rnk", "doc_id", "n_common_terms", "score")
@@ -411,11 +420,12 @@ object TextOps {
          |  WHERE tf.doc_id <> qt.query_id),
          |sc AS (
          |  SELECT query_id, doc_id, count(*) AS n_common_terms,
-         |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($BmTermScore ORDER BY wd)),
-         |               (acc, x) -> acc + x), 4) AS score
+         |         CAST(sum(CAST(round(($BmTermScore) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_u
          |  FROM cand GROUP BY 1, 2),
-         |r AS (SELECT *, row_number() OVER
-         |        (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |r AS (SELECT query_id, doc_id, n_common_terms,
+         |        round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score,
+         |        row_number() OVER
+         |        (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_common_terms, score
          |FROM r WHERE rnk <= $BmTopK ORDER BY query_id, rnk""".stripMargin,
     "ns_text_chunks" ->

@@ -97,27 +97,31 @@ class TextOpsSpec extends SparkSpec {
     val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
     val nDocs = docs.length.toLong
     val nToks = words.values.map(_.size.toLong).sum
-    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // Same operation tree as BmTermScore, same sorted-term left fold.
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Same operation tree as BmTermScore; micro-unit fixed-point sum
+    // (order-free by construction — no fold order to mirror).
     val expected = docs.map(_._1).filter(_ % 50 == 0).sorted.flatMap { q =>
       val qts = tf(q).keys.toSeq.filter(w => df(w) >= 2)
         .sortBy(w => (df(w), w)).take(12)
       val cands = docs.map(_._1).filter(_ != q).flatMap { d =>
-        val shared = qts.filter(w => tf(d).contains(w)).sorted
+        val shared = qts.filter(w => tf(d).contains(w))
         if (shared.isEmpty) None
         else {
           val dlen = words(d).size.toLong
-          val score = shared.foldLeft(0.0) { (acc, w) =>
+          val micro = shared.map { w =>
             val idf = math.log(1.0 +
               ((nDocs.toDouble - df(w).toDouble) + 0.5) / (df(w).toDouble + 0.5))
-            acc + idf * ((tf(d)(w).toDouble * 2.2) / (tf(d)(w).toDouble +
+            math.round(idf * ((tf(d)(w).toDouble * 2.2) / (tf(d)(w).toDouble +
               1.2 * (0.25 + 0.75 * ((dlen.toDouble * nDocs.toDouble) / nToks.toDouble))))
-          }
-          Some((d, shared.size.toLong, r4(score)))
+              * 1000000.0)
+          }.sum
+          Some((d, shared.size.toLong, micro))
         }
       }
-      cands.sortBy { case (d, _, s) => (-s, d) }.take(10).zipWithIndex.map {
-        case ((d, n, s), i) => Seq[Any](q, (i + 1).toLong, d, n, s)
+      // Rank on the exact integer micro-unit sum, like the plan.
+      cands.sortBy { case (d, _, m) => (-m, d) }.take(10).zipWithIndex.map {
+        case ((d, n, m), i) =>
+          Seq[Any](q, (i + 1).toLong, d, n, r6(m.toDouble / 1000000.0))
       }
     }.toSeq
     assert(expected.nonEmpty, "fixture produced no bm25 rows — test is vacuous")
