@@ -239,7 +239,8 @@ object ScaleRehearsal {
     // query count; the postings cache build is the linear floor.
     for (q <- Seq("ns_pack_chunks", "ns_pack_chunks_global",
            "ns_decontaminate", "ns_text_repetition", "ns_text_rarity",
-           "ns_text_chunks", "ns_text_salient", "ns_text_bm25");
+           "ns_text_chunks", "ns_text_salient", "ns_text_bm25",
+           "ns_text_classify");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

@@ -299,6 +299,66 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  // ---- Hashed linear quality classifier -----------------------------------
+
+  private val ClsBuckets = 64
+  // -0.20 in micro-units: centers the decision boundary on the fixture
+  // vocabulary's mean per-word weight (~+0.197), so `keep` splits the
+  // corpus rather than rubber-stamping it.
+  private val ClsBiasU = -200000L
+
+  /** Deterministic per-bucket weights in integer MICRO-UNITS (~U[-1, 1]),
+    * fixed LCG — the trained-model stand-in, embedded as literals in both
+    * engines (the centroid-literal pattern).
+    */
+  private[operators] val clsWeightsU: Array[Long] = {
+    var state = 0x9e3779b97f4a7c15L
+    Array.fill(ClsBuckets) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 20) % 2000001L - 1000000L
+    }
+  }
+
+  /** Fasttext-shaped quality classifier: each word hashes (the SAME
+    * Rabin-Karp polynomial as the rollhash/spans families) into one of
+    * [[ClsBuckets]] buckets, the document's logit is the mean of its
+    * words' bucket weights plus a bias, and `keep` is the sign — the
+    * model-based quality-filter pass every pretraining pipeline runs
+    * after the heuristic filters.
+    *
+    * Shape: a PURE PROJECTION — the per-word hash and weight lookup are
+    * nested higher-order functions over the split array, weights are
+    * metadata-scale literals (like the IVF centroids), and the
+    * accumulation is integer micro-units, so there is no explode, no
+    * join, and no aggregation: at 100 TB this is one scan-bound,
+    * embarrassingly parallel pass whose only exchange is the
+    * presentation sort. `keep` compares the EXACT integer sum
+    * (sum_u + n·bias_u > 0 ⇔ mean + bias > 0 — no float near the
+    * decision boundary); the reported logit is one IEEE divide +
+    * round(6).
+    */
+  def nsTextClassify(spark: SparkSession, dir: String): DataFrame = {
+    val weights = clsWeightsU.mkString("array(", "L, ", "L)")
+    val wordHash = "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))," +
+      " CAST(0 AS BIGINT), (acc, c) -> (acc * $RB + c) % $RM)"
+        .replace("$RB", RollBase.toString).replace("$RM", RollMod.toString)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("z_u",
+        expr(s"""aggregate(transform(split(lower(text), ' '),
+                w -> element_at($weights, CAST($wordHash % $ClsBuckets AS INT) + 1)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+          + col("n_tokens") * ClsBiasU)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("round(CAST(z_u AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)")
+          .as("logit"),
+        (col("z_u") > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- BM25 lexical retrieval ---------------------------------------------
 
   private val BmQueryEvery = 50L
@@ -387,6 +447,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
     "ns_text_salient" -> (nsTextSalient _),
@@ -400,6 +461,23 @@ object TextOps {
     "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
   val oracles: Map[String, String] = Map(
+    "ns_text_classify" -> {
+      val wlist = clsWeightsU.mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |z AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(ws, w -> $wlist[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(string_split(w, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         |             (acc, x) -> (acc * $RollBase + x) % $RollMod) % $ClsBuckets AS INT) + 1])),
+         |           (acc, x) -> acc + x) + CAST(len(ws) AS BIGINT) * $ClsBiasU AS z_u
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |       round(CAST(z_u AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS logit,
+         |       z_u > 0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "ns_text_bm25" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd

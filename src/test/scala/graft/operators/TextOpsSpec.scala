@@ -130,6 +130,38 @@ class TextOpsSpec extends SparkSpec {
       s"bm25 mismatch: got=${got.take(3)} want=${expected.take(3)}")
   }
 
+  test("classifier matches a brute-force hash+weights fold; boundary is integer-exact") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (base, mod) = (31L, 1000000007L)
+    def bucket(w: String): Int =
+      (w.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * base + c) % mod) % 64).toInt
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1).toSeq
+      val zU = ws.map(w => TextOps.clsWeightsU(bucket(w))).sum - ws.size.toLong * 200000L
+      Seq[Any](id, ws.size.toLong,
+        r6(zU.toDouble / (ws.size.toDouble * 1000000.0)), zU > 0L)
+    }.sortBy(_.head.asInstanceOf[Long]).toSeq
+    val got = TextOps.nsTextClassify(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      s"classify mismatch: got=${got.take(3)} want=${expected.take(3)}")
+    // The fixture must exercise BOTH classes or the keep flag is vacuous.
+    val keeps = got.map(_(3).asInstanceOf[Boolean])
+    assert(keeps.contains(true) && keeps.contains(false))
+  }
+
+  test("classifier plan is a pure projection: no explode, no join, only the sort exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def build = TextOps.nsTextClassify(spark, sfDir)
+    val nodes = noAqeNodes(build)
+    assert(!nodes.exists(_.nodeName.contains("Generate")), nodes.map(_.nodeName).toString)
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("join")))
+    assert(!nodes.exists(_.nodeName.contains("Aggregate")))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      nodes.map(_.nodeName).toString) // presentation sort only
+  }
+
   test("bm25 plan: postings materialized once, no re-explode, broadcast query side") {
     def build = TextOps.nsTextBm25(spark, sfDir)
     val nodes = noAqeNodes(build)
