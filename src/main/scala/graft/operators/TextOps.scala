@@ -299,6 +299,68 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  // ---- BPE tokenizer training ---------------------------------------------
+
+  private val BpeMerges = 10
+
+  /** BPE merge-table training over the corpus — the tokenizer-training
+    * stage of an LLM data pipeline (the HF-tokenizers shape): ONE
+    * corpus-scale pass aggregates word frequencies, then the merge loop
+    * runs over the metadata-scale vocabulary on the driver (exactly like
+    * [[SimilarityOps.trainCentroids]] collects k×dim centroids per Lloyd
+    * iteration — at 100 TB the vocab is millions of rows while the corpus
+    * is trillions of tokens, so the corpus pass is the only distributed
+    * work BPE needs). Each iteration counts adjacent symbol pairs
+    * (freq-weighted), merges the most frequent (ties: lexicographic
+    * left, then right), and rewrites the vocab.
+    *
+    * Symbol sequences are anchored pipe-delimited strings ('|a|b|c|') and
+    * a merge is literal string replace of '|l|r|' with '|lr|' — scan
+    * left-to-right, non-overlapping, which IS greedy BPE merge order,
+    * and identical between Java's String.replace and SQL replace(), so
+    * the DuckDB oracle replays every iteration symbolically. All
+    * arithmetic is integer counts and byte-ordered ASCII strings — the
+    * one query in the family with NO float anywhere.
+    */
+  def nsTextBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Long, String)] = wc.map { case (w, f) =>
+      (f, w.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
+        .mkString("|", "|", "|"))
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= BpeMerges && !exhausted) {
+      val counts = collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      for ((f, seq) <- vocab) {
+        val syms = seq.split("\\|").filter(_.nonEmpty)
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank.toLong, l, r, l + r, cnt))
+        vocab = vocab.map { case (f, seq) =>
+          (f, seq.replace(s"|$l|$r|", s"|$l$r|"))
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   // ---- Hashed linear quality classifier -----------------------------------
 
   private val ClsBuckets = 64
@@ -447,6 +509,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_bpe_train" -> (nsTextBpeTrain _),
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
@@ -460,7 +523,36 @@ object TextOps {
     "ns_text_rollhash" -> (nsTextRollhash _),
     "ns_text_rollhash_fast" -> (nsTextRollhashFast _))
 
+  /** Generated BPE oracle: v0 = word frequencies with anchored
+    * pipe-delimited symbol strings; per merge i, a pair count over
+    * adjacent symbols, a (cnt DESC, l, r) argmax, and the same literal
+    * string replace the driver loop applies.
+    */
+  private def bpeOracle: String = {
+    val iters = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS s
+         |        FROM v${i - 1}), unnest(range(1, len(s))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (SELECT freq, replace(seq, '|' || l || '|' || r || '|', '|' || l || r || '|') AS seq
+         |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |         '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+       |  GROUP BY 2),
+       |$iters
+       |SELECT * FROM ($sel) ORDER BY merge_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ns_text_bpe_train" -> bpeOracle,
     "ns_text_classify" -> {
       val wlist = clsWeightsU.mkString("[", ", ", "]")
       s"""WITH d AS (

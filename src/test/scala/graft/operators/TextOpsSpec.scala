@@ -130,6 +130,42 @@ class TextOpsSpec extends SparkSpec {
       s"bm25 mismatch: got=${got.take(3)} want=${expected.take(3)}")
   }
 
+  test("bpe merges match an independent list-based merge implementation") {
+    val docs = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    val wc = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    // List-based greedy merge — NOT the anchored-string replace the
+    // operator uses; agreement proves the replace encoding is faithful.
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeOnce(rest, l, r)
+      case a :: rest => a :: mergeOnce(rest, l, r)
+      case Nil => Nil
+    }
+    var vocab = wc.toSeq.map { case (w, f) =>
+      (f, w.codePoints.toArray.toList.map(cp => new String(Character.toChars(cp))))
+    }
+    val expected = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to 10) {
+      val counts = vocab.flatMap { case (f, syms) =>
+        syms.zip(syms.drop(1)).map(_ -> f)
+      }.groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      expected += ((rank.toLong, l, r, l + r, cnt))
+      vocab = vocab.map { case (f, syms) => (f, mergeOnce(syms, l, r)) }
+    }
+    val got = TextOps.nsTextBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected.result(), s"bpe mismatch: got=$got")
+    // Best-pair counts are non-increasing across merges (BPE invariant).
+    assert(got.map(_._5).sliding(2).forall(p => p.head >= p.last))
+    // Later merges must build on earlier merged symbols at least once on
+    // this corpus (the 'er' -> 'mer' behavior that makes BPE BPE).
+    val mergedSyms = got.map(_._4).toSet
+    assert(got.exists(m => mergedSyms.contains(m._2) || mergedSyms.contains(m._3)))
+  }
+
   test("classifier matches a brute-force hash+weights fold; boundary is integer-exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
