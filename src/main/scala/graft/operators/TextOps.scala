@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over the `documents` table
@@ -324,6 +324,17 @@ object TextOps {
     */
   def nsTextBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainBpeMerges(spark, dir)
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The driver-side merge loop shared by train and encode: one
+    * distributed word-frequency pass, then [[BpeMerges]] iterations over
+    * the collected metadata-scale vocab.
+    */
+  private[operators] def trainBpeMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
     val wc = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("freq"))
@@ -357,8 +368,46 @@ object TextOps {
       }
     }
     merges.result()
-      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy("merge_rank")
+  }
+
+  /** BPE tokenizer APPLICATION — encode every document with the merge
+    * table [[trainBpeMerges]] just trained (the tokenize-the-corpus stage
+    * that follows tokenizer training in every pretraining pipeline).
+    *
+    * Shape: the merge table is metadata (10 rows) embedded as literals,
+    * and the whole encode is ONE pure projection — per word, build the
+    * anchored symbol string and apply the merges as a nested chain of
+    * literal `replace`s inside a `transform` lambda, then count symbols
+    * via pipe-counting and total them with `aggregate`. No explode, no
+    * join, no groupBy: at 100 TB this is a scan-bound embarrassingly
+    * parallel pass (the centroid-literal pattern applied to tokenization),
+    * and the only exchange is the presentation sort.
+    *
+    * Same single left-to-right non-overlapping replace semantics as
+    * training (so DuckDB `replace` replays it exactly); the spec
+    * cross-checks a list-walk tokenizer.
+    */
+  def nsTextBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeMerges(spark, dir)
+    def encoded(w: Column): Column = merges.foldLeft(
+      concat(lit("|"), regexp_replace(w, "(.)", "$1|")): Column) {
+      case (s, (_, l, r, _, _)) => replace(s, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+    }
+    val words = filter(split(lower(col("text")), " "), w => w =!= "")
+    val tokenCounts = transform(words, w => {
+      val s = encoded(w)
+      length(s).cast("long") - length(replace(s, lit("|"))).cast("long") - lit(1L)
+    })
+    val sumLong = (arr: Column) => aggregate(arr, lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        sumLong(tokenCounts).as("n_bpe_tokens"),
+        sumLong(transform(words, w => length(w).cast("long"))).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy("doc_id")
   }
 
   // ---- Hashed linear quality classifier -----------------------------------
@@ -510,6 +559,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_text_bpe_train" -> (nsTextBpeTrain _),
+    "ns_text_bpe_encode" -> (nsTextBpeEncode _),
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
@@ -528,7 +578,12 @@ object TextOps {
     * adjacent symbols, a (cnt DESC, l, r) argmax, and the same literal
     * string replace the driver loop applies.
     */
-  private def bpeOracle: String = {
+  /** Training CTEs shared by the train and encode oracles: v0 = word
+    * frequencies with anchored pipe-delimited symbol strings; per merge i,
+    * a pair count over adjacent symbols, a (cnt DESC, l, r) argmax b_i,
+    * and the same literal string replace the driver loop applies.
+    */
+  private def bpeTrainCtes: String = {
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -539,20 +594,50 @@ object TextOps {
          |v$i AS (SELECT freq, replace(seq, '|' || l || '|' || r || '|', '|' || l || r || '|') AS seq
          |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT CAST(count(*) AS BIGINT) AS freq,
        |         '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
        |  GROUP BY 2),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val sel = (1 to BpeMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM ($sel) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Encode oracle: replay training (shared CTEs), then apply the same
+    * replace chain to every word of every document and count symbols by
+    * pipe-counting — the merged symbols concatenated ARE the word, so
+    * n_chars falls out of replace(s, '|', '').
+    */
+  private def bpeEncodeOracle: String = {
+    val chain = (1 to BpeMerges).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
+       |  FROM documents),
+       |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
+       |$chain
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(len(replace(s, '|', ''))) AS BIGINT) AS n_chars,
+       |       round(CAST(sum(len(replace(s, '|', ''))) AS DOUBLE)
+       |             / sum(len(s) - len(replace(s, '|', '')) - 1), 6) AS chars_per_token
+       |FROM e$BpeMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "ns_text_bpe_train" -> bpeOracle,
+    "ns_text_bpe_encode" -> bpeEncodeOracle,
     "ns_text_classify" -> {
       val wlist = clsWeightsU.mkString("[", ", ", "]")
       s"""WITH d AS (

@@ -166,6 +166,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(m => mergedSyms.contains(m._2) || mergedSyms.contains(m._3)))
   }
 
+  test("bpe encode matches a list-walk tokenizer applying the trained merges") {
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeOnce(rest, l, r)
+      case a :: rest => a :: mergeOnce(rest, l, r)
+      case Nil => Nil
+    }
+    val merges = TextOps.nsTextBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toList
+    val expected = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { row =>
+      val words = row.getString(1).toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val tokens = words.map { w =>
+        var syms = w.codePoints.toArray.toList.map(cp => new String(Character.toChars(cp)))
+        for ((l, r) <- merges) syms = mergeOnce(syms, l, r)
+        syms.length.toLong
+      }.sum
+      (row.getLong(0), words.length.toLong, tokens, words.map(_.length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.nsTextBpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"bpe encode mismatch: got=${got.take(3)} want=${expected.take(3)}")
+    // Merging strictly compresses on this corpus: fewer tokens than chars,
+    // at least one token per word.
+    assert(got.forall { case (_, w, t, c) => t <= c && t >= w })
+    assert(got.exists { case (_, _, t, c) => t < c })
+  }
+
   test("classifier matches a brute-force hash+weights fold; boundary is integer-exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
