@@ -241,6 +241,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model confidence scoring — the perplexity-filter
+    * shape (CCNet-style) of a pretraining pipeline: train a bigram LM on
+    * the corpus itself (one aggregation pass), then score every document
+    * by the mean conditional probability of its word transitions; low
+    * scores mark incoherent/boilerplate text. Instead of a float log-
+    * likelihood (whose `ln` differs across engines in the last ulp), the
+    * conditional probability is exact integer micro-units — `c(w1,w2) *
+    * 1e6 div c(w1)` — summed as Longs into ONE IEEE divide + round(6),
+    * and the `fluent` flag is an integer cross-multiplication (mean ≥
+    * 1/29, the corpus median), so both engines agree bit-for-bit.
+    *
+    * Scale posture: transitions are map-side (per-row transform+explode);
+    * the bigram table aggregates with map-side combine and joins back on
+    * the (w1, w2) key — broadcast at test scale, SMJ at 100 TB — the same
+    * join-back family as [[nsTextRarity]]/[[nsTextSalient]], linear in
+    * corpus size with a vocabulary²-bounded model table.
+    */
+  def nsTextBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      // sequence(0, size-2) would flip to a DESCENDING sequence for a
+      // 1-word doc (Spark defaults step to -1 when start > stop); such
+      // docs have no transitions on either engine, so drop them here.
+      .where(size(col("w")) >= 2)
+    val tr = docs
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"))
+    val c12 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("c12 * 1000000 div c1").as("p_u"))
+    tr.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        min("p_u").as("min_p_u"),
+        round(sum("p_u").cast("double") / (count(lit(1)) * lit(1000000L)), 6)
+          .as("mean_p"),
+        (sum("p_u") * 29 >= count(lit(1)) * lit(1000000L)).as("fluent"))
+      .orderBy("doc_id")
+  }
+
   // ---- Chunking + salient terms -------------------------------------------
 
   private val ChunkWords = 32  // words per chunk
@@ -560,6 +603,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_text_bpe_train" -> (nsTextBpeTrain _),
     "ns_text_bpe_encode" -> (nsTextBpeEncode _),
+    "ns_text_bigram_lm" -> (nsTextBigramLm _),
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
@@ -638,6 +682,22 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "ns_text_bpe_train" -> bpeOracle,
     "ns_text_bpe_encode" -> bpeEncodeOracle,
+    "ns_text_bigram_lm" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tr AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM docs, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |p AS (SELECT w1, w2, c12 * 1000000 // c1 AS p_u FROM c12 JOIN c1 USING (w1))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(min(p_u) AS BIGINT) AS min_p_u,
+        |  round(CAST(sum(p_u) AS DOUBLE) / (count(*) * 1000000), 6) AS mean_p,
+        |  (sum(p_u) * 29 >= count(*) * 1000000) AS fluent
+        |FROM tr JOIN p USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ns_text_classify" -> {
       val wlist = clsWeightsU.mkString("[", ", ", "]")
       s"""WITH d AS (

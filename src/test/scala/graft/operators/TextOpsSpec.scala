@@ -193,6 +193,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists { case (_, _, t, c) => t < c })
   }
 
+  test("bigram lm matches a brute-force count-and-score fold; fluent splits the corpus") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+      .filter(_._2.length >= 2)
+    val trans = docs.flatMap { case (id, w) => w.zip(w.tail).map((id, _)) }
+    val c12 = trans.groupBy(_._2).map { case (p, o) => p -> o.size.toLong }
+    val c1 = trans.groupBy(_._2._1).map { case (w1, o) => w1 -> o.size.toLong }
+    val expected = trans.groupBy(_._1).map { case (id, ts) =>
+      val pus = ts.map { case (_, (w1, w2)) => c12((w1, w2)) * 1000000L / c1(w1) }
+      val (n, sum) = (pus.size.toLong, pus.sum)
+      (id, n, pus.min,
+        BigDecimal(sum.toDouble / (n * 1000000L))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sum * 29 >= n * 1000000L)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.nsTextBigramLm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected, s"bigram mismatch: got=${got.take(3)} want=${expected.take(3)}")
+    assert(got.exists(_._5) && got.exists(!_._5), "fluent flag must split the corpus")
+  }
+
   test("classifier matches a brute-force hash+weights fold; boundary is integer-exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
