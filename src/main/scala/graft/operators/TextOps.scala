@@ -284,6 +284,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val CollocMinSupport = 5L
+  private val CollocK = 20
+
+  /** Collocation mining — top-[[CollocK]] word pairs by PMI-style lift
+    * (corpus-level statistics for vocabulary/phrase induction, the other
+    * consumer of the bigram table [[nsTextBigramLm]] builds). PMI =
+    * log(c12·N / (c1·c2)) is monotone in c12/(c1·c2) at fixed N, so the
+    * rank key is the LIFT in fixed-point — `(c12·1e6 div c1)·1e6 div c2`
+    * — two floor divisions that stay under 1e12 for ANY corpus size
+    * (overflow-safe where the single-expression c12·N·1e6 form is not)
+    * and are replayed verbatim by DuckDB `//`. Ties break
+    * lexicographically; min support [[CollocMinSupport]] prunes noise
+    * pairs map-side.
+    *
+    * Scale posture: the ranked table is the vocabulary²-bounded model
+    * AFTER min-support pruning — metadata-scale — so the global top-k
+    * window is a driver-sized sort; all corpus-scale work is the one
+    * aggregation pass shared with the LM family.
+    */
+  def nsTextCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+    val tr = docs
+      .select(explode(
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("t"))
+      .select(col("t.w1"), col("t.w2"))
+    val c12 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= CollocMinSupport)
+    val left = tr.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val right = tr.groupBy("w2").agg(count(lit(1)).as("c2"))
+    c12.join(left, "w1").join(right, "w2")
+      .withColumn("lift_u", expr("((c12 * 1000000 div c1) * 1000000) div c2"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("lift_u").desc, col("w1"), col("w2")))
+        .cast("long"))
+      .where(col("rnk") <= CollocK)
+      .select("rnk", "w1", "w2", "c12", "c1", "c2", "lift_u")
+      .orderBy("rnk")
+  }
+
   // ---- Chunking + salient terms -------------------------------------------
 
   private val ChunkWords = 32  // words per chunk
@@ -604,6 +646,7 @@ object TextOps {
     "ns_text_bpe_train" -> (nsTextBpeTrain _),
     "ns_text_bpe_encode" -> (nsTextBpeEncode _),
     "ns_text_bigram_lm" -> (nsTextBigramLm _),
+    "ns_text_collocations" -> (nsTextCollocations _),
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
@@ -698,6 +741,23 @@ object TextOps {
         |  (sum(p_u) * 29 >= count(*) * 1000000) AS fluent
         |FROM tr JOIN p USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns_text_collocations" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tr AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM docs, unnest(range(1, len(w))) AS t(i)
+        |  WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2
+        |        HAVING count(*) >= $CollocMinSupport),
+        |c1t AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+        |c2t AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM tr GROUP BY 1),
+        |ranked AS (
+        |  SELECT c12.w1, c12.w2, c12, c1, c2,
+        |         CAST(((c12 * 1000000 // c1) * 1000000) // c2 AS BIGINT) AS lift_u
+        |  FROM c12 JOIN c1t USING (w1) JOIN c2t USING (w2))
+        |SELECT CAST(row_number() OVER (ORDER BY lift_u DESC, w1, w2) AS BIGINT) AS rnk,
+        |       w1, w2, c12, c1, c2, lift_u
+        |FROM ranked ORDER BY lift_u DESC, w1, w2 LIMIT $CollocK""".stripMargin,
     "ns_text_classify" -> {
       val wlist = clsWeightsU.mkString("[", ", ", "]")
       s"""WITH d AS (

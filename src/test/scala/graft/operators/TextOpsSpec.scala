@@ -215,6 +215,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5), "fluent flag must split the corpus")
   }
 
+  test("collocations match a brute-force lift ranking with lexicographic ties") {
+    val trans = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0).toLowerCase.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(w => w.zip(w.tail))
+    val c12 = trans.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val c1 = trans.groupBy(_._1).map { case (w, o) => w -> o.size.toLong }
+    val c2 = trans.groupBy(_._2).map { case (w, o) => w -> o.size.toLong }
+    val expected = c12.toSeq.collect { case ((w1, w2), n) if n >= 5L =>
+      val lift = n * 1000000L / c1(w1) * 1000000L / c2(w2)
+      (w1, w2, n, c1(w1), c2(w2), lift)
+    }.sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }
+      .take(20).zipWithIndex
+      .map { case ((w1, w2, n, a, b, l), i) => (i + 1L, w1, w2, n, a, b, l) }
+    val got = TextOps.nsTextCollocations(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"colloc mismatch: got=${got.take(3)} want=${expected.take(3)}")
+    assert(got.size == 20 && got.head._7 >= got.last._7)
+  }
+
   test("classifier matches a brute-force hash+weights fold; boundary is integer-exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
