@@ -194,6 +194,48 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  private val GraphK = 4
+
+  /** k-NN graph construction — EVERY vector's top-[[GraphK]] neighbors
+    * among its LSH bucket-mates, with a `mutual` flag (each side appears
+    * in the other's list): the curation primitive behind diversity
+    * sampling, graph-based clustering, and dataset cartography. Same
+    * project-late discipline as [[nsSimLshTopk]] — candidate generation
+    * and dedup move only (id, id) pairs; vectors re-attach for the exact
+    * cosine rerank; the mutual flag is a self-join of the ranked edge
+    * list on the flipped key (N·k rows, trivially small next to the
+    * candidate stage). At 100 TB this is the banded equi-join, never
+    * all-pairs — the graph's candidate mass is bucket-bounded.
+    */
+  def nsSimKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val buckets = lshBuckets(emb).select("vec_id", "band", "bucket")
+    val a = buckets.select(col("vec_id").as("src_id"),
+      col("band").as("a_band"), col("bucket").as("a_bucket"))
+    val b = buckets.select(col("vec_id").as("nbr_id"),
+      col("band").as("b_band"), col("bucket").as("b_bucket"))
+    val cand = a.join(b,
+      col("a_band") === col("b_band") && col("a_bucket") === col("b_bucket")
+        && col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id")
+      .distinct()
+    val ea = emb.select(col("vec_id").as("src_id"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("emb_b"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    val ranked = cand.join(ea, "src_id").join(eb, "nbr_id")
+      .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= GraphK)
+      .select("src_id", "rank", "nbr_id", "cos")
+    val back = ranked.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
+    ranked.join(back,
+      col("nbr_id") === col("r_src") && col("src_id") === col("r_nbr"), "left")
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cos"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy("src_id", "rank")
+  }
+
   // ---- int8 quantization --------------------------------------------------
 
   private val QuantQueries = 50
@@ -686,6 +728,7 @@ object SimilarityOps {
     "ns_sim_neardup_pairs" -> (nsSimNeardupPairs _),
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
+    "ns_sim_knn_graph" -> (nsSimKnnGraph _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
     "ns_sim_semdedup" -> (nsSimSemdedup _),
@@ -810,6 +853,33 @@ object SimilarityOps {
        |  FROM s)
        |SELECT query_id, rank, neighbor_id, cos FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** Generated k-NN graph oracle: bucket CTEs with no query filter,
+    * per-source rank, then the same flipped-key self-join for `mutual`.
+    */
+  private def knnGraphOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$lshBucketCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |s AS (
+       |  SELECT src_id, nbr_id,
+       |         round(list_cosine_similarity(q.v, c.v), 4) AS cos
+       |  FROM cand
+       |  JOIN e q ON src_id = q.vec_id
+       |  JOIN e c ON nbr_id = c.vec_id),
+       |g AS (
+       |  SELECT src_id, nbr_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY src_id
+       |              ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rank
+       |  FROM s QUALIFY rank <= $GraphK)
+       |SELECT g.src_id, g.rank, g.nbr_id, g.cos,
+       |       (g2.src_id IS NOT NULL) AS mutual
+       |FROM g LEFT JOIN g g2
+       |  ON g2.src_id = g.nbr_id AND g2.nbr_id = g.src_id
+       |ORDER BY g.src_id, g.rank""".stripMargin
 
   /** Generated bucketed near-dup oracle: same bucket CTEs, symmetric
     * candidate pairs (vec_a < vec_b), cosine verify at the 0.35 threshold.
@@ -1019,6 +1089,7 @@ object SimilarityOps {
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_ivf_trained" -> ivfTrainedOracle,
     "ns_sim_lsh_topk" -> lshOracle,
+    "ns_sim_knn_graph" -> knnGraphOracle,
     "ns_sim_quant_topk" -> quantOracle,
     "ns_sim_quant_rerank" -> quantRerankOracle,
     "ns_sim_bruteforce_topk" ->

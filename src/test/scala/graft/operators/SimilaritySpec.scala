@@ -87,6 +87,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@3 = $recall")
   }
 
+  test("knn graph: agrees with lsh_topk on query vectors; mutual flag is self-consistent") {
+    val graph = SimilarityOps.nsSimKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // ranks contiguous from 1 per source
+    graph.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+    }
+    // the first-100 sources ranked <= 3 must be EXACTLY lsh_topk (same
+    // buckets, same rerank, same tie-break)
+    val lsh = SimilarityOps.nsSimLshTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromGraph = graph.collect {
+      case (s, rk, n, c, _) if s < 100 && rk <= 3 => (s, rk, n, c)
+    }.toSet
+    assert(fromGraph == lsh,
+      s"graph/lsh_topk disagree: onlyGraph=${(fromGraph -- lsh).take(3)} onlyLsh=${(lsh -- fromGraph).take(3)}")
+    // mutual == the flipped edge exists in the list itself
+    val edges = graph.map(g => (g._1, g._3)).toSet
+    graph.foreach { case (s, _, n, _, m) =>
+      assert(m == edges.contains((n, s)), s"mutual flag wrong for ($s,$n)")
+    }
+    assert(graph.exists(_._5) && graph.exists(!_._5), "mutual must split the graph")
+  }
+
   test("bucketed near-dup pairs: subset of exact pairs with decent recall") {
     val exact = SimilarityOps.nsSimNeardupPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
