@@ -724,8 +724,52 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val LineWords = 3     // words per "line" (paragraph unit)
+  private val LineBoilerDocs = 3 // a line in >= this many docs is boilerplate
+
+  /** CCNet-style boilerplate-line removal (Wenzek et al. 2020, §4.1 of the
+    * CCNet paper: drop paragraphs whose hash repeats across documents).
+    * The fixture corpus is single-line, so a "line" here is each
+    * consecutive [[LineWords]]-word group (last group may be shorter —
+    * nothing is dropped before counting). A line appearing in >=
+    * [[LineBoilerDocs]] distinct docs is boilerplate; the cleaned document
+    * is the in-order concatenation of surviving lines, compared by md5.
+    *
+    * Scale posture: explode → one (line)-keyed agg for document frequency
+    * → hash join back on line → one doc_id-keyed agg to rebuild. Both
+    * shuffles are on uniform keys (line text / doc_id); no window over the
+    * corpus, no driver collection. At 100 TB the df table is Zipf-shaped
+    * but bounded by distinct-line cardinality, and the join stays a
+    * shuffled hash join on the same key the agg just partitioned by, so
+    * AQE reuses the exchange.
+    */
+  def nsDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("i", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), (size(w) + ${LineWords - 1}) div $LineWords - 1)")))
+      .select(
+        col("doc_id"), col("i"),
+        expr(s"array_join(slice(w, CAST(i * $LineWords + 1 AS INT), $LineWords), ' ')")
+          .as("line"))
+    val df = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("dcnt"))
+    lines.join(df, "line")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("dcnt") >= LineBoilerDocs, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("dcnt") < LineBoilerDocs, size(split(col("line"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_words"),
+        md5(array_join(
+          expr(s"transform(array_sort(collect_list(CASE WHEN dcnt < $LineBoilerDocs THEN struct(i, line) END)), s -> s.line)"),
+          " ").cast("binary")).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_decontaminate" -> (nsDecontaminate _),
+    "ns_dedup_lines" -> (nsDedupLines _),
     "ns_dedup_exact" -> (nsDedupExact _),
     "ns_dedup_jaccard" -> (nsDedupJaccard _),
     "ns_dedup_minhash" -> (nsDedupMinhash _),
@@ -879,6 +923,22 @@ object DedupOps {
        |ORDER BY batch_doc, corpus_doc""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ns_dedup_lines" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |l AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, (len(w) + ${LineWords - 1}) // $LineWords - 1)) AS i
+         |      FROM d),
+         |s AS (SELECT doc_id, i,
+         |        array_to_string(list_slice(w, i * $LineWords + 1, i * $LineWords + $LineWords), ' ') AS line
+         |      FROM l),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS dcnt FROM s GROUP BY line)
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN dcnt >= $LineBoilerDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |       CAST(sum(CASE WHEN dcnt < $LineBoilerDocs THEN len(string_split(line, ' ')) ELSE 0 END) AS BIGINT) AS kept_words,
+         |       md5(coalesce(array_to_string(list(line ORDER BY i) FILTER (WHERE dcnt < $LineBoilerDocs), ' '), '')) AS cleaned_hash
+         |FROM s JOIN df USING (line)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "ns_decontaminate" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),

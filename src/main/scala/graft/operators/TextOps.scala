@@ -642,7 +642,59 @@ object TextOps {
       .orderBy("query_id", "rnk")
   }
 
+  // PII patterns kept RE2-compatible (no lookaround/backrefs) so the exact
+  // same strings run under Java regex (Spark) and RE2 (DuckDB oracle).
+  private val PiiEmailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\+1-555-[0-9]{4}"
+  private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing pass every pretraining
+    * pipeline runs before packing (emails, phone numbers, IP addresses →
+    * typed placeholders). The fixture corpus carries no PII, so the query
+    * first splices a deterministic payload (derived from doc_id/source,
+    * reproduced verbatim in the oracle) into each document — the operator
+    * under test is the detect/redact stage, not the splice. Counts are per
+    * class; the redacted text is compared by md5. Redaction order is
+    * email → phone → IP so a later pattern can never match inside an
+    * earlier placeholder.
+    *
+    * Scale posture: pure per-row column expressions (three codegen'd
+    * regexps + md5) — shuffle-free except the presentation sort, linear in
+    * corpus bytes, trivially partition-parallel at 100 TB.
+    */
+  def nsTextPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("raw", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail-"), col("source"), lit(".com"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+    d.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("raw"), lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("raw"), lit(PiiPhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("raw"), lit(PiiIpRe), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("raw"), PiiEmailRe, "[EMAIL]"),
+          PiiPhoneRe, "[PHONE]"),
+        PiiIpRe, "[IP]").as("redacted"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"),
+        md5(col("redacted").cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_pii" -> (nsTextPii _),
     "ns_text_bpe_train" -> (nsTextBpeTrain _),
     "ns_text_bpe_encode" -> (nsTextBpeEncode _),
     "ns_text_bigram_lm" -> (nsTextBigramLm _),
@@ -723,6 +775,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ns_text_pii" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@mail-' || source || '.com'
+         |           || CASE WHEN doc_id % 2 = 0 THEN ' cc admin' || doc_id || '@example.org' ELSE '' END
+         |           || CASE WHEN doc_id % 3 <> 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |           || ' from 10.' || (doc_id % 256) || '.0.1' AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(raw, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+         |         CAST(len(regexp_extract_all(raw, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+         |         CAST(len(regexp_extract_all(raw, '$PiiIpRe')) AS BIGINT) AS n_ips,
+         |         md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |             '$PiiEmailRe', '[EMAIL]', 'g'),
+         |             '$PiiPhoneRe', '[PHONE]', 'g'),
+         |             '$PiiIpRe', '[IP]', 'g')) AS redacted_hash
+         |  FROM r)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |       n_emails + n_phones + n_ips AS n_pii, redacted_hash
+         |FROM c ORDER BY doc_id""".stripMargin,
     "ns_text_bpe_train" -> bpeOracle,
     "ns_text_bpe_encode" -> bpeEncodeOracle,
     "ns_text_bigram_lm" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.model.Tables
 
 /** LSH dedup variants vs the exact-Jaccard truth on the sf0.001 fixtures
   * (which contain planted near-duplicates at jaccard >= 0.9 with a clean
@@ -312,5 +313,30 @@ class DedupSpec extends SparkSpec {
     val fin = aqeFinalNodes(build)
     assert(!fin.exists(_.nodeName.toLowerCase.contains("join")))
     assert(fin.count(_.getClass.getSimpleName.startsWith("MapPartitions")) == 1)
+  }
+
+  test("line dedup matches a brute-force boilerplate fold") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    val lw = 3; val thresh = 3
+    val lines = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(lw).zipWithIndex
+        .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+    }
+    val dcnt = lines.groupBy(_._3).map { case (l, ls) => l -> ls.map(_._1).distinct.size }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = lines.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.sortBy(_._2).filter(l => dcnt(l._3) < thresh)
+      Seq[Any](id, ls.size.toLong, (ls.size - kept.size).toLong,
+        kept.map(_._3.split(" ", -1).length.toLong).sum,
+        md5hex(kept.map(_._3).mkString(" ")))
+    }.toSeq.sortBy(_.head.asInstanceOf[Long])
+    val got = DedupOps.nsDedupLines(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"line-dedup mismatch: got=${got.take(2)} want=${want.take(2)}")
+    // boilerplate actually fires somewhere in the fixture
+    assert(got.exists(_(2).asInstanceOf[Long] > 0L))
   }
 }

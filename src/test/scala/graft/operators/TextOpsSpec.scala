@@ -282,4 +282,33 @@ class TextOpsSpec extends SparkSpec {
     assert(nodes.count(_.nodeName.contains("WindowGroupLimit")) >= 2)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("pii redaction matches a brute-force splice + regex fold") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(docs.nonEmpty)
+    val email = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.map { case (id, text, source) =>
+      val raw = text + " contact user" + id + "@mail-" + source + ".com" +
+        (if (id % 2 == 0) s" cc admin$id@example.org" else "") +
+        (if (id % 3 != 0) f" call +1-555-${id % 10000}%04d" else "") +
+        s" from 10.${id % 256}.0.1"
+      def n(re: String) = re.r.findAllIn(raw).size.toLong
+      val red = raw.replaceAll(email, "[EMAIL]")
+        .replaceAll(phone, "[PHONE]").replaceAll(ip, "[IP]")
+      Seq[Any](id, n(email), n(phone), n(ip),
+        n(email) + n(phone) + n(ip), md5hex(red))
+    }.sortBy(_.head.asInstanceOf[Long]).toSeq
+    val got = TextOps.nsTextPii(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"pii mismatch: got=${got.take(2)} want=${want.take(2)}")
+    // every doc carries exactly one spliced primary email and one IP
+    assert(got.forall(r => r(1).asInstanceOf[Long] >= 1L &&
+      r(3).asInstanceOf[Long] >= 1L))
+  }
 }
