@@ -29,5 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fixture events.ts is parquet TIMESTAMP(NANOS): Spark 4 only reads it
   // as a nanosecond Long behind this flag (graft.model.Tables normalizes).
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
+  // round-5 fixtures store timestamps as TIMESTAMP(MICROS, isAdjustedToUTC
+  // =false); without this flag Spark reads them as TIMESTAMP_NTZ, which
+  // unix_micros()/window functions reject. Session TZ is UTC, so reading
+  // them as regular timestamps preserves the wall clock exactly.
+  "-Dspark.sql.parquet.inferTimestampNTZ.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
