@@ -20,9 +20,10 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** As stored on disk: ts is TIMESTAMP(NANOS), readable only as a
-    * nanosecond Long (see nanosToTimestamp). File-source streams must use
-    * this schema and convert ts themselves.
+  /** The file-stream LANDING convention: ts is a Long of epoch MICROSECONDS
+    * (the round-5+ fixtures' native TIMESTAMP(MICROS) resolution; writers
+    * land `unix_micros(ts)`). File-source streams use this schema and
+    * convert back with `timestamp_micros(ts)`.
     */
   val eventsRawSchema: StructType = StructType(
     eventsSchema.fields.map(f =>

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.model.Tables
+import graft.ops.{MergeSink, ProcessTmp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED index artifacts — the missing half of the retrieval families:
+  * instead of rebuilding the BM25 postings / IVF inverted lists in-session
+  * per query (a `.cache()` dies with the session), the index is WRITTEN
+  * ONCE as bucketed parquet via the write-audit-publish sink and queries
+  * answer from the stored artifact, with incremental maintenance for
+  * newly-arrived documents (the [[DedupOps.nsDedupIncremental]] pattern
+  * applied to retrieval). Reference analog: its materialized MySQL tables
+  * (/root/reference/src/utils/data_utils.py:10-15) are exactly this
+  * write-once/serve-many layout.
+  *
+  * BM25 layout (all under one root, each table partitioned for pruning):
+  *   - `postings/`  (wd, doc_id, tf)  partitioned by bucket = hash(term):
+  *     a term's whole posting list lives in ONE bucket, so a query's
+  *     12-term fan-out touches <= 12 partitions and — the property the
+  *     incremental path leans on — per-term document frequency is
+  *     recomputable WITHIN a bucket, no global shuffle.
+  *   - `termstats/` (wd, df)          partitioned by the same term bucket.
+  *   - `doclen/`    (doc_id, dlen)    partitioned by doc-keyed bucket.
+  *   - `stats/`     (n_docs, n_toks)  one row.
+  *
+  * IVF layout: `assignments/` (vec_id, embedding, label, cluster)
+  * partitioned by cluster — the inverted lists ARE the partition layout,
+  * so a probe reads exactly its clusters' files — plus `centroids/`
+  * (cent_id, embedding), metadata-scale.
+  *
+  * Incremental update rewrites ONLY touched buckets (dynamic partition
+  * overwrite): at 100 TB a daily batch of new documents touches each term
+  * bucket it mentions, never the full index; re-delivered documents are
+  * idempotent via last-write-wins upsert on the (term, doc) key.
+  */
+object IndexOps {
+
+  private[operators] val Bm25Buckets = 8
+
+  private def termBucket(buckets: Int) =
+    pmod(xxhash64(col("wd")), lit(buckets.toLong)).cast("int")
+  private def docBucket(buckets: Int) =
+    pmod(col("doc_id"), lit(buckets.toLong)).cast("int")
+
+  /** Build the full BM25 index from a corpus and publish it atomically.
+    * One postings shuffle; every side table derives from the cached
+    * postings (the stored side-stat layout of a real inverted index).
+    */
+  def buildBm25Index(docs: DataFrame, root: String, buckets: Int = Bm25Buckets): Unit = {
+    val tf = TextOps.bm25Postings(docs).cache()
+    try {
+      val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      MergeSink.publishPartitioned(
+        tf.withColumn("bucket", termBucket(buckets)), s"$root/postings", "bucket")
+      MergeSink.publishPartitioned(
+        tf.groupBy("wd").agg(count(lit(1)).as("df"))
+          .withColumn("bucket", termBucket(buckets)), s"$root/termstats", "bucket")
+      MergeSink.publishPartitioned(
+        dlen.withColumn("bucket", docBucket(buckets)), s"$root/doclen", "bucket")
+      MergeSink.publishPartitioned(
+        dlen.agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
+          .withColumn("bucket", lit(0)), s"$root/stats", "bucket")
+    } finally tf.unpersist()
+  }
+
+  /** Merge a batch of NEWLY-ARRIVED documents into a stored BM25 index,
+    * touching only the buckets the batch's terms/docs hash into:
+    *   1. upsert the batch's postings into their term buckets (LWW on
+    *      (wd, doc_id) — re-delivery idempotent);
+    *   2. recompute df for touched term buckets FROM the merged postings
+    *      (a term's list is bucket-local, so df needs no global pass);
+    *   3. upsert doc lengths into their doc buckets;
+    *   4. refresh the 1-row corpus stats from the updated doclen table.
+    * Untouched buckets are never read or written (dynamic partition
+    * overwrite publishes only staged partitions). The touched-bucket list
+    * is collected to the driver — bounded by the bucket count, not the
+    * data.
+    */
+  def updateBm25Index(docs: DataFrame, root: String, buckets: Int = Bm25Buckets): Unit = {
+    val spark = docs.sparkSession
+    val tf = TextOps.bm25Postings(docs).cache()
+    try {
+      val newPost = tf.withColumn("bucket", termBucket(buckets))
+      val touched = newPost.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val oldPost = spark.read.parquet(s"$root/postings")
+        .where(col("bucket").isin(touched: _*))
+        .select(col("wd"), col("doc_id"), col("tf"), col("bucket").cast("int"))
+      val merged = MergeSink.upsert(oldPost, newPost, Seq("wd", "doc_id")).cache()
+      MergeSink.publishPartitioned(merged, s"$root/postings", "bucket")
+      MergeSink.publishPartitioned(
+        merged.groupBy("wd").agg(count(lit(1)).as("df"))
+          .withColumn("bucket", termBucket(buckets)), s"$root/termstats", "bucket")
+      merged.unpersist()
+      val newDlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+        .withColumn("bucket", docBucket(buckets))
+      val touchedDoc = newDlen.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val oldDlen = spark.read.parquet(s"$root/doclen")
+        .where(col("bucket").isin(touchedDoc: _*))
+        .select(col("doc_id"), col("dlen"), col("bucket").cast("int"))
+      MergeSink.publishPartitioned(
+        MergeSink.upsert(oldDlen, newDlen, Seq("doc_id")), s"$root/doclen", "bucket")
+      MergeSink.publishPartitioned(
+        spark.read.parquet(s"$root/doclen")
+          .agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
+          .withColumn("bucket", lit(0)), s"$root/stats", "bucket")
+    } finally tf.unpersist()
+  }
+
+  /** Answer BM25 more-like-this FROM the stored artifact: reads the four
+    * index tables and runs the shared [[TextOps.bm25Search]] stage — the
+    * corpus text is never touched. Row-identical to [[TextOps.nsTextBm25]]
+    * over the same corpus (Bm25IndexSpec; the registered query shares its
+    * oracle).
+    */
+  def queryBm25Index(spark: SparkSession, root: String,
+      dfCeiling: Long = Long.MaxValue): DataFrame = {
+    val tf = spark.read.parquet(s"$root/postings").select("doc_id", "wd", "tf")
+    val dlen = spark.read.parquet(s"$root/doclen").select("doc_id", "dlen")
+    val dfreq = spark.read.parquet(s"$root/termstats").select("wd", "df")
+    val stats = spark.read.parquet(s"$root/stats").select("n_docs", "n_toks")
+    TextOps.bm25Search(tf, dlen, dfreq, stats, dfCeiling)
+  }
+
+  /** Build + publish the IVF index: map-side assignment against the seed
+    * centroids (zero exchanges — [[SimilarityOps.centroidRanking]]), then
+    * one write partitioned BY CLUSTER so the stored inverted lists are the
+    * partition layout itself.
+    */
+  def buildIvfIndex(emb: DataFrame, root: String): Unit = {
+    import emb.sparkSession.implicits._
+    val cents = SimilarityOps.seedCentroids(emb)
+    val assign = emb.withColumn("cluster",
+      SimilarityOps.centroidRanking(SimilarityOps.centLits(cents))(0)("cent_id"))
+    MergeSink.publishPartitioned(assign, s"$root/assignments", "cluster")
+    MergeSink.publishPartitioned(
+      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cent_id", "embedding").withColumn("bucket", lit(0)),
+      s"$root/centroids", "bucket")
+  }
+
+  /** IVF top-k FROM the stored artifact: centroids are read back to the
+    * driver (k x dim — metadata scale, the MLlib KMeans posture), the
+    * stored cluster assignment is trusted (never recomputed), and only
+    * the probe/rerank stage runs ([[SimilarityOps.ivfProbeRerank]] — the
+    * same stage the in-session query uses). Partition pruning on
+    * `cluster` means each query's probes read exactly their inverted
+    * lists' files.
+    */
+  def queryIvfIndex(spark: SparkSession, root: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val stored = spark.read.parquet(s"$root/assignments")
+    val assign = stored.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("cluster").cast("int").as("cluster"))
+    val queries = stored.where(col("vec_id") < SimilarityOps.NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    SimilarityOps.ivfProbeRerank(assign, queries, SimilarityOps.centLits(cents))
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  /** Per-process artifact root: unique per JVM (concurrent sbt sessions
+    * never contend) and removed on exit; one subdir per fixture dir so
+    * sf0.001 specs and sf0.01 Verify runs don't cross-pollute.
+    */
+  private lazy val artifactRoot: String = ProcessTmp.dir("graft_index")
+  private def rootFor(kind: String, dir: String): String =
+    s"$artifactRoot/${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Build-then-serve, end to end, as ONE oracled query: publish the
+    * index artifact, then answer from the files just written. The oracle
+    * is byte-identical to the in-session query's — "a user could swap the
+    * cached pipeline for the stored index and every row survives".
+    */
+  def nsTextBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("bm25", dir)
+    buildBm25Index(Tables.documents(spark, dir), root)
+    queryBm25Index(spark, root)
+  }
+
+  def nsSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("ivf", dir)
+    buildIvfIndex(SimilarityOps.embeddings(spark, dir), root)
+    queryIvfIndex(spark, root)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
+    "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _))
+
+  /** The stored-index queries answer the SAME question as their in-session
+    * twins, so they share those oracles verbatim.
+    */
+  val oracles: Map[String, String] = Map(
+    "ns_text_bm25_indexed" -> TextOps.oracles("ns_text_bm25"),
+    "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"))
+}

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private val TopK = 3
-  private val NumQueries = 100
+  private[operators] val TopK = 3
+  private[operators] val NumQueries = 100
 
-  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embeddings(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
     Tables.embeddings(spark, dir)
@@ -360,8 +360,8 @@ object SimilarityOps {
 
   // ---- map-side centroid assignment ---------------------------------------
 
-  private val IvfClusters = 16
-  private val IvfProbes = 2
+  private[operators] val IvfClusters = 16
+  private[operators] val IvfProbes = 2
   private val TrainIters = 3
 
   /** Per-row centroid ranking, best-first: k centroids inlined as array
@@ -392,7 +392,7 @@ object SimilarityOps {
     * scale — the same regime as a broadcast hint, and the same thing
     * Spark MLlib's KMeans does with its cluster centers.
     */
-  private def centLits(cents: Array[(Int, Array[Double])]): Seq[(Int, Column)] =
+  private[operators] def centLits(cents: Array[(Int, Array[Double])]): Seq[(Int, Column)] =
     cents.map { case (cid, v) => (cid, typedLit(v.toSeq)) }.toSeq
 
   /** The deterministic seed centroids (vec_id < k), collected to the
@@ -465,7 +465,19 @@ object SimilarityOps {
     val ranked = emb.withColumn("_cr", centroidRanking(cents))
     val assign = ranked.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), col("_cr")(0)("cent_id").as("cluster"))
-    val probes = ranked.where(col("vec_id") < NumQueries)
+    ivfProbeRerank(assign, emb.where(col("vec_id") < NumQueries), cents)
+  }
+
+  /** The probe + rerank stage over an ALREADY-ASSIGNED inverted file:
+    * `assign` carries (neighbor_id, c_emb, cluster) — either computed
+    * in-session ([[ivfSearch]]) or read back from the persisted index
+    * ([[IndexOps.queryIvfIndex]]); `queries` carries (vec_id, embedding).
+    * Sharing this stage makes artifact-served == in-session equality hold
+    * by construction.
+    */
+  private[operators] def ivfProbeRerank(
+      assign: DataFrame, queries: DataFrame, cents: Seq[(Int, Column)]): DataFrame = {
+    val probes = queries.withColumn("_cr", centroidRanking(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(slice(col("_cr"), 1, IvfProbes)).as("pr"))
       .select(col("query_id"), col("q_emb"), col("pr")("cent_id").as("cluster"))

@@ -387,6 +387,18 @@ object TextOps {
   // ---- BPE tokenizer training ---------------------------------------------
 
   private val BpeMerges = 10
+  // Driver-side vocab bound (standard BPE practice, e.g. HF tokenizers'
+  // min_frequency): words below the frequency floor are excluded from the
+  // merge-training statistics, and the collected vocab is hard-capped at
+  // the top-V most frequent words (ties broken by symbol string for
+  // determinism). On Zipf-tailed web text the DISTINCT-word table grows
+  // with the corpus (URLs, typos, hex blobs) — without both bounds the
+  // vocab collect at [[trainBpeMerges]] would be corpus-scale, not
+  // metadata-scale, and the driver would OOM at 100 TB. With them the
+  // collect is <= BpeMaxVocab rows by construction. Encoding is
+  // unaffected: trained merges apply to EVERY word.
+  private[operators] val BpeWordMinFreq = 2L
+  private[operators] val BpeMaxVocab = 65536
 
   /** BPE merge-table training over the corpus — the tokenizer-training
     * stage of an LLM data pipeline (the HF-tokenizers shape): ONE
@@ -416,13 +428,20 @@ object TextOps {
 
   /** The driver-side merge loop shared by train and encode: one
     * distributed word-frequency pass, then [[BpeMerges]] iterations over
-    * the collected metadata-scale vocab.
+    * the collected vocab — metadata-scale BY CONSTRUCTION: the frequency
+    * floor + top-V cap ([[BpeWordMinFreq]]/[[BpeMaxVocab]]) bound the
+    * collect at <= BpeMaxVocab rows regardless of corpus size.
     */
   private[operators] def trainBpeMerges(
       spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
     val wc = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("freq"))
+      // Both bounds BEFORE the collect — see [[BpeWordMinFreq]]. The sort
+      // runs on the already-floored vocab table, not the corpus.
+      .where(col("freq") >= BpeWordMinFreq)
+      .orderBy(desc("freq"), col("wd"))
+      .limit(BpeMaxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Array[(Long, String)] = wc.map { case (w, f) =>
       (f, w.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
@@ -577,12 +596,18 @@ object TextOps {
     * complement to the ANN family: every 50th document is a query; its
     * [[BmQTerms]] rarest shared terms (df >= 2 — a term unique to the
     * query doc retrieves nothing) retrieve the [[BmTopK]] highest-BM25
-    * documents. Rarest-first term selection IS the fan-out bound: each
-    * query touches at most 12 posting lists, shortest-available first. A
-    * web-scale corpus would add a hard df ceiling (WAND/impact-ordered
-    * pruning) on top; the fixture's 31-word synthetic vocabulary makes
-    * every word stopword-grade (df ~ 0.78N), so any honest ceiling
-    * degenerates the query here — deliberately left to the scale notes.
+    * documents. Rarest-first term selection PLUS a hard df ceiling
+    * (WAND-lite, the [[graft.operators.DedupOps]] SpanDfCap pattern) bound
+    * the fan-out: each query touches at most 12 posting lists, shortest
+    * first, and a stopword-grade list (df > ceiling) is never joined at
+    * all, so per-query candidate mass is <= 12 * ceiling rows regardless
+    * of corpus skew. The fixture's 31-word synthetic vocabulary makes
+    * every word stopword-grade (df ~ 0.78N), so the REGISTERED query runs
+    * with the ceiling disabled ([[Long.MaxValue]] — an honest ceiling
+    * degenerates this fixture to empty); Bm25Spec proves the guard both
+    * binding (a low ceiling excludes every fixture term) and transparent
+    * (ceiling >= max df is row-identical to uncapped). Production sets an
+    * absolute ceiling (classic WAND uses ~corpus_docs/20).
     *
     * Index-build shape: the postings table (doc, term, tf) is ONE
     * explode + one shuffle, MATERIALIZED once (cached — the single-node
@@ -608,18 +633,42 @@ object TextOps {
     * HALF_UP) and DuckDB (binary) round apart; at 6dp the value IS the
     * boundary-free decimal itself.
     */
-  def nsTextBm25(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
-    val tf = words.groupBy("doc_id", "wd").agg(count(lit(1)).as("tf")).cache()
+  def nsTextBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25MoreLikeThis(spark, dir, Long.MaxValue)
+
+  private[operators] def bm25MoreLikeThis(
+      spark: SparkSession, dir: String, dfCeiling: Long): DataFrame = {
+    val tf = bm25Postings(Tables.documents(spark, dir)).cache()
     val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
     val dfreq = tf.groupBy("wd").agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
+    bm25Search(tf, dlen, dfreq, stats, dfCeiling)
+  }
+
+  /** The postings (doc, term, tf) table — ONE explode + one shuffle; both
+    * the in-session query and the persisted index ([[IndexOps]]) build
+    * from this.
+    */
+  private[operators] def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("tf"))
+
+  /** The SEARCH stage over an already-built index (postings + the three
+    * side-stat tables) — shared verbatim by the in-session query and the
+    * stored-artifact query ([[IndexOps.queryBm25Index]]), so "answers from
+    * the written index" is equality by construction, not a re-derivation.
+    */
+  private[operators] def bm25Search(
+      tf: DataFrame, dlen: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      dfCeiling: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qterms = tf.where(col("doc_id") % BmQueryEvery === 0)
       .withColumnRenamed("doc_id", "query_id")
       .join(dfreq, "wd")
-      .where(col("df") >= 2)
+      // The df ceiling drops stopword-grade terms BEFORE the posting-list
+      // join — the guard is on the broadcast side, so an over-ceiling
+      // term's postings are never even scanned as candidates.
+      .where(col("df") >= 2 && col("df") <= dfCeiling)
       .withColumn("qr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("df").asc, col("wd").asc)))
       .where(col("qr") <= BmQTerms)
@@ -734,10 +783,13 @@ object TextOps {
          |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
     s"""v0 AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS freq,
-       |         '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
-       |  GROUP BY 2),
+       |  SELECT * FROM (
+       |    SELECT CAST(count(*) AS BIGINT) AS freq,
+       |           '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+       |    GROUP BY 2
+       |    HAVING count(*) >= $BpeWordMinFreq)
+       |  ORDER BY freq DESC, replace(seq, '|', '') LIMIT $BpeMaxVocab),
        |$iters""".stripMargin
   }
 

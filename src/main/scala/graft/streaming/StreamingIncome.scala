@@ -141,7 +141,7 @@ object StreamingIncome {
       // incremental merge path even under Trigger.AvailableNow.
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // UNROUNDED per-batch partial sums keyed by (user, epoch, batch_id):

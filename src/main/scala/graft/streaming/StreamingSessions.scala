@@ -63,7 +63,7 @@ object StreamingSessions {
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
     funnelStream(stream, gap, watermark)
       .writeStream
       .format("parquet")
@@ -95,7 +95,7 @@ object StreamingSessions {
       // and sessions straddling file boundaries exercise state merge.
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
     sessionStream(stream, gap, watermark)
       .writeStream
       .format("parquet")

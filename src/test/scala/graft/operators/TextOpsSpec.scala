@@ -130,11 +130,33 @@ class TextOpsSpec extends SparkSpec {
       s"bm25 mismatch: got=${got.take(3)} want=${expected.take(3)}")
   }
 
+  test("bm25 df ceiling is transparent at max df and binding below it") {
+    import org.apache.spark.sql.functions._
+    // ceiling >= the corpus' max term df → the WAND-lite guard must not
+    // change a single row vs the uncapped (registered) query.
+    val maxDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+      .distinct().groupBy("wd").count().agg(max("count")).first().getLong(0)
+    val uncapped = TextOps.nsTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq
+    val capped = TextOps.bm25MoreLikeThis(spark, sfDir, maxDf).collect().map(_.toSeq).toSeq
+    assert(uncapped.nonEmpty, "fixture produced no bm25 rows — test is vacuous")
+    assert(capped == uncapped, "a non-binding ceiling changed the result")
+    // Every fixture term is stopword-grade (df >= 2 by the query's own
+    // floor), so a ceiling of 1 must exclude every retrieval term: the
+    // guard binds and the query degenerates to empty, not to an error.
+    assert(TextOps.bm25MoreLikeThis(spark, sfDir, 1L).isEmpty,
+      "a binding ceiling should have excluded every posting list")
+  }
+
   test("bpe merges match an independent list-based merge implementation") {
     val docs = Tables.documents(spark, sfDir).select("text")
       .collect().map(_.getString(0))
     val wc = docs.flatMap(_.toLowerCase.split(" ", -1))
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      // Same vocab bound as the operator: frequency floor, then top-V by
+      // (freq DESC, word) — the driver-collect guard under test.
+      .filter { case (_, f) => f >= TextOps.BpeWordMinFreq }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(TextOps.BpeMaxVocab).toMap
     // List-based greedy merge — NOT the anchored-string replace the
     // operator uses; agreement proves the replace encoding is faithful.
     def mergeOnce(syms: List[String], l: String, r: String): List[String] = syms match {

@@ -128,9 +128,11 @@ class StreamingIncomeSpec extends SparkSpec {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp").toString
-    // Split the raw events (ts still a nano Long under nanosAsLong) into
-    // two files so every user's series straddles the micro-batch boundary.
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Split the events into two landed files (ts as long micros, the
+    // file-stream landing convention — Tables.eventsRawSchema) so every
+    // user's series straddles the micro-batch boundary.
+    val raw = graft.model.Tables.events(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts)"))
     def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_split").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -158,7 +160,9 @@ class StreamingIncomeSpec extends SparkSpec {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src")
     val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_restart_cp").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Landed files carry ts as long micros (Tables.eventsRawSchema).
+    val raw = graft.model.Tables.events(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts)"))
     def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_restart_split").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -119,7 +119,8 @@ class StreamingSessionsSpec extends SparkSpec {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_funl_src")
     val out = java.nio.file.Files.createTempDirectory("graft_funl_out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_funl_cp").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Landed files carry ts as long micros (Tables.eventsRawSchema).
+    val raw = Tables.events(spark, sfDir).withColumn("ts", expr("unix_micros(ts)"))
     def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_funl_split").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -133,7 +134,7 @@ class StreamingSessionsSpec extends SparkSpec {
       .awaitTermination()
     land(raw.where(col("ts") > mid), "b.parquet")
     land(raw.limit(1).withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
-      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .withColumn("ts", expr("unix_micros(ts)")) // back to landed long micros
       .withColumn("user_id", lit(999999L)), "z_sentinel.parquet")
     StreamingSessions.funnelFilePipeline(spark, srcDir.toString, out, cp)
       .awaitTermination()
@@ -149,7 +150,8 @@ class StreamingSessionsSpec extends SparkSpec {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
     val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_sess_cp").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Landed files carry ts as long micros (Tables.eventsRawSchema).
+    val raw = Tables.events(spark, sfDir).withColumn("ts", expr("unix_micros(ts)"))
     def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sess_split").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -167,7 +169,7 @@ class StreamingSessionsSpec extends SparkSpec {
     // restart consumes ONLY the new files from the checkpointed index.
     land(raw.where(col("ts") > mid), "b.parquet")
     land(raw.limit(1).withColumn("ts", lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
-      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw nanos
+      .withColumn("ts", expr("unix_micros(ts)")) // back to landed long micros
       .withColumn("user_id", lit(999999L)), "z_sentinel.parquet")
     StreamingSessions.sessionFilePipeline(spark, srcDir.toString, out, cp)
       .awaitTermination()
