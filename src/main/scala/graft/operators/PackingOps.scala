@@ -106,6 +106,47 @@ object PackingOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Tokenizer-aware packing — the ACTUAL pretraining pack job: the
+    * global-continuity packing of [[nsPackChunksGlobal]] driven by REAL
+    * BPE token counts from the trained merge table
+    * ([[TextOps.trainBpeMerges]] → [[TextOps.bpeTokenCountCol]]) instead
+    * of the regex token heuristic. Composition shape: tokenizer training
+    * is its one bounded corpus pass + driver merge loop; tokenization is
+    * a pure projection (merges as literals — no join against a merges
+    * table); packing then reuses the two-pass shard-offset algebra. So
+    * the whole composition adds ZERO exchanges over
+    * [[nsPackChunksGlobal]] — at 100 TB the token budget being "real BPE"
+    * instead of a heuristic costs nothing but the projection.
+    */
+  def nsPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps.trainBpeMerges(spark, dir)
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOrder = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Cached for the same two-consumer reason as nsPackChunksGlobal; the
+    // BPE encode projection is the dominant cost and must run once.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache()
+    val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
+      .withColumn("shard_offset",
+        coalesce(sum("shard_toks").over(shardOrder), lit(0L)))
+      .select("lang", "shard_offset")
+    docs
+      .withColumn("cum_in_shard", coalesce(sum("toks").over(byLang), lit(0L)))
+      .join(broadcast(offsets), Seq("lang"))
+      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+      .select(
+        col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        expr(s"cum_before div $ChunkTokens").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div $ChunkTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("lang", "doc_id")
+  }
+
   /** Deterministic weighted source interleave (the "temperature mixing"
     * step): each source is shuffled by the affine sample key, then rows
     * merge in order of rank/weight — a source with weight w contributes
@@ -137,7 +178,53 @@ object PackingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_pack_chunks" -> (nsPackChunks _),
     "ns_pack_chunks_global" -> (nsPackChunksGlobal _),
+    "ns_pack_bpe" -> (nsPackBpe _),
     "ns_corpus_mix" -> (nsCorpusMix _))
+
+  /** Oracle for [[nsPackBpe]]: replay BPE training (shared CTEs from
+    * TextOps — both engines move together when the constants change),
+    * count per-doc tokens by pipe-counting the encoded words, then the
+    * same shard-offset packing algebra as ns_pack_chunks_global.
+    */
+  private def packBpeOracle: String = {
+    val chain = (1 to TextOps.BpeMerges).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TextOps.bpeTrainCtes},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
+       |  FROM documents),
+       |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
+       |$chain,
+       |tok AS (
+       |  SELECT doc_id, CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS toks
+       |  FROM e${TextOps.BpeMerges} GROUP BY doc_id),
+       |t AS (
+       |  SELECT d.doc_id, d.lang, tok.toks
+       |  FROM documents d JOIN tok USING (doc_id)
+       |  WHERE tok.toks > 0),
+       |o AS (
+       |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
+       |  FROM t GROUP BY lang),
+       |oo AS (
+       |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+       |  FROM o),
+       |c AS (
+       |  SELECT doc_id, lang, toks,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+       |  FROM t)
+       |SELECT c.doc_id, c.lang, c.toks,
+       |       oo.shard_offset + c.cum_in_shard AS cum_before,
+       |       (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
+       |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk,
+       |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens}
+       |         - (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} + 1 AS n_chunks
+       |FROM c JOIN oo USING (lang)
+       |ORDER BY lang, doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ns_pack_chunks" ->
@@ -186,6 +273,7 @@ object PackingOps {
          |         - (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} + 1 AS n_chunks
          |FROM c JOIN oo USING (lang)
          |ORDER BY lang, doc_id""".stripMargin,
+    "ns_pack_bpe" -> packBpeOracle,
     "ns_corpus_mix" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,

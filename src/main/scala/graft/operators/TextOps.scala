@@ -386,7 +386,7 @@ object TextOps {
 
   // ---- BPE tokenizer training ---------------------------------------------
 
-  private val BpeMerges = 10
+  private[operators] val BpeMerges = 10
   // Driver-side vocab bound (standard BPE practice, e.g. HF tokenizers'
   // min_frequency): words below the frequency floor are excluded from the
   // merge-training statistics, and the collected vocab is hard-capped at
@@ -491,23 +491,35 @@ object TextOps {
     * training (so DuckDB `replace` replays it exactly); the spec
     * cross-checks a list-walk tokenizer.
     */
-  def nsTextBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = trainBpeMerges(spark, dir)
+  /** Per-document BPE token count over `text`, with the merge table
+    * embedded as literals — a pure projection column, shared by the
+    * encode query and the tokenizer-aware packing composition
+    * ([[PackingOps.nsPackBpe]]).
+    */
+  private[operators] def bpeTokenCountCol(
+      merges: Seq[(Long, String, String, String, Long)]): Column = {
     def encoded(w: Column): Column = merges.foldLeft(
       concat(lit("|"), regexp_replace(w, "(.)", "$1|")): Column) {
       case (s, (_, l, r, _, _)) => replace(s, lit(s"|$l|$r|"), lit(s"|$l$r|"))
     }
     val words = filter(split(lower(col("text")), " "), w => w =!= "")
-    val tokenCounts = transform(words, w => {
-      val s = encoded(w)
-      length(s).cast("long") - length(replace(s, lit("|"))).cast("long") - lit(1L)
-    })
+    aggregate(
+      transform(words, w => {
+        val s = encoded(w)
+        length(s).cast("long") - length(replace(s, lit("|"))).cast("long") - lit(1L)
+      }),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def nsTextBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeMerges(spark, dir)
+    val words = filter(split(lower(col("text")), " "), w => w =!= "")
     val sumLong = (arr: Column) => aggregate(arr, lit(0L), (acc, x) => acc + x)
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(words).cast("long").as("n_words"),
-        sumLong(tokenCounts).as("n_bpe_tokens"),
+        bpeTokenCountCol(merges).as("n_bpe_tokens"),
         sumLong(transform(words, w => length(w).cast("long"))).as("n_chars"))
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
@@ -771,7 +783,7 @@ object TextOps {
     * a pair count over adjacent symbols, a (cnt DESC, l, r) argmax b_i,
     * and the same literal string replace the driver loop applies.
     */
-  private def bpeTrainCtes: String = {
+  private[operators] def bpeTrainCtes: String = {
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt

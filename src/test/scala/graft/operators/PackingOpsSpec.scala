@@ -80,6 +80,35 @@ class PackingOpsSpec extends SparkSpec {
       "global last chunk does not cover the token total")
   }
 
+  test("bpe-budget packing: toks are the encode counts, algebra is the global pack") {
+    import org.apache.spark.sql.expressions.Window
+    val got = PackingOps.nsPackBpe(spark, sfDir).collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    // toks column IS ns_text_bpe_encode's n_bpe_tokens, doc for doc
+    val encodeToks = TextOps.nsTextBpeEncode(spark, sfDir)
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r(2) == encodeToks(r(0).asInstanceOf[Long]),
+        s"doc ${r(0)}: pack toks ${r(2)} != encode ${encodeToks(r(0).asInstanceOf[Long])}")
+    }
+    assert(got.length == encodeToks.count(_._2 > 0), "doc set mismatch")
+    // same continuity contract as the global pack, on the BPE budgets
+    val w = Window.orderBy("lang", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merges = TextOps.trainBpeMerges(spark, sfDir)
+    val want = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        expr(s"cum_before div ${PackingOps.ChunkTokens}").as("first_chunk"),
+        expr(s"(cum_before + toks - 1) div ${PackingOps.ChunkTokens}").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("lang", "doc_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "bpe pack != single-global-window brute force")
+  }
+
   test("global packing: single-partition exchange carries shard aggregates, not doc rows") {
     val nodes = noAqeNodes(PackingOps.nsPackChunksGlobal(spark, sfDir))
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
