@@ -236,6 +236,46 @@ object SimilarityOps {
       .orderBy("src_id", "rank")
   }
 
+  private val DiversityMaxMutual = 1L
+
+  /** k-NN-graph DIVERSITY curation — mutual-edge degree as the redundancy
+    * signal (the frontier composition over [[nsSimKnnGraph]]): a node
+    * whose top-k edges are mostly MUTUAL sits in a dense semantic
+    * neighborhood (its neighbors agree it is their neighbor — the classic
+    * reciprocal-NN density proxy), so dense-region nodes are sampled down
+    * to their lowest-id representative while sparse-region nodes
+    * (mutual_deg <= [[DiversityMaxMutual]]) all survive. This is the
+    * curation step between near-dup removal (SemDeDup kills cos~1 twins)
+    * and mixing: it thins over-represented semantic modes rather than
+    * duplicates.
+    *
+    * keep = mutual_deg <= 1 OR vec_id < min(mutual neighbor ids) — the
+    * same lowest-id survivorship rule as [[nsSimSemdedup]], evaluated on
+    * graph structure instead of raw cosine.
+    *
+    * Determinism: per-node aggregates are counts/mins over the (already
+    * 4dp-rounded) graph; the mean edge cosine goes through fixed-point
+    * (x10000 Longs — integer sums commute) into ONE IEEE divide +
+    * round(6). Scale posture: one aggregation over the N·k edge list,
+    * partitioned by src — nothing here touches pairs beyond the graph the
+    * LSH buckets already bounded.
+    */
+  def nsSimDiversitySample(spark: SparkSession, dir: String): DataFrame =
+    nsSimKnnGraph(spark, dir)
+      .withColumn("cos_u", expr("CAST(round(cos * 10000, 0) AS BIGINT)"))
+      .groupBy(col("src_id").as("vec_id"))
+      .agg(
+        count(lit(1)).as("deg"),
+        sum(when(col("mutual"), 1L).otherwise(0L)).as("mutual_deg"),
+        coalesce(min(when(col("mutual"), col("nbr_id"))), lit(-1L)).as("min_mutual_nbr"),
+        sum("cos_u").as("sum_cos_u"))
+      .withColumn("mean_cos",
+        round(col("sum_cos_u").cast("double") / (col("deg") * 10000.0), 6))
+      .withColumn("keep",
+        col("mutual_deg") <= DiversityMaxMutual || col("vec_id") < col("min_mutual_nbr"))
+      .select("vec_id", "deg", "mutual_deg", "min_mutual_nbr", "mean_cos", "keep")
+      .orderBy("vec_id")
+
   // ---- int8 quantization --------------------------------------------------
 
   private val QuantQueries = 50
@@ -360,7 +400,7 @@ object SimilarityOps {
 
   // ---- map-side centroid assignment ---------------------------------------
 
-  private[operators] val IvfClusters = 16
+  private[graft] val IvfClusters = 16
   private[operators] val IvfProbes = 2
   private val TrainIters = 3
 
@@ -392,7 +432,7 @@ object SimilarityOps {
     * scale — the same regime as a broadcast hint, and the same thing
     * Spark MLlib's KMeans does with its cluster centers.
     */
-  private[operators] def centLits(cents: Array[(Int, Array[Double])]): Seq[(Int, Column)] =
+  private[graft] def centLits(cents: Array[(Int, Array[Double])]): Seq[(Int, Column)] =
     cents.map { case (cid, v) => (cid, typedLit(v.toSeq)) }.toSeq
 
   /** The deterministic seed centroids (vec_id < k), collected to the
@@ -555,6 +595,59 @@ object SimilarityOps {
         count(lit(1)).as("n_dups"))
       .select("vec_id", "cluster", "dup_of", "max_cos", "n_dups")
       .orderBy("vec_id")
+  }
+
+  /** Semantic near-dup matches of arriving `batchEmb` (vec_id, embedding)
+    * against an ALREADY-ASSIGNED index (vec_id, embedding, cluster) — the
+    * SemDeDup admission check: batch vectors map-side assign to the same
+    * centroid model, and only same-cluster index members are compared
+    * (never batch x batch or index x index). Shared by the streaming
+    * admission twin ([[graft.streaming.StreamingSemDedup]]); the batch
+    * query [[nsSimSemdedup]] is the same math with the lower-id rule in
+    * place of "already indexed".
+    */
+  private[graft] def semMatchAgainstIndex(
+      batchEmb: DataFrame, indexAssign: DataFrame,
+      cents: Seq[(Int, Column)]): DataFrame = {
+    CosineSimilarity.register(batchEmb.sparkSession)
+    batchEmb
+      .withColumn("cluster", centroidRanking(cents)(0)("cent_id").cast("long"))
+      .select(col("cluster"), col("vec_id").as("batch_vec"),
+        col("embedding").as("emb_a"))
+      .join(indexAssign.select(col("cluster"), col("vec_id").as("index_vec"),
+        col("embedding").as("emb_b")), Seq("cluster"))
+      .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .where(col("cos") >= SemThreshold)
+      .groupBy(col("batch_vec"))
+      .agg(min("index_vec").as("dup_of"), max("cos").as("max_cos"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  /** The fixed centroid model + cluster assignment of a corpus, for
+    * long-lived consumers (streaming admission): assignment is
+    * localCheckpoint'ed (plan-free, executor-resident across batches).
+    */
+  private[graft] def semIndexMaterialized(
+      corpusEmb: DataFrame): (Array[(Int, Array[Double])], DataFrame) = {
+    CosineSimilarity.register(corpusEmb.sparkSession)
+    val cents = seedCentroids(corpusEmb)
+    val assign = corpusEmb
+      .withColumn("cluster", centroidRanking(centLits(cents))(0)("cent_id").cast("long"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .localCheckpoint()
+    (cents, assign)
+  }
+
+  /** [[semIndexMaterialized]]'s assignment step against an EXISTING model
+    * (a batch folding into the index must use the index's centroids, not
+    * its own).
+    */
+  private[graft] def semAssign(
+      emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    CosineSimilarity.register(emb.sparkSession)
+    emb.withColumn("cluster",
+      centroidRanking(centLits(cents))(0)("cent_id").cast("long"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
   }
 
   // ---- product quantization (PQ) ------------------------------------------
@@ -741,6 +834,7 @@ object SimilarityOps {
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_knn_graph" -> (nsSimKnnGraph _),
+    "ns_sim_diversity_sample" -> (nsSimDiversitySample _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
     "ns_sim_semdedup" -> (nsSimSemdedup _),
@@ -869,8 +963,12 @@ object SimilarityOps {
   /** Generated k-NN graph oracle: bucket CTEs with no query filter,
     * per-source rank, then the same flipped-key self-join for `mutual`.
     */
-  private def knnGraphOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared CTE chain ending in `m` = the k-NN graph with its mutual
+    * flag; [[knnGraphOracle]] presents it, the diversity oracle
+    * aggregates it — one definition, both oracles move together.
+    */
+  private def knnGraphCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$lshBucketCtes,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
@@ -886,12 +984,34 @@ object SimilarityOps {
        |  SELECT src_id, nbr_id, cos,
        |         CAST(row_number() OVER (PARTITION BY src_id
        |              ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rank
-       |  FROM s QUALIFY rank <= $GraphK)
-       |SELECT g.src_id, g.rank, g.nbr_id, g.cos,
-       |       (g2.src_id IS NOT NULL) AS mutual
-       |FROM g LEFT JOIN g g2
-       |  ON g2.src_id = g.nbr_id AND g2.nbr_id = g.src_id
-       |ORDER BY g.src_id, g.rank""".stripMargin
+       |  FROM s QUALIFY rank <= $GraphK),
+       |m AS (
+       |  SELECT g.src_id, g.rank, g.nbr_id, g.cos,
+       |         (g2.src_id IS NOT NULL) AS mutual
+       |  FROM g LEFT JOIN g g2
+       |    ON g2.src_id = g.nbr_id AND g2.nbr_id = g.src_id)""".stripMargin
+
+  private def knnGraphOracle: String =
+    s"""WITH $knnGraphCtes
+       |SELECT src_id, rank, nbr_id, cos, mutual FROM m
+       |ORDER BY src_id, rank""".stripMargin
+
+  /** Diversity-sample oracle: the same graph CTEs, per-node aggregation,
+    * fixed-point mean, lowest-id survivorship predicate.
+    */
+  private def diversityOracle: String =
+    s"""WITH $knnGraphCtes,
+       |a AS (
+       |  SELECT src_id AS vec_id,
+       |         CAST(count(*) AS BIGINT) AS deg,
+       |         CAST(sum(CASE WHEN mutual THEN 1 ELSE 0 END) AS BIGINT) AS mutual_deg,
+       |         CAST(COALESCE(min(CASE WHEN mutual THEN nbr_id END), -1) AS BIGINT) AS min_mutual_nbr,
+       |         CAST(sum(CAST(round(cos * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_cos_u
+       |  FROM m GROUP BY src_id)
+       |SELECT vec_id, deg, mutual_deg, min_mutual_nbr,
+       |       round(CAST(sum_cos_u AS DOUBLE) / (deg * 10000.0), 6) AS mean_cos,
+       |       (mutual_deg <= $DiversityMaxMutual OR vec_id < min_mutual_nbr) AS keep
+       |FROM a ORDER BY vec_id""".stripMargin
 
   /** Generated bucketed near-dup oracle: same bucket CTEs, symmetric
     * candidate pairs (vec_a < vec_b), cosine verify at the 0.35 threshold.
@@ -1102,6 +1222,7 @@ object SimilarityOps {
     "ns_sim_ivf_trained" -> ivfTrainedOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_knn_graph" -> knnGraphOracle,
+    "ns_sim_diversity_sample" -> diversityOracle,
     "ns_sim_quant_topk" -> quantOracle,
     "ns_sim_quant_rerank" -> quantRerankOracle,
     "ns_sim_bruteforce_topk" ->

@@ -69,38 +69,9 @@ object StreamingDedup {
     // committed truth (each batch dir is overwrite-idempotent), so the
     // rebuilt extension equals the pre-restart one.
     val session = corpusDocs.sparkSession
-    // ONLY a genuinely absent sink means first start. Any other read
-    // failure (transient FS error, corrupt footer) must propagate — a
-    // catch-all fallback would silently restart with an EMPTY index and
-    // re-admit near-dups of prior admissions, the exact bug this rebuild
-    // exists to prevent.
-    val sinkPath = new org.apache.hadoop.fs.Path(outPath)
-    val fs = sinkPath.getFileSystem(session.sparkContext.hadoopConfiguration)
-    // A sink dir holding ZERO data files (a crash during the very first
-    // batch's write leaves only _temporary/ or _SUCCESS markers) is
-    // first-start-EQUIVALENT: the checkpoint replays batch 0, and reading
-    // it as parquet would otherwise schema-infer-fail on every restart —
-    // a permanent crash loop. Hidden-path components (_/. prefixed, at any
-    // depth) are exactly what Spark's own file index skips.
-    def hasDataFiles: Boolean = {
-      def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
-        var cur = p
-        while (cur != null && cur.depth > sinkPath.depth) {
-          val n = cur.getName
-          if (n.startsWith("_") || n.startsWith(".")) return true
-          cur = cur.getParent
-        }
-        false
-      }
-      val it = fs.listFiles(sinkPath, true)
-      while (it.hasNext) if (!hidden(it.next().getPath)) return true
-      false
-    }
-    val prior =
-      if (fs.exists(sinkPath) && hasDataFiles)
-        Some(session.read.parquet(outPath).drop("batch_id"))
-          .filter(df => !df.isEmpty)
-      else None
+    // Restart semantics live in SinkState.priorSink: only a genuinely
+    // absent/empty sink means first start; other read failures propagate.
+    val prior = SinkState.priorSink(session, outPath)
     val (extB0, extS0) = prior.map(dedup.corpusIndexMaterialized)
       .getOrElse((baseBanded.limit(0), baseSets.limit(0)))
     var extBanded = extB0.localCheckpoint()

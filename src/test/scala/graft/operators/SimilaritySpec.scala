@@ -329,4 +329,28 @@ class SimilaritySpec extends SparkSpec {
     assert(nodes.exists(_.nodeName.toLowerCase.contains("join")))
     assert(!aqeFinalNodes(build).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
+
+  test("diversity sample: per-node fold over the knn graph, lowest-id survivorship") {
+    val edges = SimilarityOps.nsSimKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = edges.groupBy(_._1).map { case (id, es) =>
+      val mutualNbrs = es.filter(_._4).map(_._2)
+      val cosU = es.map(e => math.round(e._3 * 10000)).sum
+      val minMutual = if (mutualNbrs.isEmpty) -1L else mutualNbrs.min
+      Seq[Any](id, es.length.toLong, mutualNbrs.length.toLong, minMutual,
+        r6(cosU.toDouble / (es.length * 10000.0)),
+        mutualNbrs.length <= 1 || id < minMutual)
+    }.toSet
+    val got = SimilarityOps.nsSimDiversitySample(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"diversity mismatch: sizes ${got.size} vs ${want.size}")
+    // The signal discriminates on the fixture: some dense-region node is
+    // dropped, and every node it defers to (its mutual min) with a lower
+    // id survives the rule's intent.
+    val dropped = got.filter(r => r(5) == false)
+    assert(dropped.nonEmpty, "no node was sampled out — threshold vacuous")
+    assert(got.exists(r => r(5) == true && r(2).asInstanceOf[Long] > 1),
+      "no dense-region representative survived — rule degenerated to degree filter")
+  }
 }
