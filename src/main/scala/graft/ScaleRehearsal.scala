@@ -209,9 +209,12 @@ object ScaleRehearsal {
     // semdedup output IS pair-bounded (dense fixture graph, see above) —
     // the subject here is that in-cluster pruning holds pair mass to
     // ~1/k of the all-pairs baseline while staying an equi-join.
+    // diversity_sample aggregates the N·k knn edge list per node — linear
+    // in N on top of the graph build; ivf_indexed adds the artifact write
+    // (publish) + read-back to the ivf search it serves.
     for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk",
            "ns_sim_pq_topk", "ns_sim_ivfpq_topk", "ns_sim_pq_trained",
-           "ns_sim_semdedup");
+           "ns_sim_semdedup", "ns_sim_diversity_sample", "ns_sim_ivf_indexed");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x
@@ -241,7 +244,7 @@ object ScaleRehearsal {
            "ns_decontaminate", "ns_text_repetition", "ns_text_rarity",
            "ns_text_chunks", "ns_text_salient", "ns_text_bm25",
            "ns_text_classify", "ns_text_bpe_train", "ns_text_bpe_encode",
-           "ns_text_bigram_lm", "ns_pack_bpe");
+           "ns_text_bigram_lm", "ns_pack_bpe", "ns_text_bm25_indexed");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

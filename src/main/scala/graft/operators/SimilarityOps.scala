@@ -95,6 +95,8 @@ object SimilarityOps {
   /** Sign-pattern signature: bit p = (v · plane_p) > 0, banded into
     * `LshBands` bucket ids.
     */
+  private[graft] def lshBucketsPublic(emb: DataFrame): DataFrame = lshBuckets(emb)
+
   private[operators] def lshBuckets(emb: DataFrame): DataFrame = {
     val planeLits = planes.map(p => array(p.map(lit): _*))
     // Codegen'd dot_product (one fused loop per plane) replaces the
@@ -196,6 +198,21 @@ object SimilarityOps {
 
   private val GraphK = 4
 
+  /** Dense-bucket cap for the k-NN graph's candidate stage: each LSH
+    * (band, bucket) cell contributes at most this many members (the
+    * lowest `LshBucketCap` vec_ids — deterministic, oracle-mirrored), so
+    * within-cell pair enumeration is <= cap² per cell REGARDLESS of data
+    * density. The SpanDfCap / BM25-df-ceiling pattern applied to LSH:
+    * without it, uniform (bucket-dense) data makes the all-sources graph
+    * quadratic — measured 421 s / 1.7 GB shuffle at 32k vectors (median
+    * cell occupancy 2084) vs linear after the cap. 256 clears every
+    * fixture's maximum cell (201 at sf0.1) so fixture results are
+    * unchanged; the recall cost on over-dense cells is the standard LSH
+    * trade (over-full cells carry little discriminative signal anyway —
+    * they are the embedding-space analog of stopword posting lists).
+    */
+  private val LshBucketCap = 256
+
   /** k-NN graph construction — EVERY vector's top-[[GraphK]] neighbors
     * among its LSH bucket-mates, with a `mutual` flag (each side appears
     * in the other's list): the curation primitive behind diversity
@@ -204,12 +221,24 @@ object SimilarityOps {
     * and dedup move only (id, id) pairs; vectors re-attach for the exact
     * cosine rerank; the mutual flag is a self-join of the ranked edge
     * list on the flipped key (N·k rows, trivially small next to the
-    * candidate stage). At 100 TB this is the banded equi-join, never
-    * all-pairs — the graph's candidate mass is bucket-bounded.
+    * candidate stage). At 100 TB this is the banded equi-join bounded by
+    * [[LshBucketCap]] — never all-pairs, even on bucket-dense data.
     */
-  def nsSimKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def nsSimKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphCapped(spark, dir, LshBucketCap)
+
+  private[operators] def knnGraphCapped(
+      spark: SparkSession, dir: String, cap: Int): DataFrame = {
     val emb = embeddings(spark, dir)
-    val buckets = lshBuckets(emb).select("vec_id", "band", "bucket")
+    val uncapped = lshBuckets(emb).select("vec_id", "band", "bucket")
+    // The cap window shuffles on the same (band, bucket) key the candidate
+    // join hashes on — no extra exchange family, and the truncated cells
+    // never reach the join.
+    val buckets = uncapped
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("vec_id")))
+      .where(col("_rn") <= cap)
+      .drop("_rn")
     val a = buckets.select(col("vec_id").as("src_id"),
       col("band").as("a_band"), col("bucket").as("a_bucket"))
     val b = buckets.select(col("vec_id").as("nbr_id"),
@@ -970,9 +999,16 @@ object SimilarityOps {
   private def knnGraphCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$lshBucketCtes,
+       |bkc AS (
+       |  SELECT vec_id, band, bucket FROM (
+       |    SELECT vec_id, band, bucket,
+       |           row_number() OVER (PARTITION BY band, bucket
+       |                ORDER BY vec_id) AS rn
+       |    FROM bk)
+       |  WHERE rn <= $LshBucketCap),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
-       |  FROM bk a JOIN bk b
+       |  FROM bkc a JOIN bkc b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |s AS (
        |  SELECT src_id, nbr_id,

@@ -330,6 +330,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!aqeFinalNodes(build).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
+  test("knn graph bucket cap is transparent on the fixture and binding at 1") {
+    // No fixture cell exceeds the cap (max measured occupancy 201 at
+    // sf0.1), so capped == uncapped row for row.
+    val capped = SimilarityOps.nsSimKnnGraph(spark, sfDir).collect().map(_.toSeq).toSeq
+    val uncapped = SimilarityOps.knnGraphCapped(spark, sfDir, Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(capped.nonEmpty && capped == uncapped,
+      "a non-binding bucket cap changed the graph")
+    // cap=1 leaves one member per cell — no within-cell pair survives, so
+    // the guard binds and the graph degenerates to empty, not an error.
+    assert(SimilarityOps.knnGraphCapped(spark, sfDir, 1).isEmpty,
+      "a binding cap should have emptied every bucket pairing")
+  }
+
   test("diversity sample: per-node fold over the knn graph, lowest-id survivorship") {
     val edges = SimilarityOps.nsSimKnnGraph(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
