@@ -99,12 +99,135 @@ object SamplingOps {
       .orderBy("lang", "q")
   }
 
+  // ---- DSIR importance resampling -----------------------------------------
+
+  private val DsirBuckets = 128
+
+  /** Hashed-ngram bucket of a gram string — the classify family's
+    * Rabin-Karp char fold mod [[DsirBuckets]], one string for both
+    * engines.
+    */
+  private def gramBucketSql(g: String): String =
+    (s"aggregate(transform(split($g, ''), ch -> CAST(ascii(ch) AS BIGINT))," +
+      s" CAST(0 AS BIGINT), (acc, c) -> (acc * ${TextOps.RollBase} + c) % ${TextOps.RollMod})" +
+      s" % $DsirBuckets")
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): documents are
+    * scored by the log-likelihood RATIO of two hashed-ngram bag models —
+    * a TARGET model (every 10th document, the deterministic stand-in for
+    * the high-quality target sample) and a SOURCE model (the rest) —
+    * and `keep` selects target-like documents. The paper's feature space
+    * is exactly this: unigrams + bigrams hashed into a fixed bucket
+    * count, add-1-smoothed bucket probabilities.
+    *
+    * Engine-deterministic arithmetic: bucket probabilities are integer
+    * micro-units via Long division (floored at 1 — a corpus large enough
+    * to push a smoothed probability under 1e-6 must not hit ln(0)), the
+    * per-bucket log table is fixed-pointed to micro-units ONCE (128
+    * values, metadata — ln of an integer-valued double on both engines),
+    * and each document's score is a SUM OF LONGS over its grams (order-
+    * free; a float log-sum would be partition-order-dependent). The one
+    * IEEE divide is the reported per-gram average.
+    *
+    * Scale posture: the model pass is one explode + a 2x128-row
+    * aggregate (map-side combine absorbs the occurrence mass — the
+    * BPE-train shape with a hard metadata-scale bound by construction);
+    * scoring re-reads the SAME cached gram frame and is one doc-keyed
+    * aggregation. The llr table rides as a 128-literal array, exactly
+    * like the classifier weights and the IVF centroids.
+    */
+  def nsCorpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(col("doc_id"), explode(ws).as("g"))
+    val bi = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    val grams = uni.unionByName(bi)
+      .select(col("doc_id"), expr(gramBucketSql("g")).as("b"))
+      .cache()
+    // Model training: bounded at 2 x DsirBuckets rows BY CONSTRUCTION
+    // before the collect (the hash projects the unbounded ngram space
+    // onto the fixed buckets — no vocab-scale driver state anywhere).
+    val counts = grams
+      .groupBy((col("doc_id") % 10 === 0).as("tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    def lpU(cnt: Long, total: Long): Long = {
+      val pU = math.max(((cnt + 1L) * 1000000L) / (total + DsirBuckets), 1L)
+      java.math.BigDecimal.valueOf(math.log(pU.toDouble / 1000000.0) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val tgtCnt = counts.filter(_._1).map(c => c._2 -> c._3).toMap
+    val srcCnt = counts.filterNot(_._1).map(c => c._2 -> c._3).toMap
+    val (tgtTot, srcTot) = (tgtCnt.values.sum, srcCnt.values.sum)
+    val llrU = Array.tabulate(DsirBuckets) { b =>
+      lpU(tgtCnt.getOrElse(b.toLong, 0L), tgtTot) -
+        lpU(srcCnt.getOrElse(b.toLong, 0L), srcTot)
+    }
+    val llrLit = llrU.mkString("array(", "L, ", "L)")
+    grams
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(expr(s"element_at($llrLit, CAST(b AS INT) + 1)")).as("llr_u"))
+      .where(col("n_grams") > 0)
+      .select(
+        col("doc_id"), col("n_grams"), col("llr_u"),
+        round(col("llr_u").cast("double") / (col("n_grams") * 1000000.0), 6)
+          .as("avg_llr"),
+        (col("llr_u") > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |uni AS (SELECT doc_id, unnest(ws) AS g FROM docs),
+       |bi AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM docs, unnest(range(1, len(ws))) AS t(i)
+       |  WHERE len(ws) >= 2),
+       |grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+       |hb AS (
+       |  SELECT doc_id,
+       |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |           (acc, x) -> (acc * ${TextOps.RollBase} + x) % ${TextOps.RollMod})
+       |           % $DsirBuckets AS BIGINT) AS b
+       |  FROM grams),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM hb WHERE doc_id % 10 = 0 GROUP BY b),
+       |sc AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM hb WHERE doc_id % 10 <> 0 GROUP BY b),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM hb WHERE doc_id % 10 = 0),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM hb WHERE doc_id % 10 <> 0),
+       |bs AS (SELECT CAST(unnest(range(0, $DsirBuckets)) AS BIGINT) AS b),
+       |model AS (
+       |  SELECT bs.b,
+       |    CAST(round(ln(CAST(GREATEST(((COALESCE(tc.cnt, 0) + 1) * 1000000) // (tt.tot + $DsirBuckets), 1) AS DOUBLE) / 1000000.0) * 1000000, 0) AS BIGINT)
+       |    - CAST(round(ln(CAST(GREATEST(((COALESCE(sc.cnt, 0) + 1) * 1000000) // (st.tot + $DsirBuckets), 1) AS DOUBLE) / 1000000.0) * 1000000, 0) AS BIGINT) AS llr_u
+       |  FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN sc ON bs.b = sc.b
+       |  CROSS JOIN tt CROSS JOIN st),
+       |sd AS (
+       |  SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(m.llr_u) AS BIGINT) AS llr_u
+       |  FROM hb JOIN model m USING (b) GROUP BY hb.doc_id)
+       |SELECT doc_id, n_grams, llr_u,
+       |       round(CAST(llr_u AS DOUBLE) / (CAST(n_grams AS DOUBLE) * 1000000.0), 6) AS avg_llr,
+       |       llr_u > 0 AS keep
+       |FROM sd WHERE n_grams > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_corpus_sample_exact" -> (nsCorpusSampleExact _),
     "ns_corpus_sample_hash" -> (nsCorpusSampleHash _),
+    "ns_corpus_dsir" -> (nsCorpusDsir _),
     "ns_text_quantiles" -> (nsTextQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "ns_corpus_dsir" -> dsirOracle,
     "ns_corpus_sample_exact" ->
       s"""WITH h AS (
         |  SELECT doc_id, lang, source, n_chars,

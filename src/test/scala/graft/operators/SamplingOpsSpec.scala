@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Sampling-family semantics checks (the oracle gate covers the
+  * registered queries end-to-end; these pin the arithmetic
+  * independently).
+  */
+class SamplingOpsSpec extends SparkSpec {
+
+  test("dsir matches a brute-force hashed-ngram log-likelihood-ratio fold") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    val B = 128
+    def bucket(g: String): Int =
+      (g.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L) % B).toInt
+    def grams(t: String): Seq[String] = {
+      val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t).map(bucket) }
+    val tgt = byDoc.filter(_._1 % 10 == 0).flatMap(_._2)
+    val src = byDoc.filter(_._1 % 10 != 0).flatMap(_._2)
+    def lpU(cnt: Long, total: Long): Long = {
+      val pU = math.max((cnt + 1) * 1000000L / (total + B), 1L)
+      BigDecimal(math.log(pU.toDouble / 1e6) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val tc = tgt.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val sc = src.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val llr = Array.tabulate(B)(b =>
+      lpU(tc.getOrElse(b, 0L), tgt.size.toLong) - lpU(sc.getOrElse(b, 0L), src.size.toLong))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = byDoc.filter(_._2.nonEmpty).sortBy(_._1).map { case (id, bs) =>
+      val u = bs.map(b => llr(b)).sum
+      Seq[Any](id, bs.size.toLong, u, r6(u.toDouble / (bs.size * 1e6)), u > 0)
+    }.toSeq
+    val got = SamplingOps.nsCorpusDsir(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"dsir mismatch: got=${got.take(3)} want=${want.take(3)}")
+    // The signal discriminates: both classes occur, and target docs score
+    // higher on average than source docs (they ARE the target model).
+    val kept = got.count(_(4) == true)
+    assert(kept > 0 && kept < got.size, s"keep is degenerate: $kept/${got.size}")
+    val (t, s) = got.partition(r => r(0).asInstanceOf[Long] % 10 == 0)
+    def meanAvg(rs: Seq[Seq[Any]]) =
+      rs.map(_(3).asInstanceOf[Double]).sum / rs.size
+    assert(meanAvg(t) > meanAvg(s),
+      "target documents do not score above source documents")
+  }
+}
