@@ -37,29 +37,51 @@ object ImageCodecs {
   /** Full PPM decode: (width, height, 3·w·h pixel component bytes in
     * row-major RGB order) — the form resampling kernels consume.
     */
-  def ppmPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
-      "not a P6 PPM: bad magic")
+  def ppmPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) =
+    pnmPixels(bytes, '6', 3, "PPM")
+
+  /** Binary PGM (P5): the single-channel sibling of P6 — same ASCII
+    * header grammar, w·h raw grayscale bytes.
+    */
+  def decodePgm(bytes: Array[Byte]): Decoded = {
+    val (w, h, px) = pgmPixels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    (w, h, 1L, sum)
+  }
+
+  /** Full PGM decode: (width, height, w·h grayscale bytes row-major). */
+  def pgmPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) =
+    pnmPixels(bytes, '5', 1, "PGM")
+
+  /** Shared binary-PNM parser: magic `P<digit>`, ASCII `<w> <h> <maxval>`
+    * with whitespace separators, then channels·w·h raw bytes.
+    */
+  private def pnmPixels(
+      bytes: Array[Byte], magic: Char, channels: Int, fmt: String): (Long, Long, Array[Byte]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == magic,
+      s"not a P$magic $fmt: bad magic")
     var pos = 2
     def token(): String = {
       while (pos < bytes.length && (bytes(pos) & 0xff).toChar.isWhitespace) pos += 1
       val start = pos
       while (pos < bytes.length && !(bytes(pos) & 0xff).toChar.isWhitespace) pos += 1
-      require(pos > start, "truncated PPM header")
+      require(pos > start, s"truncated $fmt header")
       new String(bytes, start, pos - start, US_ASCII)
     }
     val w = token().toLong
     val h = token().toLong
     val maxval = token().toLong
-    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
-    require(maxval == 255, s"unsupported PPM maxval $maxval (8-bit only)")
+    require(w > 0 && h > 0, s"bad $fmt dimensions ${w}x$h")
+    require(maxval == 255, s"unsupported $fmt maxval $maxval (8-bit only)")
     pos += 1 // exactly ONE whitespace byte separates maxval from pixel data
     // declared dims must fit a JVM array BEFORE any Int math touches them
-    require(3L * w * h <= Int.MaxValue - pos,
-      s"PPM dimensions ${w}x$h overflow the pixel buffer")
-    val need = 3 * w * h
+    require(channels.toLong * w * h <= Int.MaxValue - pos,
+      s"$fmt dimensions ${w}x$h overflow the pixel buffer")
+    val need = channels * w * h
     require(bytes.length - pos >= need,
-      s"truncated PPM pixel data: need $need, have ${bytes.length - pos}")
+      s"truncated $fmt pixel data: need $need, have ${bytes.length - pos}")
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
@@ -117,8 +139,9 @@ object ImageCodecs {
 object ImageFixtures {
   val PpmMime = "image/x-portable-pixmap"
   val BmpMime = "image/bmp"
+  val PgmMime = "image/x-portable-graymap"
 
-  /** Pixel component byte i of document id — shared by both formats. */
+  /** Pixel component byte i of document id — shared by all formats. */
   def pxByte(id: Long, i: Long): Byte = ((id * 31 + i) % 256).toByte
 
   /** P6 PPM, (id%13+1) × (id%7+1). */
@@ -130,6 +153,18 @@ object ImageFixtures {
     System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
     while (i < 3 * w * h) { out(header.length + i) = pxByte(id, i); i += 1 }
+    out
+  }
+
+  /** P5 PGM (grayscale), (id%9+1) × (id%4+1). */
+  def pgm(id: Long): Array[Byte] = {
+    val w = (id % 9 + 1).toInt
+    val h = (id % 4 + 1).toInt
+    val header = s"P5\n$w $h\n255\n".getBytes(US_ASCII)
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) { out(header.length + i) = pxByte(id, i); i += 1 }
     out
   }
 

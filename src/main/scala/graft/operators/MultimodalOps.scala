@@ -45,6 +45,9 @@ object MultimodalOps {
       case ImageFixtures.BmpMime =>
         val (w, h, c, s) = ImageCodecs.decodeBmp(r.payload)
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
+      case ImageFixtures.PgmMime =>
+        val (w, h, c, s) = ImageCodecs.decodePgm(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
       case _ => // STUB: pseudo dimensions from byte length, px_sum = -1
         val n = r.payload.length.toLong
         MediaFeatures(r.doc_id, r.mime, n, n % 640L, (n * 7L) % 480L, 3L, -1L)
@@ -52,9 +55,10 @@ object MultimodalOps {
   }
 
   /** Mixed-mime corpus: every third document becomes a REAL generated BMP
-    * (doc_id ≡ 0 mod 3) or PPM (≡ 1) payload ([[ImageFixtures]]); the rest
-    * stay text. The generation is fixture machinery — the decode path sees
-    * only the bytes.
+    * (doc_id ≡ 0 mod 3) or PPM (≡ 1) payload ([[ImageFixtures]]); the
+    * remaining class splits into grayscale P5 PGM (even ids) and text
+    * (odd ids). The generation is fixture machinery — the decode path
+    * sees only the bytes.
     */
   def mixedMediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -64,6 +68,8 @@ object MultimodalOps {
         (id % 3).toInt match {
           case 0 => MediaRecord(id, ImageFixtures.BmpMime, ImageFixtures.bmp(id))
           case 1 => MediaRecord(id, ImageFixtures.PpmMime, ImageFixtures.ppm(id))
+          case _ if id % 2 == 0 =>
+            MediaRecord(id, ImageFixtures.PgmMime, ImageFixtures.pgm(id))
           case _ => MediaRecord(id, "text/plain",
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
@@ -132,10 +138,15 @@ object MultimodalOps {
     */
   object Resampler {
     def resize(r: MediaRecord): ResizedMedia = r.mime match {
-      case ImageFixtures.PpmMime | ImageFixtures.BmpMime =>
-        val (w, h, px) =
-          if (r.mime == ImageFixtures.PpmMime) ImageCodecs.ppmPixels(r.payload)
-          else ImageCodecs.bmpPixels(r.payload)
+      case ImageFixtures.PpmMime | ImageFixtures.BmpMime | ImageFixtures.PgmMime =>
+        val (w, h, px, ch) = r.mime match {
+          case ImageFixtures.PpmMime =>
+            val (w, h, p) = ImageCodecs.ppmPixels(r.payload); (w, h, p, 3)
+          case ImageFixtures.BmpMime =>
+            val (w, h, p) = ImageCodecs.bmpPixels(r.payload); (w, h, p, 3)
+          case _ =>
+            val (w, h, p) = ImageCodecs.pgmPixels(r.payload); (w, h, p, 1)
+        }
         val ow = (w + 1) / 2
         val oh = (h + 1) / 2
         var sum = 0L
@@ -144,8 +155,8 @@ object MultimodalOps {
           var ox = 0L
           while (ox < ow) {
             var c = 0
-            while (c < 3) {
-              val i = ((oy * 2) * w + ox * 2) * 3 + c
+            while (c < ch) {
+              val i = ((oy * 2) * w + ox * 2) * ch + c
               sum += (px(i.toInt) & 0xff).toLong * ((i % 97) + 1)
               c += 1
             }
@@ -154,7 +165,7 @@ object MultimodalOps {
           oy += 1
         }
         ResizedMedia(r.doc_id, r.mime, r.payload.length.toLong,
-          ow, oh, ow * oh * 3, sum)
+          ow, oh, ow * oh * ch, sum)
       case _ => // byte-strided stub for mimes with no offline codec
         val n = r.payload.length.toLong
         var sum = 0L
@@ -187,39 +198,65 @@ object MultimodalOps {
     "ns_multimodal_frames" -> (nsMultimodalFrames _),
     "ns_multimodal_resize" -> (nsMultimodalResize _))
 
+  /** Shared oracle CTE: 4-way mime class (0 bmp, 1 ppm, 2 text, 3 pgm)
+    * with per-class dims and channel count — ONE definition for all three
+    * multimodal oracles.
+    */
+  private val mimeClassCtes: String =
+    """d0 AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN doc_id % 3 = 1 THEN 1 WHEN doc_id % 3 = 0 THEN 0
+      |              WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS m
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, text, m,
+      |         CASE m WHEN 1 THEN doc_id % 13 + 1 WHEN 0 THEN doc_id % 11 + 1
+      |                WHEN 3 THEN doc_id % 9 + 1 END AS w,
+      |         CASE m WHEN 1 THEN doc_id % 7 + 1 WHEN 0 THEN doc_id % 5 + 1
+      |                WHEN 3 THEN doc_id % 4 + 1 END AS h,
+      |         CASE m WHEN 3 THEN 1 ELSE 3 END AS ch
+      |  FROM d0)""".stripMargin
+
+  /** n_bytes per class: PNM header ("P6\n<w> <h>\n255\n" = 9 + digits) +
+    * ch·w·h, BMP = 54 + padded stride × h, text = utf8 length.
+    */
+  private val nBytesSql: String =
+    """CAST(CASE d.m
+      |  WHEN 1 THEN 9 + length(CAST(d.w AS VARCHAR))
+      |              + length(CAST(d.h AS VARCHAR)) + 3*d.w*d.h
+      |  WHEN 3 THEN 9 + length(CAST(d.w AS VARCHAR))
+      |              + length(CAST(d.h AS VARCHAR)) + d.w*d.h
+      |  WHEN 0 THEN 54 + ((3*d.w + 3) // 4 * 4) * d.h
+      |  ELSE octet_length(encode(d.text)) END AS BIGINT)""".stripMargin
+
+  private val mimeSql: String =
+    """CASE d.m WHEN 1 THEN 'image/x-portable-pixmap'
+      |         WHEN 0 THEN 'image/bmp'
+      |         WHEN 3 THEN 'image/x-portable-graymap'
+      |         ELSE 'text/plain' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Replays the ImageFixtures formulas symbolically: PPM n_bytes =
-    // header ("P6\n<w> <h>\n255\n" = 9 + digits) + 3wh, BMP = 54 + padded
-    // stride × h, px_sum = Σ (id·31 + i) % 256 over the 3wh pixel bytes —
-    // so a hash-match proves the Spark-side codec parsed the REAL header
-    // and pixels (and skipped BMP padding, which is 0xAB, not 0).
+    // Replays the ImageFixtures formulas symbolically: PNM n_bytes =
+    // header + ch·w·h, BMP = 54 + padded stride × h, px_sum =
+    // Σ (id·31 + i) % 256 over the ch·w·h pixel bytes — so a hash-match
+    // proves the Spark-side codec parsed the REAL header and pixels
+    // (and skipped BMP padding, which is 0xAB, not 0).
     "ns_multimodal_features" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, doc_id % 3 AS m,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
-        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
-        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
-        |  FROM documents),
+      s"""WITH $mimeClassCtes,
         |u AS (
-        |  SELECT doc_id, unnest(generate_series(0, CAST(3*w*h - 1 AS BIGINT))) AS i
+        |  SELECT doc_id, unnest(generate_series(0, CAST(ch*w*h - 1 AS BIGINT))) AS i
         |  FROM d WHERE m <> 2),
         |px AS (
         |  SELECT doc_id, CAST(SUM((doc_id*31 + i) % 256) AS BIGINT) AS px_sum
         |  FROM u GROUP BY doc_id)
         |SELECT d.doc_id,
-        |       CASE d.m WHEN 1 THEN 'image/x-portable-pixmap'
-        |                WHEN 0 THEN 'image/bmp' ELSE 'text/plain' END AS mime,
-        |       CAST(CASE d.m
-        |         WHEN 1 THEN 9 + length(CAST(d.w AS VARCHAR))
-        |                     + length(CAST(d.h AS VARCHAR)) + 3*d.w*d.h
-        |         WHEN 0 THEN 54 + ((3*d.w + 3) // 4 * 4) * d.h
-        |         ELSE octet_length(encode(d.text)) END AS BIGINT) AS n_bytes,
+        |       $mimeSql AS mime,
+        |       $nBytesSql AS n_bytes,
         |       CAST(CASE WHEN d.m <> 2 THEN d.w
         |            ELSE octet_length(encode(d.text)) % 640 END AS BIGINT) AS width,
         |       CAST(CASE WHEN d.m <> 2 THEN d.h
         |            ELSE (octet_length(encode(d.text)) * 7) % 480 END AS BIGINT) AS height,
-        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(CASE WHEN d.m = 3 THEN 1 ELSE 3 END AS BIGINT) AS channels,
         |       COALESCE(px.px_sum, CAST(-1 AS BIGINT)) AS px_sum
         |FROM d LEFT JOIN px ON d.doc_id = px.doc_id
         |ORDER BY d.doc_id""".stripMargin,
@@ -227,20 +264,9 @@ object MultimodalOps {
     // mime replays the generator formulas (same CASE as the features
     // oracle), so image payload sizes come from real headers+pixels.
     "ns_multimodal_frames" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, doc_id % 3 AS m,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
-        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
-        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
-        |  FROM documents),
+      s"""WITH $mimeClassCtes,
         |mm AS (
-        |  SELECT doc_id,
-        |         CAST(CASE m
-        |           WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
-        |                       + length(CAST(h AS VARCHAR)) + 3*w*h
-        |           WHEN 0 THEN 54 + ((3*w + 3) // 4 * 4) * h
-        |           ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+        |  SELECT doc_id, $nBytesSql AS n_bytes
         |  FROM d),
         |f AS (
         |  SELECT doc_id, n_bytes,
@@ -257,31 +283,26 @@ object MultimodalOps {
     // original every-2nd-byte checksum. A hash-match proves the Spark
     // side decoded real pixels and strided them identically.
     "ns_multimodal_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, doc_id % 3 AS m,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 13 + 1
-        |                         WHEN 0 THEN doc_id % 11 + 1 END AS w,
-        |         CASE doc_id % 3 WHEN 1 THEN doc_id % 7 + 1
-        |                         WHEN 0 THEN doc_id % 5 + 1 END AS h
-        |  FROM documents
-        |  WHERE doc_id % 3 <> 2 OR length(text) > 0),
+      s"""WITH $mimeClassCtes,
+        |dd AS (
+        |  SELECT * FROM d WHERE m <> 2 OR length(text) > 0),
         |i1 AS (
-        |  SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
-        |  FROM d WHERE m <> 2),
+        |  SELECT doc_id, w, h, ch, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        |  FROM dd WHERE m <> 2),
         |i2 AS (
-        |  SELECT doc_id, w, ow, oh,
-        |         unnest(generate_series(0, CAST(oh*ow*3 - 1 AS BIGINT))) AS k
+        |  SELECT doc_id, w, ch, ow, oh,
+        |         unnest(generate_series(0, CAST(oh*ow*ch - 1 AS BIGINT))) AS k
         |  FROM i1),
         |ipx AS (
         |  SELECT doc_id,
         |         CAST(SUM(((doc_id*31 + i) % 256) * ((i % 97) + 1)) AS BIGINT) AS checksum
         |  FROM (SELECT doc_id,
-        |          ((k // (ow*3)) * 2 * w + ((k % (ow*3)) // 3) * 2) * 3 + (k % 3) AS i
+        |          ((k // (ow*ch)) * 2 * w + ((k % (ow*ch)) // ch) * 2) * ch + (k % ch) AS i
         |        FROM i2)
         |  GROUP BY doc_id),
         |t1 AS (
         |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM d WHERE m = 2),
+        |  FROM dd WHERE m = 2),
         |t2 AS (
         |  SELECT doc_id, unnest(range(1, CAST(n + 1 AS BIGINT), 2)) AS j
         |  FROM t1),
@@ -291,19 +312,14 @@ object MultimodalOps {
         |              * ((t2.j % 97) + 1)) AS BIGINT) AS checksum
         |  FROM t2 JOIN t1 ON t2.doc_id = t1.doc_id GROUP BY t2.doc_id)
         |SELECT d.doc_id,
-        |       CASE d.m WHEN 1 THEN 'image/x-portable-pixmap'
-        |                WHEN 0 THEN 'image/bmp' ELSE 'text/plain' END AS mime,
-        |       CAST(CASE d.m
-        |         WHEN 1 THEN 9 + length(CAST(d.w AS VARCHAR))
-        |                     + length(CAST(d.h AS VARCHAR)) + 3*d.w*d.h
-        |         WHEN 0 THEN 54 + ((3*d.w + 3) // 4 * 4) * d.h
-        |         ELSE octet_length(encode(d.text)) END AS BIGINT) AS n_bytes,
+        |       $mimeSql AS mime,
+        |       $nBytesSql AS n_bytes,
         |       CAST(COALESCE(i1.ow, -1) AS BIGINT) AS out_w,
         |       CAST(COALESCE(i1.oh, -1) AS BIGINT) AS out_h,
-        |       CAST(CASE WHEN d.m <> 2 THEN i1.ow*i1.oh*3
+        |       CAST(CASE WHEN d.m <> 2 THEN i1.ow*i1.oh*i1.ch
         |            ELSE (octet_length(encode(d.text)) + 1) // 2 END AS BIGINT) AS kept_units,
         |       COALESCE(ipx.checksum, tpx.checksum) AS resize_checksum
-        |FROM d LEFT JOIN i1 USING (doc_id) LEFT JOIN ipx USING (doc_id)
+        |FROM dd d LEFT JOIN i1 USING (doc_id) LEFT JOIN ipx USING (doc_id)
         |       LEFT JOIN tpx ON d.doc_id = tpx.doc_id
         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkSpec {
     assert(s == px.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("PGM codec round-trips generated headers and pixels (1 channel)") {
+    for (id <- Seq(2L, 8L, 14L, 20L, 98L, 1004L)) {
+      val (w, h, c, s) = ImageCodecs.decodePgm(ImageFixtures.pgm(id))
+      assert((w, h, c) == (id % 9 + 1, id % 4 + 1, 1L), s"id=$id header")
+      assert(s == expectedPxSum(id, w * h), s"id=$id pixel sum")
+    }
+    // hand-authored multi-digit dims with extra whitespace
+    val px = Array.tabulate(17 * 12)(_.toByte)
+    val bytes = "P5\n  17\t 12 \n255\n".getBytes("US-ASCII") ++ px
+    val (w, h, c, s) = ImageCodecs.decodePgm(bytes)
+    assert((w, h, c) == (17L, 12L, 1L))
+    assert(s == px.map(b => (b & 0xff).toLong).sum)
+    // P5 and P6 magics must not cross-decode
+    intercept[IllegalArgumentException](ImageCodecs.decodePgm(ImageFixtures.ppm(1L)))
+    intercept[IllegalArgumentException](ImageCodecs.decodePpm(ImageFixtures.pgm(2L)))
+    // truncated pixel data
+    intercept[IllegalArgumentException](
+      ImageCodecs.decodePgm(ImageFixtures.pgm(8L).dropRight(1)))
+  }
+
   test("BMP codec round-trips and skips row padding") {
     for (id <- Seq(0L, 3L, 6L, 9L, 33L, 999L)) {
       val bytes = ImageFixtures.bmp(id)
@@ -88,14 +108,28 @@ class MultimodalSpec extends SparkSpec {
       val (ow, oh, sum) = brute(w, h, px)
       assert((got.out_w, got.out_h, got.resize_checksum) == (ow, oh, sum), s"bmp id=$id")
     }
+    // PGM path: single-channel stride (i = (oy·2)·w + ox·2)
+    for (id <- Seq(2L, 8L, 14L, 20L)) {
+      val rec = MultimodalOps.MediaRecord(id, ImageFixtures.PgmMime, ImageFixtures.pgm(id))
+      val got = MultimodalOps.Resampler.resize(rec)
+      val (w, h, px) = ImageCodecs.pgmPixels(rec.payload)
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      val sum = (for { oy <- 0L until oh; ox <- 0L until ow } yield {
+        val i = (oy * 2) * w + ox * 2
+        (px(i.toInt) & 0xff).toLong * ((i % 97) + 1)
+      }).sum
+      assert((got.out_w, got.out_h, got.kept_units, got.resize_checksum) ==
+        (ow, oh, ow * oh, sum), s"pgm id=$id")
+    }
   }
 
-  test("features query decodes all three mimes with real headers") {
+  test("features query decodes all four mimes with real headers") {
     val rows = MultimodalOps.nsMultimodalFeatures(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val byMime = rows.groupBy(_.getString(1))
     assert(byMime.keySet ==
-      Set(ImageFixtures.PpmMime, ImageFixtures.BmpMime, "text/plain"))
+      Set(ImageFixtures.PpmMime, ImageFixtures.BmpMime, ImageFixtures.PgmMime,
+        "text/plain"))
     rows.foreach { r =>
       val (id, mime, w, h, px) =
         (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(6))
@@ -104,6 +138,9 @@ class MultimodalSpec extends SparkSpec {
           assert((w, h) == (id % 13 + 1, id % 7 + 1) && px >= 0)
         case ImageFixtures.BmpMime =>
           assert((w, h) == (id % 11 + 1, id % 5 + 1) && px >= 0)
+        case ImageFixtures.PgmMime =>
+          assert((w, h) == (id % 9 + 1, id % 4 + 1) && px >= 0)
+          assert(r.getLong(5) == 1L, "pgm must report 1 channel")
         case _ => assert(px == -1L, "stub rows must mark px_sum = -1")
       }
     }
