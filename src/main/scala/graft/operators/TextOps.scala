@@ -278,7 +278,13 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_trans"),
         min("p_u").as("min_p_u"),
-        round(sum("p_u").cast("double") / (count(lit(1)) * lit(1000000L)), 6)
+        // Floor the per-transition mean IN MICRO-UNITS before the one
+        // IEEE divide: sum/count can land exactly on a 6dp half-way
+        // boundary (hit at sf0.1 row 668: 0.0326705 — Spark's decimal-
+        // string HALF_UP rounds up, DuckDB's binary round rounds down);
+        // after the integer div the value IS the boundary-free 6dp
+        // decimal, the same discipline as the BM25 score.
+        round(expr("CAST(sum(p_u) div count(1) AS DOUBLE) / 1000000.0"), 6)
           .as("mean_p"),
         (sum("p_u") * 29 >= count(lit(1)) * lit(1000000L)).as("fluent"))
       .orderBy("doc_id")
@@ -874,7 +880,7 @@ object TextOps {
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_trans,
         |  CAST(min(p_u) AS BIGINT) AS min_p_u,
-        |  round(CAST(sum(p_u) AS DOUBLE) / (count(*) * 1000000), 6) AS mean_p,
+        |  round(CAST(sum(p_u) // count(*) AS DOUBLE) / 1000000, 6) AS mean_p,
         |  (sum(p_u) * 29 >= count(*) * 1000000) AS fluent
         |FROM tr JOIN p USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -226,7 +226,9 @@ class TextOpsSpec extends SparkSpec {
       val pus = ts.map { case (_, (w1, w2)) => c12((w1, w2)) * 1000000L / c1(w1) }
       val (n, sum) = (pus.size.toLong, pus.sum)
       (id, n, pus.min,
-        BigDecimal(sum.toDouble / (n * 1000000L))
+        // integer-floored micro-unit mean, then the one IEEE divide —
+        // mirrors the operator's boundary-free formulation
+        BigDecimal((sum / n).toDouble / 1000000.0)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         sum * 29 >= n * 1000000L)
     }.toSeq.sortBy(_._1)
