@@ -73,10 +73,6 @@ object PackingOps {
     * window runs on shard-count rows, and the offset join broadcasts.
     */
   def nsPackChunksGlobal(spark: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shardOrder = Window.orderBy("lang")
-      .rowsBetween(Window.unboundedPreceding, -1)
     // Tokenize ONCE: both the shard-total pass and the doc-row pass read
     // this cached 3-column frame — the BPE-ish regexp is the dominant
     // cost and paid twice it doubled the query in rehearsal (7.5 s vs
@@ -86,10 +82,22 @@ object PackingOps {
     // ids+lang+count, a sliver of the corpus; a 100 TB job materializes
     // token counts the same way — packing, mixing and length profiling
     // all reuse them.
-    val docs = Tables.documents(spark, dir)
+    packGlobalFrom(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bpeTokens.as("toks"))
       .where(col("toks") > 0)
-      .cache()
+      .cache())
+  }
+
+  /** The two-pass shard-offset global pack over a prepared
+    * (doc_id, lang, toks) frame — shared by the heuristic, BPE-budget,
+    * and select-then-pack forms. Callers pass an already-cached frame
+    * (both passes read it).
+    */
+  private def packGlobalFrom(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOrder = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
       .withColumn("shard_offset",
         coalesce(sum("shard_toks").over(shardOrder), lit(0L)))
@@ -120,31 +128,39 @@ object PackingOps {
     */
   def nsPackBpe(spark: SparkSession, dir: String): DataFrame = {
     val merges = TextOps.trainBpeMerges(spark, dir)
-    val byLang = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shardOrder = Window.orderBy("lang")
-      .rowsBetween(Window.unboundedPreceding, -1)
     // Cached for the same two-consumer reason as nsPackChunksGlobal; the
     // BPE encode projection is the dominant cost and must run once.
-    val docs = Tables.documents(spark, dir)
+    packGlobalFrom(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.bpeTokenCountCol(merges).as("toks"))
       .where(col("toks") > 0)
-      .cache()
-    val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
-      .withColumn("shard_offset",
-        coalesce(sum("shard_toks").over(shardOrder), lit(0L)))
-      .select("lang", "shard_offset")
-    docs
-      .withColumn("cum_in_shard", coalesce(sum("toks").over(byLang), lit(0L)))
-      .join(broadcast(offsets), Seq("lang"))
-      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
-      .select(
-        col("doc_id"), col("lang"), col("toks"), col("cum_before"),
-        expr(s"cum_before div $ChunkTokens").as("first_chunk"),
-        expr(s"(cum_before + toks - 1) div $ChunkTokens").as("last_chunk"))
-      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
-      .orderBy("lang", "doc_id")
+      .cache())
+  }
+
+  /** SELECT-then-PACK — the end-to-end pretraining data job this family
+    * exists for, as one oracled composition: DSIR importance resampling
+    * ([[SamplingOps.nsCorpusDsir]]) picks the target-like documents,
+    * and the survivors pack into global-continuity chunks under REAL BPE
+    * token budgets ([[nsPackBpe]]'s form; the tokenizer is trained on
+    * the FULL corpus — training it on the selected subset would couple
+    * the vocab to the selection, which real pipelines avoid so the same
+    * tokenizer serves every data mix).
+    *
+    * Composition cost: the DSIR stage's doc-keyed keep set semi-joins
+    * the corpus (broadcast at test scale, shuffle-on-id at 100 TB), and
+    * everything downstream reuses the packing machinery unchanged — no
+    * new exchange family anywhere.
+    */
+  def pipeSelectPack(spark: SparkSession, dir: String): DataFrame = {
+    val kept = SamplingOps.nsCorpusDsir(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val merges = TextOps.trainBpeMerges(spark, dir)
+    packGlobalFrom(Tables.documents(spark, dir)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache())
   }
 
   /** Deterministic weighted source interleave (the "temperature mixing"
@@ -179,6 +195,7 @@ object PackingOps {
     "ns_pack_chunks" -> (nsPackChunks _),
     "ns_pack_chunks_global" -> (nsPackChunksGlobal _),
     "ns_pack_bpe" -> (nsPackBpe _),
+    "pipe_select_pack" -> (pipeSelectPack _),
     "ns_corpus_mix" -> (nsCorpusMix _))
 
   /** Oracle for [[nsPackBpe]]: replay BPE training (shared CTEs from
@@ -186,15 +203,27 @@ object PackingOps {
     * count per-doc tokens by pipe-counting the encoded words, then the
     * same shard-offset packing algebra as ns_pack_chunks_global.
     */
-  private def packBpeOracle: String = {
+  private def packBpeOracle: String = packBpeOracleFrom("", "documents")
+
+  /** Select-then-pack oracle: the DSIR CTEs produce the keep set, the
+    * BPE training CTEs run over the FULL corpus (tokenizer decoupled
+    * from selection), and only kept documents tokenize and pack.
+    */
+  private def selectPackOracle: String = packBpeOracleFrom(
+    s"""${SamplingOps.dsirCtes},
+       |keep AS (SELECT doc_id FROM sd WHERE n_grams > 0 AND llr_u > 0),
+       |""".stripMargin,
+    "documents dd JOIN keep USING (doc_id)")
+
+  private def packBpeOracleFrom(prefixCtes: String, docwFrom: String): String = {
     val chain = (1 to TextOps.BpeMerges).map { i =>
       s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
          |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${TextOps.bpeTrainCtes},
+    s"""WITH $prefixCtes${TextOps.bpeTrainCtes},
        |docw AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
-       |  FROM documents),
+       |  FROM $docwFrom),
        |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
        |$chain,
        |tok AS (
@@ -274,6 +303,7 @@ object PackingOps {
          |FROM c JOIN oo USING (lang)
          |ORDER BY lang, doc_id""".stripMargin,
     "ns_pack_bpe" -> packBpeOracle,
+    "pipe_select_pack" -> selectPackOracle,
     "ns_corpus_mix" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,

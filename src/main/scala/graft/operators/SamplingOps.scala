@@ -183,8 +183,12 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
-  private def dsirOracle: String =
-    s"""WITH docs AS (
+  /** The DSIR CTE chain ending in `sd(doc_id, n_grams, llr_u)` — shared
+    * by [[dsirOracle]] and the select-then-pack composition oracle
+    * ([[PackingOps]]).
+    */
+  private[operators] def dsirCtes: String =
+    s"""docs AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
        |  FROM documents),
        |uni AS (SELECT doc_id, unnest(ws) AS g FROM docs),
@@ -214,7 +218,10 @@ object SamplingOps {
        |sd AS (
        |  SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        |         CAST(sum(m.llr_u) AS BIGINT) AS llr_u
-       |  FROM hb JOIN model m USING (b) GROUP BY hb.doc_id)
+       |  FROM hb JOIN model m USING (b) GROUP BY hb.doc_id)""".stripMargin
+
+  private def dsirOracle: String =
+    s"""WITH $dsirCtes
        |SELECT doc_id, n_grams, llr_u,
        |       round(CAST(llr_u AS DOUBLE) / (CAST(n_grams AS DOUBLE) * 1000000.0), 6) AS avg_llr,
        |       llr_u > 0 AS keep

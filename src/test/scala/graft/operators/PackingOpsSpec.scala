@@ -109,6 +109,32 @@ class PackingOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, "bpe pack != single-global-window brute force")
   }
 
+  test("select-then-pack: packs exactly the DSIR keep set under BPE budgets") {
+    val got = PackingOps.pipeSelectPack(spark, sfDir).collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    // doc set = DSIR keepers (that still have > 0 BPE tokens)
+    val keep = SamplingOps.nsCorpusDsir(spark, sfDir)
+      .where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val packed = got.map(_(0).asInstanceOf[Long]).toSet
+    assert(packed.subsetOf(keep), s"packed docs outside the keep set: ${(packed -- keep).take(3)}")
+    assert((keep -- packed).forall(_ => true)) // keepers may drop only via toks=0
+    val all = PackingOps.nsPackBpe(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((keep -- packed).forall(id => !all.contains(id)),
+      "a keeper with tokens went missing from the pack")
+    // toks match the full-corpus tokenizer (selection must not retrain it)
+    got.foreach { r =>
+      assert(r(2) == all(r(0).asInstanceOf[Long]),
+        s"doc ${r(0)}: token budget differs from the full-corpus tokenizer")
+    }
+    // the packed stream is continuous from 0 over ONLY the kept docs
+    val totalToks = got.map(_(2).asInstanceOf[Long]).sum
+    assert(got.head(3) == 0L, "stream must start at 0")
+    assert(got.map(_(5).asInstanceOf[Long]).max ==
+      (totalToks - 1) / PackingOps.ChunkTokens, "last chunk must cover the kept total")
+  }
+
   test("global packing: single-partition exchange carries shard aggregates, not doc rows") {
     val nodes = noAqeNodes(PackingOps.nsPackChunksGlobal(spark, sfDir))
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
