@@ -137,21 +137,32 @@ object SamplingOps {
     * aggregation. The llr table rides as a 128-literal array, exactly
     * like the classifier weights and the IVF centroids.
     */
-  def nsCorpusDsir(spark: SparkSession, dir: String): DataFrame = {
+  /** The exploded (doc_id, bucket) gram frame nsCorpusDsir trains and
+    * scores over.
+    */
+  private def dsirGrams(docs: DataFrame): DataFrame = {
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
-    val docs = Tables.documents(spark, dir)
     val uni = docs.select(col("doc_id"), explode(ws).as("g"))
     val bi = docs.select(col("doc_id"),
       explode(zip_with(
         slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
         slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("g"))
-    val grams = uni.unionByName(bi)
+    uni.unionByName(bi)
       .select(col("doc_id"), expr(gramBucketSql("g")).as("b"))
-      .cache()
-    // Model training: bounded at 2 x DsirBuckets rows BY CONSTRUCTION
-    // before the collect (the hash projects the unbounded ngram space
-    // onto the fixed buckets — no vocab-scale driver state anywhere).
+  }
+
+  /** Train the per-bucket fixed-point llr table from a corpus — bounded
+    * at 2 x DsirBuckets rows BY CONSTRUCTION before the collect (the
+    * hash projects the unbounded ngram space onto the fixed buckets —
+    * no vocab-scale driver state anywhere). Shared by the batch query
+    * and the streaming admission twin
+    * ([[graft.streaming.StreamingDsir]]).
+    */
+  private[graft] def dsirLlrTable(docs: DataFrame): Array[Long] =
+    dsirLlrTableFromGrams(dsirGrams(docs))
+
+  private def dsirLlrTableFromGrams(grams: DataFrame): Array[Long] = {
     val counts = grams
       .groupBy((col("doc_id") % 10 === 0).as("tgt"), col("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -164,10 +175,33 @@ object SamplingOps {
     val tgtCnt = counts.filter(_._1).map(c => c._2 -> c._3).toMap
     val srcCnt = counts.filterNot(_._1).map(c => c._2 -> c._3).toMap
     val (tgtTot, srcTot) = (tgtCnt.values.sum, srcCnt.values.sum)
-    val llrU = Array.tabulate(DsirBuckets) { b =>
+    Array.tabulate(DsirBuckets) { b =>
       lpU(tgtCnt.getOrElse(b.toLong, 0L), tgtTot) -
         lpU(srcCnt.getOrElse(b.toLong, 0L), srcTot)
     }
+  }
+
+  /** (n_grams, llr_u) as PURE PROJECTION columns over `text` with the
+    * trained llr table as literals — the stateless streaming-admission
+    * form; identical integer arithmetic to the batch query's exploded
+    * aggregation (spec-pinned row for row).
+    */
+  private[graft] def dsirScoreCols(llrU: Array[Long]): (Column, Column) = {
+    val llrLit = llrU.mkString("array(", "L, ", "L)")
+    val wsSql = "filter(split(lower(text), ' '), w -> w != '')"
+    val biSql = s"zip_with(slice($wsSql, 1, greatest(size($wsSql) - 1, 0)), " +
+      s"slice($wsSql, 2, greatest(size($wsSql) - 1, 0)), (a, b) -> concat(a, ' ', b))"
+    def sumOver(arr: String, v: String): String =
+      s"aggregate(transform($arr, $v -> element_at($llrLit, " +
+        s"CAST(${gramBucketSql(v)} AS INT) + 1)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    (expr(s"CAST(size($wsSql) + greatest(size($wsSql) - 1, 0) AS BIGINT)"),
+      expr(s"${sumOver(wsSql, "w")} + ${sumOver(biSql, "g")}"))
+  }
+
+  def nsCorpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = dsirGrams(docs).cache() // one explode pass: train + score
+    val llrU = dsirLlrTableFromGrams(grams)
     val llrLit = llrU.mkString("array(", "L, ", "L)")
     grams
       .groupBy("doc_id")
