@@ -191,12 +191,47 @@ object PackingOps {
       .orderBy("pos6", "source", "doc_id")
   }
 
+  /** Temperature-scaled source mixing (the Gopher/PaLM α-temperature
+    * resampling that FLATTENS the source distribution so small sources
+    * are not drowned): source weight ∝ |source|^α with α = 1/2, in
+    * exact integer form — w = floor(sqrt(count)) (IEEE sqrt of a Long
+    * below 2^52 is exact on both engines; floor lands identically), and
+    * the interleave position is the same fixed-point rank·K div w merge
+    * as [[nsCorpusMix]]. A source 100× larger gets only 10× the share —
+    * the flattening is visible on the fixture (spec asserts the share
+    * ratio strictly between the count ratio and 1).
+    *
+    * Scale posture: identical to nsCorpusMix — per-source windows plus a
+    * broadcast of the (source, weight) aggregate; the merge is a sort
+    * key, not a global window.
+    */
+  def nsCorpusMixTemp(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+      .orderBy("sample_key", "doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        SamplingOps.sampleKeyCol)
+    val weights = docs.groupBy("source")
+      .agg(count(lit(1)).as("src_count"))
+      .withColumn("src_weight", expr("CAST(floor(sqrt(src_count)) AS BIGINT)"))
+    docs
+      .join(broadcast(weights), "source")
+      .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
+      // K = 720720 = lcm(1..16) headroom: exact integer positions for any
+      // plausible per-source weight, same div discipline as pos6.
+      .withColumn("posk", expr("rank_in_source * 720720 div src_weight"))
+      .select("doc_id", "source", "lang", "src_count", "src_weight",
+        "rank_in_source", "posk")
+      .orderBy("posk", "source", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_pack_chunks" -> (nsPackChunks _),
     "ns_pack_chunks_global" -> (nsPackChunksGlobal _),
     "ns_pack_bpe" -> (nsPackBpe _),
     "pipe_select_pack" -> (pipeSelectPack _),
-    "ns_corpus_mix" -> (nsCorpusMix _))
+    "ns_corpus_mix" -> (nsCorpusMix _),
+    "ns_corpus_mix_temp" -> (nsCorpusMixTemp _))
 
   /** Oracle for [[nsPackBpe]]: replay BPE training (shared CTEs from
     * TextOps — both engines move together when the constants change),
@@ -304,6 +339,23 @@ object PackingOps {
          |ORDER BY lang, doc_id""".stripMargin,
     "ns_pack_bpe" -> packBpeOracle,
     "pipe_select_pack" -> selectPackOracle,
+    "ns_corpus_mix_temp" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, source, lang,
+        |         (doc_id * ${SamplingOps.SampleKeyA} + ${SamplingOps.SampleKeyB}) % ${SamplingOps.SampleKeyP} AS sample_key
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS src_count,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS src_weight
+        |  FROM h GROUP BY source),
+        |r AS (
+        |  SELECT h.doc_id, h.source, h.lang, w.src_count, w.src_weight,
+        |         CAST(row_number() OVER (PARTITION BY h.source
+        |              ORDER BY h.sample_key, h.doc_id) AS BIGINT) AS rank_in_source
+        |  FROM h JOIN w USING (source))
+        |SELECT doc_id, source, lang, src_count, src_weight, rank_in_source,
+        |       rank_in_source * 720720 // src_weight AS posk
+        |FROM r ORDER BY posk, source, doc_id""".stripMargin,
     "ns_corpus_mix" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,

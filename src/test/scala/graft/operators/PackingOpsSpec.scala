@@ -54,6 +54,38 @@ class PackingOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the source distribution (α = 1/2)") {
+    val rows = PackingOps.nsCorpusMixTemp(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // weights are exactly floor(sqrt(count))
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      val (cnt, w) = (g.head._2, g.head._3)
+      assert(w == math.floor(math.sqrt(cnt.toDouble)).toLong, s"$s weight")
+      assert(g.size.toLong == cnt, s"$s count column inconsistent")
+      // dense ranks per source
+      assert(g.map(_._4).sorted.toSeq == (1L to g.size).toSeq, s"$s ranks")
+    }
+    val counts = rows.groupBy(_._1).map { case (s, g) => s -> g.head._2 }
+    if (counts.size >= 2 && counts.values.toSet.size >= 2) {
+      // In a prefix, the big:small share ratio must sit strictly between
+      // 1 (fully flat) and the raw count ratio (no flattening): that IS
+      // temperature sampling.
+      val big = counts.maxBy(_._2)._1
+      val small = counts.minBy(_._2)._1
+      val n = rows.length / 2
+      val prefix = rows.take(n).groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+      val shareRatio = prefix.getOrElse(big, 0.0) / prefix.getOrElse(small, 1.0)
+      val countRatio = counts(big).toDouble / counts(small)
+      assert(shareRatio < countRatio && shareRatio > 1.0 - 0.2,
+        s"share $shareRatio not flattened vs count ratio $countRatio")
+      // and close to the sqrt ratio, the α=1/2 prediction
+      val sqrtRatio = math.sqrt(countRatio)
+      assert(math.abs(shareRatio - sqrtRatio) / sqrtRatio < 0.35,
+        s"share $shareRatio far from sqrt prediction $sqrtRatio")
+    }
+  }
+
   test("global packing equals the single-global-window brute force") {
     import org.apache.spark.sql.expressions.Window
     val got = PackingOps.nsPackChunksGlobal(spark, sfDir).collect().map(_.toSeq)
