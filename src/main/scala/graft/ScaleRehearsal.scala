@@ -245,7 +245,7 @@ object ScaleRehearsal {
            "ns_text_chunks", "ns_text_salient", "ns_text_bm25",
            "ns_text_classify", "ns_text_bpe_train", "ns_text_bpe_encode",
            "ns_text_bigram_lm", "ns_pack_bpe", "ns_text_bm25_indexed",
-           "ns_corpus_dsir", "pipe_select_pack");
+           "ns_corpus_dsir", "pipe_select_pack", "ns_corpus_curriculum");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

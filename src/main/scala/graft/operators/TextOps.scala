@@ -258,7 +258,28 @@ object TextOps {
     * join-back family as [[nsTextRarity]]/[[nsTextSalient]], linear in
     * corpus size with a vocabulary²-bounded model table.
     */
-  def nsTextBigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def nsTextBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramDocScores(spark, dir)
+      .agg(
+        count(lit(1)).as("n_trans"),
+        min("p_u").as("min_p_u"),
+        // Floor the per-transition mean IN MICRO-UNITS before the one
+        // IEEE divide: sum/count can land exactly on a 6dp half-way
+        // boundary (hit at sf0.1 row 668: 0.0326705 — Spark's decimal-
+        // string HALF_UP rounds up, DuckDB's binary round rounds down);
+        // after the integer div the value IS the boundary-free 6dp
+        // decimal, the same discipline as the BM25 score.
+        round(expr("CAST(sum(p_u) div count(1) AS DOUBLE) / 1000000.0"), 6)
+          .as("mean_p"),
+        (sum("p_u") * 29 >= count(lit(1)) * lit(1000000L)).as("fluent"))
+      .orderBy("doc_id")
+
+  /** The scored (doc_id-grouped but un-aggregated) transition frame the
+    * LM family's consumers aggregate — shared by [[nsTextBigramLm]] and
+    * the curriculum bucketing ([[nsCorpusCurriculum]]).
+    */
+  private[operators] def bigramDocScores(
+      spark: SparkSession, dir: String): org.apache.spark.sql.RelationalGroupedDataset = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       // sequence(0, size-2) would flip to a DESCENDING sequence for a
@@ -275,18 +296,48 @@ object TextOps {
       .select(col("w1"), col("w2"), expr("c12 * 1000000 div c1").as("p_u"))
     tr.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
+  }
+
+  /** Curriculum bucketing — difficulty DECILES over the bigram-LM
+    * fluency score (curriculum learning's data-ordering step: train
+    * easy-to-hard, where "easy" = high model-probability text). The
+    * per-doc score is the boundary-free micro-unit mean of
+    * [[nsTextBigramLm]]; the decile is the exact global-rank bucket
+    * `(rank-1)·10 div N + 1` with doc_id tie-breaks.
+    *
+    * Scale shape — exact global ranking WITHOUT a global row window
+    * (the ns_pack_chunks_global offset pattern applied to ranking):
+    *  1. the per-score HISTOGRAM aggregates first — bounded at <= 1e6+1
+    *     rows BY CONSTRUCTION (mean_p_u is an integer micro-unit
+    *     probability), independent of corpus size — and its running
+    *     offsets window over that bounded table only;
+    *  2. doc rows get rank = score_offset + row_number within their
+    *     score group (a score-keyed window, uniformly hashed), and the
+    *     decile is integer arithmetic against the broadcast total.
+    * The oracle states the same semantics as one global window — the
+    * plan never runs one over doc rows.
+    */
+  def nsCorpusCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramDocScores(spark, dir)
       .agg(
         count(lit(1)).as("n_trans"),
-        min("p_u").as("min_p_u"),
-        // Floor the per-transition mean IN MICRO-UNITS before the one
-        // IEEE divide: sum/count can land exactly on a 6dp half-way
-        // boundary (hit at sf0.1 row 668: 0.0326705 — Spark's decimal-
-        // string HALF_UP rounds up, DuckDB's binary round rounds down);
-        // after the integer div the value IS the boundary-free 6dp
-        // decimal, the same discipline as the BM25 score.
-        round(expr("CAST(sum(p_u) div count(1) AS DOUBLE) / 1000000.0"), 6)
-          .as("mean_p"),
-        (sum("p_u") * 29 >= count(lit(1)) * lit(1000000L)).as("fluent"))
+        expr("CAST(sum(p_u) div count(1) AS BIGINT)").as("mean_p_u"))
+      .cache() // histogram + join-back both read it
+    val byScore = Window.orderBy("mean_p_u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy("mean_p_u").agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum("c").over(byScore), lit(0L)))
+      .select("mean_p_u", "cum_before")
+    val total = scored.agg(count(lit(1)).as("n"))
+    scored
+      .join(broadcast(hist), "mean_p_u")
+      .withColumn("rank_in_score", row_number().over(
+        Window.partitionBy("mean_p_u").orderBy("doc_id")).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", col("cum_before") + col("rank_in_score"))
+      .withColumn("decile", expr("(rnk - 1) * 10 div n + 1"))
+      .select("doc_id", "n_trans", "mean_p_u", "rnk", "decile")
       .orderBy("doc_id")
   }
 
@@ -765,6 +816,7 @@ object TextOps {
     "ns_text_bpe_train" -> (nsTextBpeTrain _),
     "ns_text_bpe_encode" -> (nsTextBpeEncode _),
     "ns_text_bigram_lm" -> (nsTextBigramLm _),
+    "ns_corpus_curriculum" -> (nsCorpusCurriculum _),
     "ns_text_collocations" -> (nsTextCollocations _),
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_bm25" -> (nsTextBm25 _),
@@ -810,6 +862,19 @@ object TextOps {
        |  ORDER BY freq DESC, replace(seq, '|', '') LIMIT $BpeMaxVocab),
        |$iters""".stripMargin
   }
+
+  /** Shared bigram-LM CTE chain (transitions + smoothless fixed-point
+    * model) — used by the LM oracle and the curriculum oracle.
+    */
+  private def bigramScoreCtes: String =
+    """docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |tr AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM docs, unnest(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
+      |p AS (SELECT w1, w2, c12 * 1000000 // c1 AS p_u FROM c12 JOIN c1 USING (w1))""".stripMargin
 
   private def bpeOracle: String = {
     val sel = (1 to BpeMerges).map { i =>
@@ -869,14 +934,7 @@ object TextOps {
     "ns_text_bpe_train" -> bpeOracle,
     "ns_text_bpe_encode" -> bpeEncodeOracle,
     "ns_text_bigram_lm" ->
-      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |tr AS (
-        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-        |  FROM docs, unnest(range(1, len(w))) AS t(i)
-        |  WHERE len(w) >= 2),
-        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1),
-        |p AS (SELECT w1, w2, c12 * 1000000 // c1 AS p_u FROM c12 JOIN c1 USING (w1))
+      s"""WITH $bigramScoreCtes
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_trans,
         |  CAST(min(p_u) AS BIGINT) AS min_p_u,
@@ -884,6 +942,19 @@ object TextOps {
         |  (sum(p_u) * 29 >= count(*) * 1000000) AS fluent
         |FROM tr JOIN p USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns_corpus_curriculum" ->
+      s"""WITH $bigramScoreCtes,
+        |sd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |         CAST(sum(p_u) // count(*) AS BIGINT) AS mean_p_u
+        |  FROM tr JOIN p USING (w1, w2) GROUP BY doc_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY mean_p_u, doc_id) AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM sd)
+        |SELECT doc_id, n_trans, mean_p_u, rnk,
+        |       (rnk - 1) * 10 // n + 1 AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
     "ns_text_collocations" ->
       s"""WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |tr AS (

@@ -239,6 +239,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5), "fluent flag must split the corpus")
   }
 
+  test("curriculum deciles match a brute-force global sort; histogram plan, no doc-row global window") {
+    val got = TextOps.nsCorpusCurriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty)
+    // brute force: rank by (score, doc_id), decile = (rank-1)*10/N + 1
+    val n = got.size
+    val want = got.map(r => (r._1, r._2, r._3)).sortBy(t => (t._3, t._1))
+      .zipWithIndex.map { case ((id, nt, s), i) =>
+        (id, nt, s, (i + 1).toLong, (i.toLong * 10) / n + 1)
+      }.sortBy(_._1)
+    assert(got.sortBy(_._1) == want,
+      s"decile mismatch: got=${got.take(3)} want=${want.take(3)}")
+    // deciles are contiguous in score order and balanced within 1
+    val sizes = got.groupBy(_._5).map(_._2.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
+    val byScore = got.sortBy(t => (t._3, t._1)).map(_._5)
+    assert(byScore.sliding(2).forall(p => p.head <= p.last), "deciles not monotone in score")
+    // plan pin: the only single-partition exchange feeds the score
+    // HISTOGRAM (an aggregate), never raw doc rows
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = noAqeNodes(TextOps.nsCorpusCurriculum(spark, sfDir))
+    val single = nodes.collect { case e: ShuffleExchangeExec
+      if e.outputPartitioning.numPartitions == 1 => e }
+    assert(single.nonEmpty, "expected the histogram offset window's 1-partition exchange")
+    single.foreach { e =>
+      assert(collectAllPlans(e).exists(_.nodeName.toLowerCase.contains("aggregate")),
+        s"single-partition exchange feeds raw doc rows: ${e.child.nodeName}")
+    }
+  }
+
   test("collocations match a brute-force lift ranking with lexicographic ties") {
     val trans = Tables.documents(spark, sfDir).select("text")
       .collect().map(_.getString(0).toLowerCase.split(" ", -1))
