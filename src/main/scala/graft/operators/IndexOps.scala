@@ -142,6 +142,36 @@ object IndexOps {
       s"$root/centroids", "bucket")
   }
 
+  /** Merge a batch of NEWLY-ARRIVED vectors into a stored IVF index:
+    * assignment runs against the STORED centroid model (the index's
+    * model, never retrained — a batch re-clustering would move existing
+    * inverted lists), and only the clusters the batch lands in are read
+    * and republished (k-bounded touched list; untouched inverted lists
+    * are never opened). Re-delivery is LWW-idempotent on vec_id WITHIN
+    * the delivered clusters; the contract is the BM25 store's:
+    * at-least-once delivery of IMMUTABLE vectors (a re-delivered vec_id
+    * carries the same embedding, so it deterministically lands in the
+    * same cluster — mutating a vector's embedding requires an explicit
+    * delete pass, exactly as in any content-addressed store).
+    */
+  def updateIvfIndex(emb: DataFrame, root: String): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val assign = emb.withColumn("cluster",
+      SimilarityOps.centroidRanking(SimilarityOps.centLits(cents))(0)("cent_id"))
+    val touched = assign.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the cluster count
+    val cols = assign.columns
+    val old = spark.read.parquet(s"$root/assignments")
+      .where(col("cluster").isin(touched: _*))
+      .select(cols.map(c => col(c).cast(assign.schema(c).dataType)): _*)
+    MergeSink.publishPartitioned(
+      MergeSink.upsert(old, assign, Seq("vec_id")), s"$root/assignments", "cluster")
+  }
+
   /** IVF top-k FROM the stored artifact: centroids are read back to the
     * driver (k x dim — metadata scale, the MLlib KMeans posture), the
     * stored cluster assignment is trusted (never recomputed), and only

@@ -62,6 +62,38 @@ class IndexOpsSpec extends SparkSpec {
     assert(got == want, s"ivf index-served mismatch: got=${got.take(3)} want=${want.take(3)}")
   }
 
+  test("incremental ivf update converges to a full assign under the same model") {
+    import graft.model.Tables
+    val emb = SimilarityOps.embeddings(spark, sfDir)
+    val isBatch = col("vec_id") % 10 < 2
+    val root = tmpRoot("graft_ivf_incr")
+    IndexOps.buildIvfIndex(emb.where(!isBatch), root)
+    val partial = spark.read.parquet(s"$root/assignments").count()
+    IndexOps.updateIvfIndex(emb.where(isBatch), root)
+    // stored assignments == assigning EVERY vector against the stored
+    // (80%-corpus) centroid model — the batch must not have re-clustered
+    val cents = spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val want = emb.withColumn("cluster",
+      SimilarityOps.centroidRanking(SimilarityOps.centLits(cents))(0)("cent_id").cast("int"))
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = spark.read.parquet(s"$root/assignments")
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(partial < got.size, "update added nothing — test is vacuous")
+    assert(got == want, s"stored assignment diverges from the model: " +
+      s"${(got.toSet -- want.toSet).take(3)}")
+    // replay idempotency: re-delivering the batch changes nothing
+    IndexOps.updateIvfIndex(emb.where(isBatch), root)
+    val again = spark.read.parquet(s"$root/assignments")
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got, "replayed batch mutated the index")
+    assert(Tables.embeddings(spark, sfDir).count() == got.size)
+  }
+
   test("ivf index query reads only probed clusters (partition pruning)") {
     val root = tmpRoot("graft_ivf_prune")
     IndexOps.buildIvfIndex(SimilarityOps.embeddings(spark, sfDir), root)
