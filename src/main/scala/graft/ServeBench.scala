@@ -50,7 +50,11 @@ object ServeBench {
     val pipes = SparkEntry.queries.toSeq
       .filter { case (n, _) =>
         n.startsWith("pipe_") &&
-          n != "pipe_training_corpus" && n != "pipe_corpus_build" }
+          // batch data-prep pipelines, not API endpoints — a serving
+          // harness measuring them would report corpus-build latency as
+          // request latency
+          n != "pipe_training_corpus" && n != "pipe_corpus_build" &&
+          n != "pipe_select_pack" }
       .sortBy(_._1)
 
     // Warm once single-threaded: codegen/footers are per-JVM costs a
