@@ -99,6 +99,46 @@ object SamplingOps {
       .orderBy("lang", "q")
   }
 
+  // ---- Per-source document cap --------------------------------------------
+
+  private[graft] val SourceCap = 15L
+
+  /** RefinedWeb-style per-source cap (Penedo et al. 2023 cap web domains;
+    * the reference analog is its per-index LIMITed leaderboards): each
+    * source keeps its [[SourceCap]] highest-quality documents, quality
+    * being the integer stopword density q_u = (stop_hits * 1e6) div words
+    * — exact Long arithmetic, so the rank order is engine-identical with
+    * (q_u DESC, doc_id) tiebreaks and no float ever enters the ordering.
+    *
+    * One exchange on `source` feeds both the rank window and the output
+    * sort. Sources are the classic skewed key (a crawl's top domain can
+    * be ~10% of the corpus): the window itself never materializes a
+    * group — `rank <= cap` pushes map-side via WindowGroupLimit, so each
+    * partition forwards at most cap rows per source before the final
+    * per-source top-cap merge — the same bounded-partial shape as op43's
+    * per-key top-N. For a single source too hot for one reducer even
+    * after that, the exact-decile histogram trick of ns_corpus_curriculum
+    * (score-histogram offsets instead of a doc-row window) applies
+    * unchanged, because q_u is already a bounded integer domain.
+    */
+  def nsCorpusSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val stopHits =
+      "size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','is','to','in')))"
+    Tables.documents(spark, dir)
+      .where(size(ws) > 0)
+      .select(
+        col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_words"),
+        expr(s"(CAST($stopHits AS BIGINT) * 1000000) DIV CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)")
+          .as("q_u"))
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("q_u").desc, col("doc_id").asc)).cast("long"))
+      .where(col("src_rank") <= SourceCap)
+      .orderBy("source", "src_rank")
+  }
+
   // ---- DSIR importance resampling -----------------------------------------
 
   private val DsirBuckets = 128
@@ -265,10 +305,28 @@ object SamplingOps {
     "ns_corpus_sample_exact" -> (nsCorpusSampleExact _),
     "ns_corpus_sample_hash" -> (nsCorpusSampleHash _),
     "ns_corpus_dsir" -> (nsCorpusDsir _),
+    "ns_corpus_source_cap" -> (nsCorpusSourceCap _),
     "ns_text_quantiles" -> (nsTextQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "ns_corpus_dsir" -> dsirOracle,
+    "ns_corpus_source_cap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS n_words,
+         |         CAST(len(list_filter(string_split(lower(text), ' '),
+         |           t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS stop_hits
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0),
+         |q AS (
+         |  SELECT doc_id, source, n_words, (stop_hits * 1000000) // n_words AS q_u FROM d),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |              ORDER BY q_u DESC, doc_id ASC) AS BIGINT) AS src_rank
+         |  FROM q)
+         |SELECT doc_id, source, n_words, q_u, src_rank
+         |FROM r WHERE src_rank <= $SourceCap
+         |ORDER BY source, src_rank""".stripMargin,
     "ns_corpus_sample_exact" ->
       s"""WITH h AS (
         |  SELECT doc_id, lang, source, n_chars,

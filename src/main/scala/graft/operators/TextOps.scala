@@ -215,6 +215,65 @@ object TextOps {
       .withColumn("repetitive", col("dup_ratio") > 0.03)
       .orderBy("doc_id")
 
+  // ---- Gopher-rules composite quality filter ------------------------------
+
+  /** The Gopher quality-rule battery (Rae et al. 2021 §A1.1) as ONE
+    * shuffle-free projection — the standard pretraining document gate,
+    * composed from the same signal family the individual queries
+    * ([[nsTextQuality]], [[nsTextRepetition]]) expose, but evaluated
+    * entirely inside whole-stage codegen with NO cross-row operator
+    * anywhere: even the 3-gram duplication rule runs on an in-row array
+    * (`transform`/`array_distinct`), not the exploded shingle shuffle —
+    * a per-document rule never needs one. Scan → Project → (presentation
+    * sort); linear in bytes, the 100 TB ingest-filter shape.
+    *
+    * Every ratio is fixed-pointed to integer micro-units with Long
+    * `DIV` (floor) so both engines compare identical integers — no float
+    * enters any rule decision. Rules (thresholds from the paper, word
+    * bounds adapted to the fixture's 10-99-word documents so the gate
+    * is exercised in both directions):
+    *   r_words:   20 <= n_words <= 90
+    *   r_mwl:     mean word length in [3, 10]
+    *   r_symbol:  symbols (non-alphanumeric chars) per word <= 0.1
+    *   r_alpha:   >= 80% of words contain a letter
+    *   r_stop:    >= 2 distinct function words present
+    *   r_rep:     duplicate word-3-gram mass <= 3% (vacuous under 3 words)
+    */
+  def nsTextGopher(spark: SparkSession, dir: String): DataFrame = {
+    val ws = "filter(split(lower(text), ' '), w -> w != '')"
+    val stopList = "'the','a','of','and','is','to','in','that','be','have','with'"
+    Tables.documents(spark, dir)
+      .withColumn("nw", expr(s"CAST(size($ws) AS BIGINT)"))
+      .where(col("nw") > 0)
+      .withColumn("mwl_u", expr(
+        s"(aggregate(transform($ws, w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000) DIV nw"))
+      .withColumn("sym_u", expr(
+        s"(CAST(size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) * 1000000) DIV nw"))
+      .withColumn("alpha_u", expr(
+        s"(CAST(size(filter($ws, w -> w RLIKE '[a-z]')) AS BIGINT) * 1000000) DIV nw"))
+      .withColumn("n_stop_distinct", expr(
+        s"CAST(size(array_distinct(filter($ws, t -> t IN ($stopList)))) AS BIGINT)"))
+      .withColumn("dup3_u", expr(
+        s"""CASE WHEN nw >= 3 THEN
+           |  ((nw - 2 - CAST(size(array_distinct(transform(sequence(1, CAST(nw AS INT) - 2),
+           |      i -> concat(element_at($ws, i), ' ', element_at($ws, i + 1), ' ', element_at($ws, i + 2))))) AS BIGINT))
+           |   * 1000000) DIV (nw - 2)
+           |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(
+        col("doc_id"), col("nw").as("n_words"), col("mwl_u"), col("sym_u"),
+        col("alpha_u"), col("n_stop_distinct"), col("dup3_u"),
+        (col("nw") >= 20 && col("nw") <= 90).as("r_words"),
+        (col("mwl_u") >= 3000000L && col("mwl_u") <= 10000000L).as("r_mwl"),
+        (col("sym_u") <= 100000L).as("r_symbol"),
+        (col("alpha_u") >= 800000L).as("r_alpha"),
+        (col("n_stop_distinct") >= 2L).as("r_stop"),
+        (col("dup3_u") <= 30000L).as("r_rep"))
+      .withColumn("pass",
+        col("r_words") && col("r_mwl") && col("r_symbol")
+          && col("r_alpha") && col("r_stop") && col("r_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-frequency rarity scoring (the CCNet/Gopher-family quality
     * signal computed from the corpus itself): per document, the mean
     * corpus frequency of its words and the fraction of words that are
@@ -824,6 +883,7 @@ object TextOps {
     "ns_text_salient" -> (nsTextSalient _),
     "ns_text_rarity" -> (nsTextRarity _),
     "ns_text_repetition" -> (nsTextRepetition _),
+    "ns_text_gopher" -> (nsTextGopher _),
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
@@ -1056,6 +1116,43 @@ object TextOps {
         |       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
         |             / count(*), 6) > 0.5 AS rare_heavy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns_text_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS nw,
+        |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS wchars,
+        |         CAST(len(regexp_extract_all(lt, '[^a-z0-9 ]')) AS BIGINT) AS punct,
+        |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(list_distinct(list_filter(ws,
+        |           t -> t IN ('the','a','of','and','is','to','in','that','be','have','with')))) AS BIGINT) AS n_stop_distinct,
+        |         CASE WHEN len(ws) >= 3 THEN
+        |           CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+        |             i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]))) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS dup3
+        |  FROM d WHERE len(ws) > 0),
+        |u AS (
+        |  SELECT doc_id, nw,
+        |         (wchars * 1000000) // nw AS mwl_u,
+        |         (punct * 1000000) // nw AS sym_u,
+        |         (alpha_words * 1000000) // nw AS alpha_u,
+        |         n_stop_distinct,
+        |         CASE WHEN nw >= 3 THEN (dup3 * 1000000) // (nw - 2) ELSE 0 END AS dup3_u
+        |  FROM s)
+        |SELECT doc_id, nw AS n_words, mwl_u, sym_u, alpha_u, n_stop_distinct, dup3_u,
+        |       nw BETWEEN 20 AND 90 AS r_words,
+        |       mwl_u BETWEEN 3000000 AND 10000000 AS r_mwl,
+        |       sym_u <= 100000 AS r_symbol,
+        |       alpha_u >= 800000 AS r_alpha,
+        |       n_stop_distinct >= 2 AS r_stop,
+        |       dup3_u <= 30000 AS r_rep,
+        |       (nw BETWEEN 20 AND 90) AND (mwl_u BETWEEN 3000000 AND 10000000)
+        |         AND sym_u <= 100000 AND alpha_u >= 800000
+        |         AND n_stop_distinct >= 2 AND dup3_u <= 30000 AS pass
+        |FROM u ORDER BY doc_id""".stripMargin,
     "ns_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -49,4 +49,36 @@ class SamplingOpsSpec extends SparkSpec {
     assert(meanAvg(t) > meanAvg(s),
       "target documents do not score above source documents")
   }
+
+  test("per-source cap keeps the top-cap docs per source by integer stopword density") {
+    val stops = Set("the", "a", "of", "and", "is", "to", "in")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = docs.flatMap { case (id, src, t) =>
+      val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else Some((id, src, ws.length.toLong,
+        ws.count(stops) * 1000000L / ws.length))
+    }
+    val want = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._1)).take(SamplingOps.SourceCap.toInt)
+        .zipWithIndex.map { case ((id, src, nw, q), i) =>
+          Seq[Any](id, src, nw, q, (i + 1).toLong)
+        }
+    }.sortBy(r => (r(1).asInstanceOf[String], r(4).asInstanceOf[Long]))
+    val got = SamplingOps.nsCorpusSourceCap(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"source cap mismatch: got=${got.take(3)} want=${want.take(3)}")
+    // The cap binds: at least one source had more docs than the cap.
+    val perSource = docs.groupBy(_._2).map(_._2.size)
+    assert(perSource.exists(_ > SamplingOps.SourceCap),
+      "fixture never exceeds the cap — the gate is untested")
+    assert(got.groupBy(_(1)).values.forall(_.size <= SamplingOps.SourceCap))
+  }
+
+  test("per-source cap plan: rank filter pushes map-side as WindowGroupLimit") {
+    val plans = collectAllPlans(
+      SamplingOps.nsCorpusSourceCap(spark, sfDir).queryExecution.executedPlan)
+    assert(plans.exists(_.nodeName.contains("WindowGroupLimit")),
+      s"no WindowGroupLimit in:\n${plans.map(_.nodeName).distinct}")
+  }
 }

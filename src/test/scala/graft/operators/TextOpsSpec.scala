@@ -366,4 +366,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(r => r(1).asInstanceOf[Long] >= 1L &&
       r(3).asInstanceOf[Long] >= 1L))
   }
+
+  test("gopher rules match a brute-force fold and gate in both directions") {
+    val stops = Set("the", "a", "of", "and", "is", "to", "in", "that", "be", "have", "with")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, t) =>
+      val lt = t.toLowerCase
+      val ws = lt.split(" ", -1).filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val nw = ws.length.toLong
+        val mwl = ws.map(_.length.toLong).sum * 1000000L / nw
+        val sym = lt.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toLong * 1000000L / nw
+        val alpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong * 1000000L / nw
+        val nstop = ws.filter(stops).distinct.length.toLong
+        val dup3 =
+          if (nw >= 3) {
+            val sh = ws.sliding(3).map(_.mkString(" ")).toSeq
+            (sh.size - sh.distinct.size).toLong * 1000000L / (nw - 2)
+          } else 0L
+        val rules = Seq(nw >= 20 && nw <= 90, mwl >= 3000000L && mwl <= 10000000L,
+          sym <= 100000L, alpha >= 800000L, nstop >= 2L, dup3 <= 30000L)
+        Some(Seq[Any](id, nw, mwl, sym, alpha, nstop, dup3) ++ rules :+ rules.forall(identity))
+      }
+    }.sortBy(_.head.asInstanceOf[Long]).toSeq
+    val got = TextOps.nsTextGopher(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"gopher mismatch: got=${got.take(2)} want=${want.take(2)}")
+    // the gate is exercised: both kept and dropped documents exist, and at
+    // least two different rules fire somewhere
+    val passes = got.count(_.last == true)
+    assert(passes > 0 && passes < got.size, s"gate degenerate: $passes/${got.size}")
+    val ruleCols = 7 until 13
+    assert(ruleCols.count(i => got.exists(_(i) == false)) >= 2,
+      "fewer than two rules ever fire on the fixture")
+  }
+
+  test("gopher plan is a pure projection: no explode, no join, no aggregate") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def build = TextOps.nsTextGopher(spark, sfDir)
+    val nodes = noAqeNodes(build)
+    assert(!nodes.exists(_.nodeName.contains("Generate")), nodes.map(_.nodeName).toString)
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("join")))
+    assert(!nodes.exists(_.nodeName.contains("Aggregate")))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      nodes.map(_.nodeName).toString) // presentation sort only
+  }
 }
