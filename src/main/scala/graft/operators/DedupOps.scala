@@ -635,6 +635,34 @@ object DedupOps {
         (col("n_common") >= 10).as("drop_doc"))
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of
+    * [[nsDecontaminate]]'s exact-overlap scan: a training document is
+    * dropped when it is a MinHash near-duplicate (verified Jaccard >=
+    * 0.5) of ANY eval-set document, catching paraphrase-grade leakage
+    * that the shared-shingle count underweights (the eval-contamination
+    * regime of Lee et al. 2022's dedup study). Built from the SAME index
+    * machinery as [[nsDedupIncremental]]/streaming admission — the eval
+    * set (tiny, like every real benchmark suite) is indexed once via
+    * [[corpusIndex]], the training corpus streams against it band-first
+    * ([[matchAgainstIndex]]: train x eval candidates only, NEVER
+    * train x train), then one train-doc-keyed aggregation. At 100 TB the
+    * eval index is metadata-scale (banded signatures + shingle sets of a
+    * few thousand docs) and broadcast, so the whole pass adds one linear
+    * scan over the corpus plus an O(matches) aggregation.
+    */
+  def nsDecontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0
+    val (evalBanded, evalSets) = corpusIndex(docs.where(isEval))
+    matchAgainstIndex(docs.where(!isEval), evalBanded, evalSets)
+      .groupBy(col("batch_doc").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        max("jaccard").as("max_jaccard"))
+      .withColumn("drop_doc", lit(true))
+      .orderBy("doc_id")
+  }
+
   // ---- Cross-document repeated spans --------------------------------------
 
   private[operators] val SpanK = 50
@@ -777,6 +805,7 @@ object DedupOps {
     "ns_dedup_components" -> (nsDedupComponents _),
     "ns_dedup_corpus" -> (nsDedupCorpus _),
     "ns_dedup_incremental" -> (nsDedupIncremental _),
+    "ns_decontaminate_fuzzy" -> (nsDecontaminateFuzzy _),
     "ns_dedup_spans" -> (nsDedupSpans _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
@@ -922,6 +951,41 @@ object DedupOps {
        |SELECT batch_doc, corpus_doc, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY batch_doc, corpus_doc""".stripMargin
 
+  /** Generated fuzzy-decontamination oracle: train-vs-eval band join over
+    * the same signatures, Jaccard-verified, aggregated per train doc.
+    */
+  private def fuzzyDecontaminateOracle: String =
+    s"""WITH $shingleCte,
+       |fp AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(sha256(shingle), 1, 15))::BIGINT & 4294967295 AS x
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minColsSql
+       |  FROM fp GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0 AND (
+       |    $bandOrSql)),
+       |norm AS (
+       |  SELECT train_doc, eval_doc,
+       |         least(train_doc, eval_doc) AS doc_a,
+       |         greatest(train_doc, eval_doc) AS doc_b
+       |  FROM cand),
+       |j AS (
+       |  SELECT n.train_doc, n.eval_doc,
+       |         round(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+       |  FROM norm n
+       |  JOIN p ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+       |  JOIN card ca ON n.train_doc = ca.doc_id
+       |  JOIN card cb ON n.eval_doc = cb.doc_id)
+       |SELECT train_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |       max(jaccard) AS max_jaccard, TRUE AS drop_doc
+       |FROM j WHERE jaccard >= 0.5
+       |GROUP BY train_doc ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ns_dedup_lines" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -955,6 +1019,7 @@ object DedupOps {
     "ns_dedup_minhash" -> minhashOracle,
     "ns_dedup_simhash" -> simhashOracle,
     "ns_dedup_incremental" -> incrementalOracle,
+    "ns_decontaminate_fuzzy" -> fuzzyDecontaminateOracle,
     "ns_dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id, sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

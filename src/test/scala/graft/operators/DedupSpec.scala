@@ -339,4 +339,28 @@ class DedupSpec extends SparkSpec {
     // boilerplate actually fires somewhere in the fixture
     assert(got.exists(_(2).asInstanceOf[Long] > 0L))
   }
+
+  test("fuzzy decontamination equals the exact cross-split jaccard truth") {
+    // Ground truth from the exact all-pairs jaccard (threshold 0.5),
+    // restricted to pairs that straddle the %50 eval split, aggregated
+    // per TRAIN doc — the LSH+verify path must reproduce it exactly
+    // (planted similarity >= 0.9 means banding misses nothing).
+    val exact = DedupOps.nsDedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = exact.flatMap { case (a, b, j) =>
+      (a % 50 == 0, b % 50 == 0) match {
+        case (true, false) => Some(b -> j)
+        case (false, true) => Some(a -> j)
+        case _ => None
+      }
+    }
+    val want = cross.groupBy(_._1).toSeq.map { case (id, ms) =>
+      Seq[Any](id, ms.size.toLong, ms.map(_._2).max, true)
+    }.sortBy(_.head.asInstanceOf[Long])
+    val got = DedupOps.nsDecontaminateFuzzy(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"fuzzy-decon mismatch: got=${got.take(3)} want=${want.take(3)}")
+    assert(got.nonEmpty, "no cross-split contamination in the fixture — vacuous")
+    // every flagged doc is a TRAIN doc
+    assert(got.forall(_(0).asInstanceOf[Long] % 50 != 0))
+  }
 }
