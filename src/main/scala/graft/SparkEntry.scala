@@ -30,6 +30,7 @@ object SparkEntry {
       (PackingOps.queries, PackingOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
+      (HybridOps.queries, HybridOps.oracles),
       (IndexOps.queries, IndexOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
       (Pipelines.queries, Pipelines.oracles),

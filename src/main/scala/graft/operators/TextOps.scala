@@ -704,9 +704,42 @@ object TextOps {
 
   // ---- BM25 lexical retrieval ---------------------------------------------
 
-  private val BmQueryEvery = 50L
+  private[operators] val BmQueryEvery = 50L
   private val BmQTerms = 12
-  private val BmTopK = 10
+  private[operators] val BmTopK = 10
+
+  /** The BM25 retrieval oracle as a reusable CTE chain ending in
+    * `r(query_id, doc_id, n_common_terms, score, rnk)` — shared by the
+    * `ns_text_bm25` / `ns_text_bm25_indexed` oracles and the hybrid-RRF
+    * fusion oracle ([[HybridOps]]), so the lexical side of every
+    * consumer moves with the same constants.
+    */
+  private[operators] def bm25OracleCtes: String =
+    s"""w AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+       |  FROM documents),
+       |tf AS (SELECT doc_id, wd, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+       |dfx AS (SELECT wd, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dlen) AS BIGINT) AS n_toks FROM dl),
+       |qt AS (SELECT query_id, wd, df FROM (
+       |    SELECT tf.doc_id AS query_id, tf.wd, dfx.df,
+       |           row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfx.df, tf.wd) AS qr
+       |    FROM tf JOIN dfx USING (wd)
+       |    WHERE tf.doc_id % $BmQueryEvery = 0 AND dfx.df >= 2)
+       |  WHERE qr <= $BmQTerms),
+       |cand AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.wd, tf.tf, qt.df, dl.dlen, st.n_docs, st.n_toks
+       |  FROM tf JOIN qt USING (wd) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.query_id),
+       |sc AS (
+       |  SELECT query_id, doc_id, count(*) AS n_common_terms,
+       |         CAST(sum(CAST(round(($BmTermScore) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_u
+       |  FROM cand GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, n_common_terms,
+       |        round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score,
+       |        row_number() OVER
+       |        (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rnk FROM sc)""".stripMargin
 
   /** Shared Spark/DuckDB BM25 term-score expression (k1=1.2, b=0.75, the
     * Robertson defaults, with Lucene's `ln(1+odds)` idf so every
@@ -1050,31 +1083,7 @@ object TextOps {
          |FROM z ORDER BY doc_id""".stripMargin
     },
     "ns_text_bm25" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
-         |  FROM documents),
-         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM w GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
-         |dfx AS (SELECT wd, count(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dlen) AS BIGINT) AS n_toks FROM dl),
-         |qt AS (SELECT query_id, wd, df FROM (
-         |    SELECT tf.doc_id AS query_id, tf.wd, dfx.df,
-         |           row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfx.df, tf.wd) AS qr
-         |    FROM tf JOIN dfx USING (wd)
-         |    WHERE tf.doc_id % $BmQueryEvery = 0 AND dfx.df >= 2)
-         |  WHERE qr <= $BmQTerms),
-         |cand AS (
-         |  SELECT qt.query_id, tf.doc_id, tf.wd, tf.tf, qt.df, dl.dlen, st.n_docs, st.n_toks
-         |  FROM tf JOIN qt USING (wd) JOIN dl USING (doc_id) CROSS JOIN st
-         |  WHERE tf.doc_id <> qt.query_id),
-         |sc AS (
-         |  SELECT query_id, doc_id, count(*) AS n_common_terms,
-         |         CAST(sum(CAST(round(($BmTermScore) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_u
-         |  FROM cand GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, n_common_terms,
-         |        round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS score,
-         |        row_number() OVER
-         |        (PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
+      s"""WITH $bm25OracleCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_common_terms, score
          |FROM r WHERE rnk <= $BmTopK ORDER BY query_id, rnk""".stripMargin,
     "ns_text_chunks" ->
