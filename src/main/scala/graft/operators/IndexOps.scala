@@ -193,6 +193,102 @@ object IndexOps {
     SimilarityOps.ivfProbeRerank(assign, queries, SimilarityOps.centLits(cents))
   }
 
+  /** Build + publish the IVF+PQ index — the canonical production ANN
+    * artifact: per-vector cluster + 8 PQ codes from one map-side
+    * projection, written partitioned BY CLUSTER (the inverted lists of
+    * 4-byte codes), plus the two metadata-scale model tables (centroids,
+    * codebooks). At 100 TB the codes table is ~1/64 the corpus bytes and
+    * each query's probes read only their clusters' files.
+    */
+  def buildIvfPqIndex(emb: DataFrame, root: String): Unit = {
+    import emb.sparkSession.implicits._
+    val cents = SimilarityOps.seedCentroids(emb)
+    val books = SimilarityOps.pqCodebooks(emb)
+    val codeCols = (0 until SimilarityOps.PqSubspaces)
+      .map(m => SimilarityOps.pqCodeCol(m, books).as(s"c$m"))
+    val codes = emb.select(col("vec_id") +:
+      SimilarityOps.centroidRanking(SimilarityOps.centLits(cents))(0)("cent_id").as("cluster") +:
+      codeCols: _*)
+    MergeSink.publishPartitioned(codes, s"$root/codes", "cluster")
+    MergeSink.publishPartitioned(
+      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cent_id", "embedding").withColumn("bucket", lit(0)),
+      s"$root/centroids", "bucket")
+    val bookRows = for {
+      m <- books.indices; k <- books(m).indices
+    } yield (m, k, books(m)(k).toSeq)
+    MergeSink.publishPartitioned(
+      bookRows.toDF("m", "code", "cv").withColumn("bucket", lit(0)),
+      s"$root/codebooks", "bucket")
+  }
+
+  private def readCentroids(spark: SparkSession, root: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id").cast("int"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  private def readCodebooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$root/codebooks")
+      .select(col("m").cast("int"), col("code").cast("int"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = rows.groupBy(_._1)
+    Array.tabulate(bySub.size) { m =>
+      bySub(m).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Merge a batch of NEWLY-ARRIVED vectors into a stored IVF+PQ index:
+    * cluster assignment AND PQ encoding both run against the STORED
+    * model (centroids + codebooks — never retrained, the
+    * [[updateIvfIndex]] contract: re-clustering or re-training would
+    * silently re-key existing lists/codes), and only the touched
+    * clusters are read and republished. LWW-idempotent on vec_id within
+    * the delivered clusters.
+    */
+  def updateIvfPqIndex(emb: DataFrame, root: String): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.DotProduct.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = readCentroids(spark, root)
+    val books = readCodebooks(spark, root)
+    val codeCols = (0 until SimilarityOps.PqSubspaces)
+      .map(m => SimilarityOps.pqCodeCol(m, books).as(s"c$m"))
+    val assign = emb.select(col("vec_id") +:
+      SimilarityOps.centroidRanking(SimilarityOps.centLits(cents))(0)("cent_id").as("cluster") +:
+      codeCols: _*)
+    val touched = assign.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the cluster count
+    val cols = assign.columns
+    val old = spark.read.parquet(s"$root/codes")
+      .where(col("cluster").isin(touched: _*))
+      .select(cols.map(c => col(c).cast(assign.schema(c).dataType)): _*)
+    MergeSink.publishPartitioned(
+      MergeSink.upsert(old, assign, Seq("vec_id")), s"$root/codes", "cluster")
+  }
+
+  /** IVF+PQ top-k FROM the stored artifact: model tables read back to the
+    * driver (metadata scale), stored codes trusted, query vectors are
+    * RUNTIME INPUT (an index stores the corpus, not the queries) ranked
+    * against the stored centroids, then the shared
+    * [[SimilarityOps.ivfPqAdcSearch]] stage.
+    */
+  def queryIvfPqIndex(spark: SparkSession, root: String, queries: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = readCentroids(spark, root)
+    val books = readCodebooks(spark, root)
+    val stored = spark.read.parquet(s"$root/codes")
+    val cands = stored.select(col("vec_id").as("neighbor_id") +:
+      col("cluster").cast("int").as("cluster") +:
+      (0 until SimilarityOps.PqSubspaces).map(m => col(s"c$m")): _*)
+    val probes = queries
+      .withColumn("_cr", SimilarityOps.centroidRanking(SimilarityOps.centLits(cents)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(col("_cr"), 1, SimilarityOps.IvfProbes)).as("pr"))
+      .select(col("query_id"), col("q_emb"), col("pr")("cent_id").as("cluster"))
+    SimilarityOps.ivfPqAdcSearch(cands, probes, books)
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Per-process artifact root: unique per JVM (concurrent sbt sessions
@@ -220,14 +316,25 @@ object IndexOps {
     queryIvfIndex(spark, root)
   }
 
+  def nsSimIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("ivfpq", dir)
+    val emb = SimilarityOps.embeddings(spark, dir)
+    buildIvfPqIndex(emb, root)
+    queryIvfPqIndex(spark, root,
+      emb.where(col("vec_id") < SimilarityOps.QuantQueries)
+        .select("vec_id", "embedding"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
-    "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _))
+    "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _),
+    "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _))
 
   /** The stored-index queries answer the SAME question as their in-session
     * twins, so they share those oracles verbatim.
     */
   val oracles: Map[String, String] = Map(
     "ns_text_bm25_indexed" -> TextOps.oracles("ns_text_bm25"),
-    "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"))
+    "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
+    "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"))
 }

@@ -307,7 +307,7 @@ object SimilarityOps {
 
   // ---- int8 quantization --------------------------------------------------
 
-  private val QuantQueries = 50
+  private[operators] val QuantQueries = 50
 
   /** Symmetric int8 quantization of every embedding (scale = max |x|,
     * q = round(x / scale * 127)).
@@ -681,7 +681,7 @@ object SimilarityOps {
 
   // ---- product quantization (PQ) ------------------------------------------
 
-  private val PqSubspaces = 8
+  private[operators] val PqSubspaces = 8
   private val PqSubDim = Dim / PqSubspaces // 8
   private val PqCodes = 16 // 4-bit codes x 8 subspaces = 32-bit PQ code
 
@@ -734,7 +734,7 @@ object SimilarityOps {
     * c0..c7). Fixed accumulation order, so the DuckDB oracle replays the
     * float arithmetic term by term. Expects a `q_emb` column.
     */
-  private def adcApprox(books: Array[Array[Array[Double]]]): Column =
+  private[operators] def adcApprox(books: Array[Array[Array[Double]]]): Column =
     round((0 until PqSubspaces).map { m =>
       call_function("dot_product",
         expr(s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"),
@@ -782,6 +782,17 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(slice(col("_cr"), 1, IvfProbes)).as("pr"))
       .select(col("query_id"), col("q_emb"), col("pr")("cent_id").as("cluster"))
+    ivfPqAdcSearch(cands, probes, books)
+  }
+
+  /** The IVF+PQ probe/score stage over a (cluster, codes) candidate
+    * table — shared verbatim by the in-session query above and the
+    * stored-artifact query ([[IndexOps.queryIvfPqIndex]]), the
+    * [[TextOps.bm25Search]] contract applied to ANN.
+    */
+  private[operators] def ivfPqAdcSearch(
+      cands: DataFrame, probes: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     broadcast(probes).join(cands, "cluster")

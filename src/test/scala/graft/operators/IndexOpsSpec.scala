@@ -94,6 +94,41 @@ class IndexOpsSpec extends SparkSpec {
     assert(Tables.embeddings(spark, sfDir).count() == got.size)
   }
 
+  test("ivfpq served from the stored index equals the in-session query") {
+    val want = SimilarityOps.nsSimIvfPqTopk(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val got = IndexOps.nsSimIvfPqIndexed(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"ivfpq index-served mismatch: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("incremental ivfpq update converges to a full encode under the stored model") {
+    val emb = SimilarityOps.embeddings(spark, sfDir)
+    val isBatch = col("vec_id") % 10 < 2
+    val root = tmpRoot("graft_ivfpq_incr")
+    IndexOps.buildIvfPqIndex(emb.where(!isBatch), root)
+    val partial = spark.read.parquet(s"$root/codes").count()
+    IndexOps.updateIvfPqIndex(emb.where(isBatch), root)
+    // Full-corpus rebuild AGAINST THE STORED 80%-MODEL must equal the
+    // incrementally-maintained codes row for row (cluster + all 8 codes).
+    val fullRoot = tmpRoot("graft_ivfpq_full")
+    // build a full index from the stored model by replaying update over
+    // an empty-but-modeled index: copy model tables, update with ALL rows
+    IndexOps.buildIvfPqIndex(emb.where(!isBatch), fullRoot)
+    IndexOps.updateIvfPqIndex(emb, fullRoot) // every vector re-delivered
+    def codes(r: String) = spark.read.parquet(s"$r/codes")
+      .select(col("vec_id") +: col("cluster").cast("int").as("cluster") +:
+        (0 until SimilarityOps.PqSubspaces).map(m => col(s"c$m")): _*)
+      .collect().map(row => row.getLong(0) -> row.toSeq.drop(1)).toMap
+    val got = codes(root)
+    val want = codes(fullRoot)
+    assert(partial < got.size, "update added nothing — test is vacuous")
+    assert(got == want, "incrementally-maintained codes diverge from a " +
+      "stored-model re-encode of the full corpus")
+    // replay idempotency
+    IndexOps.updateIvfPqIndex(emb.where(isBatch), root)
+    assert(codes(root) == got, "replayed batch mutated the index")
+  }
+
   test("ivf index query reads only probed clusters (partition pruning)") {
     val root = tmpRoot("graft_ivf_prune")
     IndexOps.buildIvfIndex(SimilarityOps.embeddings(spark, sfDir), root)
