@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.operators.{IndexOps, TextOps}
+import org.apache.spark.sql.functions.col
+
+/** Streaming BM25 index maintenance: micro-batches merge into the stored
+  * artifact and converge to the batch-built full index.
+  */
+class StreamingIndexSpec extends SparkSpec {
+
+  test("streamed micro-batches converge the stored index to the full build") {
+    val docs = Tables.documents(spark, sfDir)
+    val history = docs.where(col("doc_id") % 10 >= 2)
+    val arriving = docs.where(col("doc_id") % 10 < 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sidx_cp").toString
+    IndexOps.buildBm25Index(history, root)
+    // Land the arriving docs as two parquet files -> two micro-batches.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sidx_src")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    land(arriving.where(col("doc_id") % 20 < 2), "a.parquet")
+    land(arriving.where(col("doc_id") % 20 >= 10), "b.parquet")
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    StreamingIndex.bm25MaintenanceStream(stream, root, cp).awaitTermination()
+    // The maintained artifact answers EXACTLY like the in-session query
+    // over the full corpus.
+    val want = TextOps.nsTextBm25(spark, sfDir).collect().map(_.toSeq).toSeq
+    val got = IndexOps.queryBm25Index(spark, root)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      s"maintained index diverges: got=${got.take(3)} want=${want.take(3)}")
+    spark.sharedState.cacheManager.clearCache()
+    // Crash-replay: re-delivering a batch through the SAME merge path is
+    // a no-op (LWW on the term/doc key — state lives in the index).
+    val postings = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toSeq).toSet
+    IndexOps.updateBm25Index(arriving.where(col("doc_id") % 20 < 2), root)
+    val after = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toSeq).toSet
+    assert(after == postings, "replayed micro-batch mutated the index")
+  }
+}
