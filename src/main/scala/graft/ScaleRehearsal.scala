@@ -214,7 +214,8 @@ object ScaleRehearsal {
     // (publish) + read-back to the ivf search it serves.
     for (q <- Seq("ns_sim_ivf_topk", "ns_sim_lsh_topk",
            "ns_sim_pq_topk", "ns_sim_ivfpq_topk", "ns_sim_pq_trained",
-           "ns_sim_semdedup", "ns_sim_diversity_sample", "ns_sim_ivf_indexed");
+           "ns_sim_semdedup", "ns_sim_diversity_sample", "ns_sim_ivf_indexed",
+           "ns_sim_ivfpq_indexed");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x
@@ -245,7 +246,12 @@ object ScaleRehearsal {
            "ns_text_chunks", "ns_text_salient", "ns_text_bm25",
            "ns_text_classify", "ns_text_bpe_train", "ns_text_bpe_encode",
            "ns_text_bigram_lm", "ns_pack_bpe", "ns_text_bm25_indexed",
-           "ns_corpus_dsir", "pipe_select_pack", "ns_corpus_curriculum");
+           "ns_corpus_dsir", "pipe_select_pack", "ns_corpus_curriculum",
+           // Round-6b: source cap (per-source WindowGroupLimit), gopher
+           // (pure projection — the scan-bound floor), fuzzy decon (the
+           // %50 eval slice grows with the corpus here, so this measures
+           // index-size sensitivity too; production eval sets are fixed).
+           "ns_corpus_source_cap", "ns_text_gopher", "ns_decontaminate_fuzzy");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     spark.stop()
   }

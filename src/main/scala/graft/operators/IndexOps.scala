@@ -289,6 +289,68 @@ object IndexOps {
     SimilarityOps.ivfPqAdcSearch(cands, probes, books)
   }
 
+  private val DedupBuckets = 8
+
+  /** Build + publish the near-dup (MinHash) index — the stored form of
+    * [[DedupOps.corpusIndex]]: banded signatures bucketed by a hash of
+    * the band key (an arriving batch joins only the buckets its own band
+    * keys hash into) and the shingle sets bucketed by doc id (the verify
+    * stage's side table). Band rows are stored DISTINCT — candidate
+    * generation distincts anyway, and a set-valued table is what the
+    * LWW-merge incremental path can maintain exactly.
+    */
+  def buildDedupIndex(docs: DataFrame, root: String): Unit = {
+    val (banded, sets) = DedupOps.corpusIndex(docs)
+    MergeSink.publishPartitioned(
+      banded.distinct()
+        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(DedupBuckets.toLong)).cast("int")),
+      s"$root/banded", "bucket")
+    MergeSink.publishPartitioned(
+      sets.withColumn("bucket", pmod(col("doc_id"), lit(DedupBuckets.toLong)).cast("int")),
+      s"$root/sets", "bucket")
+  }
+
+  /** Merge a batch of NEWLY-ARRIVED documents into a stored near-dup
+    * index, touching only the buckets the batch's band keys / doc ids
+    * hash into. LWW on (doc_id, band_key) / (doc_id) — re-delivery of an
+    * immutable document reproduces identical rows, so replays are
+    * no-ops.
+    */
+  def updateDedupIndex(docs: DataFrame, root: String): Unit = {
+    val spark = docs.sparkSession
+    val (banded, sets) = DedupOps.corpusIndex(docs)
+    val newBanded = banded.distinct()
+      .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(DedupBuckets.toLong)).cast("int"))
+    val touched = newBanded.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+    val oldBanded = spark.read.parquet(s"$root/banded")
+      .where(col("bucket").isin(touched: _*))
+      .select(col("doc_id"), col("band_key"), col("bucket").cast("int"))
+    MergeSink.publishPartitioned(
+      MergeSink.upsert(oldBanded, newBanded, Seq("doc_id", "band_key")),
+      s"$root/banded", "bucket")
+    val newSets = sets
+      .withColumn("bucket", pmod(col("doc_id"), lit(DedupBuckets.toLong)).cast("int"))
+    val touchedDoc = newSets.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val oldSets = spark.read.parquet(s"$root/sets")
+      .where(col("bucket").isin(touchedDoc: _*))
+      .select(col("doc_id"), col("shs"), col("c"), col("bucket").cast("int"))
+    MergeSink.publishPartitioned(
+      MergeSink.upsert(oldSets, newSets, Seq("doc_id")), s"$root/sets", "bucket")
+  }
+
+  /** Near-dup matches of runtime `batchDocs` against the STORED index —
+    * the serving form of [[DedupOps.nsDedupIncremental]]: batch shingles
+    * compute in-session (queries are runtime input), candidates come
+    * from the stored banded table, the verify joins the stored sets.
+    */
+  def queryDedupIndex(spark: SparkSession, root: String, batchDocs: DataFrame): DataFrame = {
+    val banded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
+    val sets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
+    DedupOps.matchAgainstIndex(batchDocs, banded, sets)
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Per-process artifact root: unique per JVM (concurrent sbt sessions
@@ -325,10 +387,23 @@ object IndexOps {
         .select("vec_id", "embedding"))
   }
 
+  /** Build the index from the 80% corpus, then answer the 20% batch's
+    * near-dup probes from the stored files — semantics shared with
+    * [[DedupOps.nsDedupIncremental]] (same oracle).
+    */
+  def nsDedupMinhashIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("dedup", dir)
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 10 < 2
+    buildDedupIndex(docs.where(!isBatch), root)
+    queryDedupIndex(spark, root, docs.where(isBatch))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
     "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _),
-    "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _))
+    "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _),
+    "ns_dedup_minhash_indexed" -> (nsDedupMinhashIndexed _))
 
   /** The stored-index queries answer the SAME question as their in-session
     * twins, so they share those oracles verbatim.
@@ -336,5 +411,6 @@ object IndexOps {
   val oracles: Map[String, String] = Map(
     "ns_text_bm25_indexed" -> TextOps.oracles("ns_text_bm25"),
     "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
-    "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"))
+    "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"),
+    "ns_dedup_minhash_indexed" -> DedupOps.oracles("ns_dedup_incremental"))
 }

@@ -129,6 +129,40 @@ class IndexOpsSpec extends SparkSpec {
     assert(codes(root) == got, "replayed batch mutated the index")
   }
 
+  test("minhash index served from storage equals the in-session incremental query") {
+    import graft.operators.DedupOps
+    val want = DedupOps.nsDedupIncremental(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val got = IndexOps.nsDedupMinhashIndexed(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"dedup index-served mismatch: got=${got.take(3)} want=${want.take(3)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("incremental dedup-index update converges to the full build; replay idempotent") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 10 < 2
+    val root = tmpRoot("graft_dedup_incr")
+    IndexOps.buildDedupIndex(docs.where(!isBatch), root)
+    val partial = spark.read.parquet(s"$root/banded").count()
+    IndexOps.updateDedupIndex(docs.where(isBatch), root)
+    val fullRoot = tmpRoot("graft_dedup_full")
+    IndexOps.buildDedupIndex(docs, fullRoot)
+    def banded(r: String) = spark.read.parquet(s"$r/banded")
+      .select(col("doc_id"), col("band_key")).collect()
+      .map(row => (row.getLong(0), row.getStruct(1).toSeq)).toSet
+    def sets(r: String) = spark.read.parquet(s"$r/sets")
+      .select(col("doc_id"), col("shs"), col("c")).collect()
+      .map(row => (row.getLong(0), row.getSeq[Long](1).toSet, row.getLong(2))).toSet
+    val gotB = banded(root)
+    assert(partial < gotB.size, "update added nothing — test is vacuous")
+    assert(gotB == banded(fullRoot), "banded table diverges from full build")
+    assert(sets(root) == sets(fullRoot), "sets table diverges from full build")
+    IndexOps.updateDedupIndex(docs.where(isBatch), root)
+    assert(banded(root) == gotB, "replayed batch mutated the banded table")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ivf index query reads only probed clusters (partition pruning)") {
     val root = tmpRoot("graft_ivf_prune")
     IndexOps.buildIvfIndex(SimilarityOps.embeddings(spark, sfDir), root)
