@@ -240,25 +240,29 @@ object TextOps {
     *   r_rep:     duplicate word-3-gram mass <= 3% (vacuous under 3 words)
     */
   def nsTextGopher(spark: SparkSession, dir: String): DataFrame = {
-    val ws = "filter(split(lower(text), ' '), w -> w != '')"
     val stopList = "'the','a','of','and','is','to','in','that','be','have','with'"
+    // `ws` is materialized ONCE as a column: inlining the filter∘split
+    // string into the dup3 lambda makes every element_at re-split the
+    // text (measured 11-16 s at sf0.1 vs 0.4 s this way — lambda bodies
+    // get no common-subexpression elimination).
     Tables.documents(spark, dir)
-      .withColumn("nw", expr(s"CAST(size($ws) AS BIGINT)"))
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .withColumn("nw", expr("CAST(size(ws) AS BIGINT)"))
       .where(col("nw") > 0)
       .withColumn("mwl_u", expr(
-        s"(aggregate(transform($ws, w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000) DIV nw"))
+        "(aggregate(transform(ws, w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000) DIV nw"))
       .withColumn("sym_u", expr(
-        s"(CAST(size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) * 1000000) DIV nw"))
+        "(CAST(size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) * 1000000) DIV nw"))
       .withColumn("alpha_u", expr(
-        s"(CAST(size(filter($ws, w -> w RLIKE '[a-z]')) AS BIGINT) * 1000000) DIV nw"))
+        "(CAST(size(filter(ws, w -> w RLIKE '[a-z]')) AS BIGINT) * 1000000) DIV nw"))
       .withColumn("n_stop_distinct", expr(
-        s"CAST(size(array_distinct(filter($ws, t -> t IN ($stopList)))) AS BIGINT)"))
+        s"CAST(size(array_distinct(filter(ws, t -> t IN ($stopList)))) AS BIGINT)"))
       .withColumn("dup3_u", expr(
-        s"""CASE WHEN nw >= 3 THEN
-           |  ((nw - 2 - CAST(size(array_distinct(transform(sequence(1, CAST(nw AS INT) - 2),
-           |      i -> concat(element_at($ws, i), ' ', element_at($ws, i + 1), ' ', element_at($ws, i + 2))))) AS BIGINT))
-           |   * 1000000) DIV (nw - 2)
-           |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        """CASE WHEN nw >= 3 THEN
+          |  ((nw - 2 - CAST(size(array_distinct(transform(sequence(1, CAST(nw AS INT) - 2),
+          |      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))) AS BIGINT))
+          |   * 1000000) DIV (nw - 2)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
       .select(
         col("doc_id"), col("nw").as("n_words"), col("mwl_u"), col("sym_u"),
         col("alpha_u"), col("n_stop_distinct"), col("dup3_u"),
