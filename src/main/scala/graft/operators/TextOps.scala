@@ -239,13 +239,21 @@ object TextOps {
     *   r_stop:    >= 2 distinct function words present
     *   r_rep:     duplicate word-3-gram mass <= 3% (vacuous under 3 words)
     */
-  def nsTextGopher(spark: SparkSession, dir: String): DataFrame = {
+  def nsTextGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherProfile(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The rule battery as a frame transform — shared by the batch query
+    * and the ingest-time gate ([[graft.streaming.StreamingQualityGate]]),
+    * which is legal precisely because this is a stateless per-row
+    * projection.
+    */
+  private[graft] def gopherProfile(docs: DataFrame): DataFrame = {
     val stopList = "'the','a','of','and','is','to','in','that','be','have','with'"
     // `ws` is materialized ONCE as a column: inlining the filter∘split
     // string into the dup3 lambda makes every element_at re-split the
     // text (measured 11-16 s at sf0.1 vs 0.4 s this way — lambda bodies
     // get no common-subexpression elimination).
-    Tables.documents(spark, dir)
+    docs
       .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
       .withColumn("nw", expr("CAST(size(ws) AS BIGINT)"))
       .where(col("nw") > 0)
@@ -275,7 +283,6 @@ object TextOps {
       .withColumn("pass",
         col("r_words") && col("r_mwl") && col("r_symbol")
           && col("r_alpha") && col("r_stop") && col("r_rep"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-frequency rarity scoring (the CCNet/Gopher-family quality
