@@ -663,6 +663,61 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  // ---- Bloom-prefiltered decontamination ----------------------------------
+
+  /** Bloom sizing: capacity stays under Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * defaults, and `BloomBits / 8` bounds the driver-resident filter at
+    * 1 MiB by CONSTRUCTION (the aggregate allocates `numBits` up front,
+    * independent of how many shingles stream into it).
+    */
+  private[operators] val BloomItems = 1000000L
+  private[operators] val BloomBits = 8388608L
+
+  /** [[nsDecontaminate]] for the regime where the eval shingle set is too
+    * big to broadcast as an exact hash relation: the probe side collapses
+    * to a fixed-size BLOOM FILTER (Spark's own `bloom_filter_agg` /
+    * `BloomFilterMightContain`, the machinery behind its runtime
+    * row-level filtering) that prefilters corpus shingles MAP-SIDE, and
+    * only the surviving candidates take the exact confirmation join —
+    * pinned to sort-merge, NOT broadcast, because this variant exists
+    * precisely for the beyond-broadcast regime. Bloom false positives
+    * are removed by the confirmation join, so the result is row-for-row
+    * [[nsDecontaminate]] (spec-pinned, and the oracle is the same SQL).
+    *
+    * Scale arithmetic: an exact broadcast of B eval shingles costs
+    * ~16+ bytes/key in the hash relation; the bloom is `numBits/8` FIXED
+    * (1 MiB here, 8 MiB at Spark's default cap) regardless of B, at a
+    * false-positive rate that only degrades the PREFILTER selectivity,
+    * never correctness. The corpus side sends only candidate shingles
+    * into the confirm exchange — on uncontaminated data (the common
+    * case) that is ~fpp of the corpus mass instead of all of it.
+    *
+    * The one-row filter collect is a documented bounded driver edge
+    * (<= [[BloomBits]]/8 bytes by construction — same class as the Lloyd
+    * centroid collects in [[SimilarityOps]]).
+    */
+  def nsDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomProbe.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val evalSh = shingles(docs.where(col("doc_id") % 50 === 0))
+      .select("sh").distinct()
+    val corpusSh = shingles(docs.where(col("doc_id") % 50 =!= 0))
+    val bloomBytes: Array[Byte] = evalSh
+      .agg(expr(s"bloom_filter_agg(xxhash64(sh), ${BloomItems}L, ${BloomBits}L)"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = corpusSh
+      .where(call_function("might_contain", lit(bloomBytes), xxhash64(col("sh"))))
+    val card = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    candidates.join(evalSh.hint("MERGE"), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      .join(card, "doc_id")
+      .select(col("doc_id"), col("n_common"), col("n_shingles"),
+        round(col("n_common") / col("n_shingles"), 6).as("contamination_ratio"),
+        (col("n_common") >= 10).as("drop_doc"))
+      .orderBy("doc_id")
+  }
+
   // ---- Cross-document repeated spans --------------------------------------
 
   private[operators] val SpanK = 50
@@ -806,6 +861,7 @@ object DedupOps {
     "ns_dedup_corpus" -> (nsDedupCorpus _),
     "ns_dedup_incremental" -> (nsDedupIncremental _),
     "ns_decontaminate_fuzzy" -> (nsDecontaminateFuzzy _),
+    "ns_decontaminate_bloom" -> (nsDecontaminateBloom _),
     "ns_dedup_spans" -> (nsDedupSpans _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
@@ -954,6 +1010,24 @@ object DedupOps {
   /** Generated fuzzy-decontamination oracle: train-vs-eval band join over
     * the same signatures, Jaccard-verified, aggregated per train doc.
     */
+  /** Exact-overlap decontamination — shared by `ns_decontaminate` and the
+    * bloom-prefiltered `ns_decontaminate_bloom` (whose confirm join makes
+    * it result-identical by construction).
+    */
+  private def decontaminateOracle: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+       |ccard AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+       |ov AS (
+       |  SELECT c.doc_id, count(*) AS n_common
+       |  FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
+       |SELECT ov.doc_id, ov.n_common, ccard.n_shingles,
+       |       round(ov.n_common * 1.0 / ccard.n_shingles, 6) AS contamination_ratio,
+       |       ov.n_common >= 10 AS drop_doc
+       |FROM ov JOIN ccard ON ov.doc_id = ccard.doc_id
+       |ORDER BY ov.doc_id""".stripMargin
+
   private def fuzzyDecontaminateOracle: String =
     s"""WITH $shingleCte,
        |fp AS (
@@ -1003,19 +1077,10 @@ object DedupOps {
          |       md5(coalesce(array_to_string(list(line ORDER BY i) FILTER (WHERE dcnt < $LineBoilerDocs), ' '), '')) AS cleaned_hash
          |FROM s JOIN df USING (line)
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
-    "ns_decontaminate" ->
-      s"""WITH $shingleCte,
-         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-         |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
-         |ccard AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
-         |ov AS (
-         |  SELECT c.doc_id, count(*) AS n_common
-         |  FROM corp c JOIN bench b ON c.shingle = b.shingle GROUP BY 1)
-         |SELECT ov.doc_id, ov.n_common, ccard.n_shingles,
-         |       round(ov.n_common * 1.0 / ccard.n_shingles, 6) AS contamination_ratio,
-         |       ov.n_common >= 10 AS drop_doc
-         |FROM ov JOIN ccard ON ov.doc_id = ccard.doc_id
-         |ORDER BY ov.doc_id""".stripMargin,
+    "ns_decontaminate" -> decontaminateOracle,
+    // The bloom variant's confirmation join removes every bloom false
+    // positive, so its contract is EXACTLY the exact-overlap scan's.
+    "ns_decontaminate_bloom" -> decontaminateOracle,
     "ns_dedup_minhash" -> minhashOracle,
     "ns_dedup_simhash" -> simhashOracle,
     "ns_dedup_incremental" -> incrementalOracle,

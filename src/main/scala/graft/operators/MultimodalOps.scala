@@ -193,10 +193,40 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded audio features — all BIGINT so the oracle replays exactly. */
+  case class AudioFeatures(
+      doc_id: Long, mime: String, n_bytes: Long, sample_rate: Long,
+      n_samples: Long, duration_ms: Long, abs_sum: Long, peak: Long)
+
+  /** Audio corpus: every fourth document (doc_id ≡ 1 mod 4) carries a REAL
+    * generated mono PCM16 WAV payload ([[AudioFixtures]]); decode walks
+    * the actual RIFF chunk list ([[AudioCodecs.decodeWav]]) in the same
+    * per-partition batched shape as [[nsMultimodalFeatures]] — a real
+    * audio library would replace only the statistics arithmetic. Payloads
+    * never pass a shuffle; the only wide op is the output sort.
+    */
+  def nsMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 4 === 1)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, AudioFixtures.WavMime, AudioFixtures.wav(id)))
+      .mapPartitions(_.map { r =>
+        val d = AudioCodecs.decodeWav(r.payload)
+        AudioFeatures(r.doc_id, r.mime, r.payload.length.toLong, d.sampleRate,
+          d.nSamples, d.nSamples * 1000L / d.sampleRate, d.absSum, d.peak)
+      })
+      .toDF()
+      .select("doc_id", "mime", "n_bytes", "sample_rate", "n_samples",
+        "duration_ms", "abs_sum", "peak")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
     "ns_multimodal_frames" -> (nsMultimodalFrames _),
-    "ns_multimodal_resize" -> (nsMultimodalResize _))
+    "ns_multimodal_resize" -> (nsMultimodalResize _),
+    "ns_multimodal_audio" -> (nsMultimodalAudio _))
 
   /** Shared oracle CTE: 4-way mime class (0 bmp, 1 ppm, 2 text, 3 pgm)
     * with per-class dims and channel count — ONE definition for all three
@@ -321,5 +351,33 @@ object MultimodalOps {
         |       COALESCE(ipx.checksum, tpx.checksum) AS resize_checksum
         |FROM dd d LEFT JOIN i1 USING (doc_id) LEFT JOIN ipx USING (doc_id)
         |       LEFT JOIN tpx ON d.doc_id = tpx.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays the AudioFixtures formulas symbolically: n = 64 + id % 57
+    // samples, sample i = ((id·31 + i·7) % 8192) − 4096, n_bytes =
+    // 60 + 2n (RIFF 12 + fmt 24 + junk LIST 16 + data 8 + 2n). A
+    // hash-match proves the Spark-side codec walked the real chunk list
+    // (the LIST trap shifts `data` off byte 44) and decoded the real
+    // little-endian int16 samples.
+    "ns_multimodal_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 57 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, n - 1)) AS i
+        |  FROM a),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(abs(((doc_id*31 + i*7) % 8192) - 4096)) AS BIGINT) AS abs_sum,
+        |         CAST(MAX(abs(((doc_id*31 + i*7) % 8192) - 4096)) AS BIGINT) AS peak
+        |  FROM s GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       'audio/wav' AS mime,
+        |       CAST(60 + 2*a.n AS BIGINT) AS n_bytes,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       a.n AS n_samples,
+        |       a.n * 1000 // 8000 AS duration_ms,
+        |       agg.abs_sum, agg.peak
+        |FROM a JOIN agg USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin)
 }

@@ -209,6 +209,27 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"overlap mismatch: ${(got.toSet diff want.toSet).take(3)}")
   }
 
+  test("bloom decontamination equals the exact scan; prefilter is map-side, confirm join is sort-merge") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val exact = DedupOps.nsDecontaminate(spark, sfDir).collect().map(_.toSeq)
+    val bloomDf = DedupOps.nsDecontaminateBloom(spark, sfDir)
+    val bloom = bloomDf.collect().map(_.toSeq)
+    // Confirmation join removes bloom false positives -> row-for-row equal.
+    assert(bloom.nonEmpty && bloom.toSeq == exact.toSeq)
+    val nodes = noAqeNodes(DedupOps.nsDecontaminateBloom(spark, sfDir))
+    // The bloom probe must run as a scan-side Filter (before any exchange),
+    // and the confirmation join must be the sort-merge this variant exists
+    // for (the beyond-broadcast regime), keyed on the shingle fingerprint.
+    assert(nodes.map(_.toString).exists(s =>
+      s.startsWith("Filter") && s.contains("might_contain")),
+      s"bloom prefilter not a plan Filter:\n${nodes.map(_.nodeName)}")
+    assert(nodes.exists {
+      case j: SortMergeJoinExec =>
+        j.leftKeys.exists(_.references.exists(_.name == "sh"))
+      case _ => false
+    }, s"confirm join is not sort-merge on sh:\n${nodes.map(_.nodeName)}")
+  }
+
   test("exact dedup keeps one survivor per fingerprint") {
     val out = DedupOps.nsDedupExact(spark, sfDir).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)

@@ -80,6 +80,75 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageCodecs.decodeBmp(bad))
   }
 
+  test("WAV codec round-trips generated chunk lists and samples") {
+    for (id <- Seq(1L, 5L, 13L, 57L, 121L, 1001L)) {
+      val d = AudioCodecs.decodeWav(AudioFixtures.wav(id))
+      val n = AudioFixtures.nSamples(id)
+      assert((d.sampleRate, d.channels, d.nSamples) == (8000L, 1L, n.toLong), s"id=$id header")
+      val samples = (0 until n).map(i => AudioFixtures.sample(id, i).toLong)
+      assert(d.absSum == samples.map(math.abs).sum, s"id=$id absSum")
+      assert(d.peak == samples.map(math.abs).max, s"id=$id peak")
+    }
+  }
+
+  test("WAV codec walks chunks (junk LIST) and handles stereo and odd-sized chunks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-authored stereo PCM16 with an ODD-sized junk chunk (forces the
+    // RIFF pad byte) before data
+    val samples = Array[Short](100, -200, 300, -400, 32767, -32768)
+    val junk = 3
+    val dataBytes = samples.length * 2
+    val buf = ByteBuffer.allocate(12 + 24 + 8 + junk + 1 + 8 + dataBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(buf.capacity - 8)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+    buf.putShort(4).putShort(16)
+    buf.put("junk".getBytes("US-ASCII")).putInt(junk)
+    buf.put(Array[Byte](0xCD.toByte, 0xCD.toByte, 0xCD.toByte, 0)) // body + pad
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(buf.putShort)
+    val d = AudioCodecs.decodeWav(buf.array())
+    assert((d.sampleRate, d.channels, d.nSamples) == (44100L, 2L, 3L))
+    assert(d.absSum == samples.map(s => math.abs(s.toLong)).sum)
+    assert(d.peak == 32768L)
+  }
+
+  test("WAV codec fails loud on malformed payloads") {
+    val ok = AudioFixtures.wav(9L)
+    // a fixed-offset decoder would read the LIST trap bytes as samples:
+    // prove data is NOT at byte 44
+    assert(new String(ok, 36, 4, "US-ASCII") != "data")
+    // bad magic
+    intercept[IllegalArgumentException](AudioCodecs.decodeWav(ImageFixtures.ppm(3L)))
+    // truncated data chunk
+    intercept[IllegalArgumentException](AudioCodecs.decodeWav(ok.dropRight(1)))
+    // inconsistent RIFF size
+    val badSize = ok.clone(); badSize(4) = (badSize(4) + 1).toByte
+    intercept[IllegalArgumentException](AudioCodecs.decodeWav(badSize))
+    // non-PCM format code
+    val badFmt = ok.clone(); badFmt(20) = 3.toByte
+    intercept[IllegalArgumentException](AudioCodecs.decodeWav(badFmt))
+    // unsupported bit depth
+    val badBits = ok.clone(); badBits(34) = 8.toByte
+    intercept[IllegalArgumentException](AudioCodecs.decodeWav(badBits))
+  }
+
+  test("audio query decodes real WAVs batch-wide") {
+    val rows = MultimodalOps.nsMultimodalAudio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 4 == 1)
+      val d = AudioCodecs.decodeWav(AudioFixtures.wav(id))
+      assert(r.getLong(4) == d.nSamples && r.getLong(6) == d.absSum
+        && r.getLong(7) == d.peak, s"id=$id row mismatch")
+      assert(r.getLong(2) == 60L + 2 * d.nSamples, s"id=$id n_bytes")
+      assert(r.getLong(5) == d.nSamples * 1000L / 8000L, s"id=$id duration")
+    }
+  }
+
   test("resize decimates real pixels with input-position weights") {
     def brute(w: Long, h: Long, px: Array[Byte]): (Long, Long, Long) = {
       val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
