@@ -978,6 +978,13 @@ object DedupOps {
     * the same signatures, verified by the co-occurrence counts.
     */
   private def incrementalOracle: String =
+    nearDupMatchesOracle("a.doc_id % 10 < 2", "b.doc_id % 10 >= 2")
+
+  /** Generated batch-vs-corpus near-dup oracle, parameterized by the two
+    * split predicates (`a.` = arriving side, `b.` = index side) — the
+    * incremental query and the admission pipeline share it.
+    */
+  private[graft] def nearDupMatchesOracle(aPred: String, bPred: String): String =
     s"""WITH $shingleCte,
        |fp AS (
        |  SELECT doc_id,
@@ -990,7 +997,7 @@ object DedupOps {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
        |  FROM sig a JOIN sig b
-       |    ON a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2 AND (
+       |    ON ($aPred) AND ($bPred) AND (
        |    $bandOrSql)),
        |norm AS (
        |  SELECT batch_doc, corpus_doc,

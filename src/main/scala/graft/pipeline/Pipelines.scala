@@ -518,7 +518,84 @@ object Pipelines {
       .orderBy("predicted_lang", "doc_id")
   }
 
+  /** The INGEST ADMISSION audit table — the batch form of the full
+    * streaming admission chain
+    * ([[graft.streaming.StreamingAdmissionChain]]): candidate documents
+    * (non-eval, doc_id % 3 ≠ 0) are judged against an existing corpus
+    * (non-eval, doc_id % 3 = 0) on all four gates a pretraining ingest
+    * runs —
+    *   1. Gopher quality rules (per-row projection, [[graft.operators.TextOps]]),
+    *   2. exact duplicate of a corpus document (normalized sha256),
+    *   3. MinHash near-duplicate of a corpus document (banded index,
+    *      verified jaccard ≥ 0.5, [[graft.operators.DedupOps]]),
+    *   4. eval-set contamination (≥ 10 shared shingles with the
+    *      doc_id % 50 = 0 probe suite)
+    * — with one row PER CANDIDATE carrying each gate's verdict and the
+    * final admit bit (audit semantics: every gate evaluated for every
+    * candidate, so rejects are explainable; the streaming twin
+    * early-exits instead, which only ever does less work).
+    *
+    * Scale shape: gate 1 is scan-bound; gates 2-4 are the published
+    * batch-vs-index shapes (fp semi-join, band-bucket candidates only,
+    * broadcast probe set); the verdict assembly is four left joins on
+    * doc_id — uniform key, one exchange family.
+    */
+  def corpusAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0
+    val isCorpus = !isEval && col("doc_id") % 3 === 0
+    val isCand = !isEval && col("doc_id") % 3 =!= 0
+    admissionVerdicts(docs.where(isCand), docs.where(isCorpus),
+      docs.where(isEval)).orderBy("doc_id")
+  }
+
+  /** Normalized-text content fingerprint (the [[graft.operators.DedupOps]]
+    * exact-dedup key) — shared by the batch audit, the streaming chain's
+    * exact gate, and their specs.
+    */
+  private[graft] def contentFp(d: DataFrame): DataFrame = d.select(
+    col("doc_id"),
+    sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fp"))
+
+  /** The four-gate verdict table for `cands` against `corpus` and the
+    * `probe` eval suite — the admission kernel shared by the oracled
+    * batch query and (as the expected-value recompute) the streaming
+    * chain's spec. Audit semantics: every gate is evaluated for every
+    * candidate; the admitted SET is identical to an early-exit chain's.
+    */
+  private[graft] def admissionVerdicts(
+      cands: DataFrame, corpus: DataFrame, probe: DataFrame): DataFrame = {
+    val dedup = graft.operators.DedupOps
+    val gpass = graft.operators.TextOps.gopherProfile(cands)
+      .select(col("doc_id"), col("pass"))
+    val exactIds = contentFp(cands)
+      .join(contentFp(corpus).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select("doc_id")
+    val (banded, sets) = dedup.corpusIndex(corpus)
+    val nearIds = dedup.matchAgainstIndex(cands, banded, sets)
+      .select(col("batch_doc").as("doc_id")).distinct()
+    val benchSh = dedup.shingles(probe).select("sh").distinct()
+    val contamIds = dedup
+      .contaminationProfile(dedup.shingles(cands), benchSh)
+      .where(col("drop_doc")).select("doc_id")
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.withColumn(name, lit(true))
+    cands.select("doc_id")
+      .join(gpass, Seq("doc_id"), "left")
+      .join(flag(exactIds, "ed"), Seq("doc_id"), "left")
+      .join(flag(nearIds, "nd"), Seq("doc_id"), "left")
+      .join(flag(contamIds, "ct"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pass"), lit(false)).as("gopher_pass"),
+        coalesce(col("ed"), lit(false)).as("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"),
+        coalesce(col("ct"), lit(false)).as("contaminated"))
+      .withColumn("admit", col("gopher_pass") && !col("exact_dup")
+        && !col("near_dup") && !col("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus_admission" -> (corpusAdmission _),
     "pipe_corpus_build" -> (corpusBuild _),
     "pipe_index_apr_average" -> (indexAprAverage _),
     "pipe_lsd_wise_apr" -> (lsdWiseApr _),
@@ -580,6 +657,44 @@ object Pipelines {
   /** Composes the published oracles of the constituent operators as
     * subqueries — the SQL moves in lockstep with the operator oracles.
     */
+  /** Composes the published gate oracles: Gopher pass bits, a normalized-
+    * sha256 candidate-vs-corpus fp join, the parameterized near-dup
+    * matches oracle on the admission split, and the decontamination scan
+    * filtered to candidates (per-doc contamination is independent of the
+    * split, so the shared scan restricts cleanly).
+    */
+  private def corpusAdmissionOracle: String = {
+    val nearDup = graft.operators.DedupOps.nearDupMatchesOracle(
+      "a.doc_id % 50 <> 0 AND a.doc_id % 3 <> 0",
+      "b.doc_id % 50 <> 0 AND b.doc_id % 3 = 0")
+    s"""WITH cand AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 3 <> 0),
+       |g AS (SELECT doc_id, pass
+       |      FROM (${graft.operators.TextOps.oracles("ns_text_gopher")}) gg),
+       |fp AS (SELECT doc_id,
+       |              sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fpv
+       |       FROM documents),
+       |ex AS (SELECT DISTINCT a.doc_id FROM fp a JOIN fp b ON a.fpv = b.fpv
+       |       WHERE a.doc_id % 50 <> 0 AND a.doc_id % 3 <> 0
+       |         AND b.doc_id % 50 <> 0 AND b.doc_id % 3 = 0),
+       |nd AS (SELECT DISTINCT batch_doc AS doc_id FROM ($nearDup) m),
+       |ct AS (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_decontaminate")}) dc
+       |       WHERE drop_doc AND doc_id % 3 <> 0)
+       |SELECT c.doc_id,
+       |       coalesce(g.pass, FALSE) AS gopher_pass,
+       |       (ex.doc_id IS NOT NULL) AS exact_dup,
+       |       (nd.doc_id IS NOT NULL) AS near_dup,
+       |       (ct.doc_id IS NOT NULL) AS contaminated,
+       |       (coalesce(g.pass, FALSE) AND ex.doc_id IS NULL
+       |        AND nd.doc_id IS NULL AND ct.doc_id IS NULL) AS admit
+       |FROM cand c
+       |LEFT JOIN g ON c.doc_id = g.doc_id
+       |LEFT JOIN ex ON c.doc_id = ex.doc_id
+       |LEFT JOIN nd ON c.doc_id = nd.doc_id
+       |LEFT JOIN ct ON c.doc_id = ct.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   private def corpusBuildOracle: String = {
     val chunk = graft.operators.PackingOps.ChunkTokens
     s"""WITH surv AS (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_dedup_corpus")}) c),
@@ -728,6 +843,7 @@ object Pipelines {
          |FROM latest JOIN cust ON user_id = c_custkey
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
+    "pipe_corpus_admission" -> corpusAdmissionOracle,
     "pipe_corpus_build" -> corpusBuildOracle,
     "pipe_extract_catchup" ->
       s"""WITH f AS (SELECT max($epochExpr) AS finalized_epoch FROM events),

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Pipelines
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** The composed ingest admission chain (gopher → exact → near-dup →
+  * decontaminate): streamed admissions equal the sequential batch-verdict
+  * recompute, every gate rejects across micro-batch boundaries, and a
+  * restart rebuilds the admitted extensions from the sink.
+  */
+class StreamingAdmissionChainSpec extends SparkSpec {
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("streamed chain equals the sequential batch-verdict recompute; restart preserves the extensions") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 50 === 0
+    val corpus = docs.where(!isEval && col("doc_id") % 3 === 0)
+    val probe = docs.where(isEval)
+    val cands = docs.where(!isEval && col("doc_id") % 3 =!= 0)
+    val b1 = cands.where(col("doc_id") % 2 === 0)
+    val b2 = cands.where(col("doc_id") % 2 =!= 0)
+
+    // Sequential expected sets from the ORACLED audit kernel: batch 2 is
+    // judged against corpus + batch-1 admissions.
+    val e1 = Pipelines.admissionVerdicts(b1, corpus, probe)
+      .where(col("admit")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus2 = corpus.unionByName(
+      b1.where(col("doc_id").isin(e1.toSeq: _*)))
+    val e2 = Pipelines.admissionVerdicts(b2, corpus2, probe)
+      .where(col("admit")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e1.nonEmpty && e2.nonEmpty, "fixture produced empty admission sets")
+
+    // Land the two batches as files; RESTART the stream between them so
+    // the second run must rebuild the extensions from the sink.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chain_src")
+    val out = tmp("graft_chain_out") + "/admitted"
+    val cp = tmp("graft_chain_cp")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val t = tmp("graft_chain_split")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(cands.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      StreamingAdmissionChain.admissionStream(stream, corpus, probe, out, cp)
+        .awaitTermination()
+    }
+    land(b1, "a.parquet")
+    run()
+    val afterB1 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterB1 == e1,
+      s"batch 1: extra=${afterB1 -- e1} missing=${e1 -- afterB1}")
+    land(b2, "b.parquet")
+    run() // fresh stream instance: extensions rebuilt from the sink
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == (e1 ++ e2),
+      s"extra=${admitted -- (e1 ++ e2)} missing=${(e1 ++ e2) -- admitted}")
+  }
+
+  test("every gate rejects across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Distinct-word texts that pass the whole Gopher battery.
+    def passText(seed: Int, n: Int = 24): String =
+      (Seq("the", "of") ++ (0 until n - 2).map(i => s"w${seed}x$i"))
+        .mkString(" ")
+    val textA = passText(1)
+    val textB = passText(2)
+    val textP = passText(3)
+    val corpus = Seq((100L, textA)).toDF("doc_id", "text")
+    val probe = Seq((200L, textP)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = tmp("graft_chain2_out") + "/admitted"
+    val cp = tmp("graft_chain2_cp")
+    val query = StreamingAdmissionChain.admissionStream(
+      input.toDS().toDF("doc_id", "text"), corpus, probe, out, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // Batch 1: doc 1 fresh -> admitted (and indexed); doc 3 fails gopher.
+      input.addData(Seq((1L, textB), (3L, "x y z")))
+      query.processAllAvailable()
+      // Batch 2, one rejection per gate:
+      //   doc 4: exact copy of the CORPUS doc (extra whitespace exercises
+      //          normalization) -> exact gate
+      //   doc 5: exact copy of the batch-1 ADMISSION -> exact gate via the
+      //          sink-fed extension
+      //   doc 6: near-dup of the batch-1 admission (one appended word,
+      //          jaccard 22/23) -> minhash gate via the extension
+      //   doc 7: copies 14 consecutive probe words (12 shared shingles
+      //          >= 10) padded with fresh words -> contamination gate
+      //   doc 8: fresh -> admitted
+      val pWords = textP.split(" ")
+      val contaminated = (Seq("the", "of") ++ pWords.slice(4, 18) ++
+        (0 until 8).map(i => s"fresh${i}pad")).mkString(" ")
+      input.addData(Seq(
+        (4L, textA.replace(" ", "  ")),
+        (5L, textB),
+        (6L, textB + " appended"),
+        (7L, contaminated),
+        (8L, passText(9))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 8L), s"got $admitted")
+  }
+}
