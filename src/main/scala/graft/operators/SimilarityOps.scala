@@ -583,6 +583,50 @@ object SimilarityOps {
     ivfSearch(emb, centLits(trainCentroids(emb)))
   }
 
+  /** Topic-balanced corpus curation over the TRAINED k-means model — the
+    * semantic analog of source-temperature mixing
+    * ([[PackingOps.nsCorpusMixTemp]]): every vector map-side assigns to
+    * its nearest trained centroid (= its TOPIC, zero exchanges —
+    * [[centroidRanking]]), and each topic keeps
+    * `floor(sqrt(n_topic · n_min))` members — the geometric mean of its
+    * size and the smallest topic's, i.e. α = 1/2 flattening of the topic
+    * distribution, in exact integer form (IEEE sqrt of a sub-2^52 Long is
+    * correctly rounded on both engines). Members are kept in
+    * deterministic affine-hash order ([[SamplingOps.sampleKeyCol]]'s
+    * constants on vec_id), so the selection is a uniform pseudo-random
+    * draw both engines replay.
+    *
+    * Scale shape: one scan for assignment, one k-row stats aggregate, and
+    * ONE exchange on the topic key for the rank window. k is 16 here; in
+    * production k grows with the corpus (the SemDeDup k ∝ N argument), so
+    * the window's key cardinality scales with the data — and the
+    * curriculum bucketing machinery ([[TextOps]]) replaces the window
+    * outright if per-topic ranks ever dominate.
+    */
+  def nsCorpusTopics(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val cents = centLits(trainCentroids(emb))
+    val assigned = emb.select(col("vec_id"),
+      centroidRanking(cents)(0)("cent_id").cast("long").as("topic"))
+    val stats = assigned.groupBy("topic").agg(count(lit(1)).as("n_topic"))
+    val minN = stats.agg(min("n_topic").as("n_min"))
+    val quotas = stats.crossJoin(broadcast(minN))
+      .select(col("topic"), col("n_topic"),
+        floor(sqrt((col("n_topic") * col("n_min")).cast("double")))
+          .cast("long").as("quota"))
+    assigned
+      .withColumn("sample_key", pmod(
+        col("vec_id") * lit(SamplingOps.SampleKeyA) + lit(SamplingOps.SampleKeyB),
+        lit(SamplingOps.SampleKeyP)))
+      .withColumn("keep_rank", row_number()
+        .over(Window.partitionBy("topic").orderBy("sample_key", "vec_id"))
+        .cast("long"))
+      .join(broadcast(quotas), "topic")
+      .where(col("keep_rank") <= col("quota"))
+      .select("vec_id", "topic", "n_topic", "quota", "keep_rank")
+      .orderBy("topic", "keep_rank")
+  }
+
   // ---- SemDeDup: cluster-then-prune embedding dedup -----------------------
 
   private val SemThreshold = 0.35
@@ -877,6 +921,7 @@ object SimilarityOps {
     "ns_sim_diversity_sample" -> (nsSimDiversitySample _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
+    "ns_corpus_topics" -> (nsCorpusTopics _),
     "ns_sim_semdedup" -> (nsSimSemdedup _),
     "ns_sim_quant_topk" -> (nsSimQuantTopk _),
     "ns_sim_quant_rerank" -> (nsSimQuantRerank _))
@@ -931,7 +976,43 @@ object SimilarityOps {
     * [[trainCentroids]] scaladoc), so both engines land on identical
     * centroid lists before the search even starts.
     */
-  private def ivfTrainedOracle: String = {
+  private def ivfTrainedOracle: String =
+    s"""WITH $trainedCentroidCtes,
+       |${ivfSearchSql(s"c$TrainIters")}""".stripMargin
+
+  /** Topic curation oracle: trained-centroid CTEs, 4dp argmax topic
+    * assignment, sqrt-flattened quotas, affine-hash keep order.
+    */
+  private def corpusTopicsOracle: String = {
+    import SamplingOps.{SampleKeyA, SampleKeyB, SampleKeyP}
+    s"""WITH $trainedCentroidCtes,
+       |asg AS (
+       |  SELECT vec_id, CAST(cent_id AS BIGINT) AS topic FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+       |                      c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN c$TrainIters c) WHERE rn = 1),
+       |stat AS (SELECT topic, CAST(count(*) AS BIGINT) AS n_topic FROM asg GROUP BY 1),
+       |q AS (
+       |  SELECT topic, n_topic,
+       |         CAST(floor(sqrt(CAST(n_topic * (SELECT min(n_topic) FROM stat) AS DOUBLE))) AS BIGINT) AS quota
+       |  FROM stat),
+       |rk AS (
+       |  SELECT vec_id, topic,
+       |         CAST(row_number() OVER (PARTITION BY topic
+       |           ORDER BY (vec_id * $SampleKeyA + $SampleKeyB) % $SampleKeyP, vec_id) AS BIGINT) AS keep_rank
+       |  FROM asg)
+       |SELECT rk.vec_id, rk.topic, q.n_topic, q.quota, rk.keep_rank
+       |FROM rk JOIN q USING (topic) WHERE rk.keep_rank <= q.quota
+       |ORDER BY rk.topic, rk.keep_rank""".stripMargin
+  }
+
+  /** The `e` + `c0..c$TrainIters` CTE chain replaying [[trainCentroids]]
+    * symbolically — shared by the trained-search oracle and the topic
+    * curation oracle. Follow with `c$TrainIters` as the centroid table.
+    */
+  private def trainedCentroidCtes: String = {
     val iterCtes = (1 to TrainIters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, v, cent_id AS cluster FROM (
@@ -948,10 +1029,9 @@ object SimilarityOps {
          |                 UNNEST(range(1, len(v) + 1)) AS pos FROM a$i)
          |    GROUP BY cluster, pos) GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
-       |$iterCtes,
-       |${ivfSearchSql(s"c$TrainIters")}""".stripMargin
+       |$iterCtes""".stripMargin
   }
 
   /** Shared LSH oracle CTE fragments: the deterministic hyperplanes as
@@ -1267,6 +1347,7 @@ object SimilarityOps {
     "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,
     "ns_sim_ivf_trained" -> ivfTrainedOracle,
+    "ns_corpus_topics" -> corpusTopicsOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_knn_graph" -> knnGraphOracle,
     "ns_sim_diversity_sample" -> diversityOracle,

@@ -260,6 +260,47 @@ class SimilaritySpec extends SparkSpec {
     assert(after > before, s"inertia analog did not improve: $before -> $after")
   }
 
+  test("topic curation: sqrt-flattened quotas filled exactly, assignment matches brute force") {
+    import graft.model.Tables
+    graft.functions.CosineSimilarity.register(spark)
+    val rows = SimilarityOps.nsCorpusTopics(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-topic kept count fills the quota exactly (quota <= n_topic by
+    // the geometric-mean construction)
+    val byTopic = rows.groupBy(_.getLong(1))
+    byTopic.foreach { case (t, rs) =>
+      val quota = rs.head.getLong(3)
+      val n = rs.head.getLong(2)
+      assert(quota <= n && rs.length == quota.toInt, s"topic $t: kept=${rs.length} quota=$quota n=$n")
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to quota).toSeq, s"topic $t ranks")
+    }
+    // flattening: kept-share ratio between largest and smallest topic is
+    // ~sqrt of the raw ratio (alpha = 1/2), strictly flatter than raw
+    val ns = byTopic.values.map(_.head.getLong(2)).toSeq
+    val quotas = byTopic.values.map(_.head.getLong(3)).toSeq
+    assert(quotas.max.toDouble / quotas.min < ns.max.toDouble / ns.min || ns.max == ns.min)
+    // assignment column matches a driver-side argmax over the same
+    // trained centroids for a sample of vectors
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = SimilarityOps.trainCentroids(emb)
+    val vecs = emb.where(col("vec_id") % 37 === 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = cents.map { case (cid, cv) =>
+        (BigDecimal(cos(v, cv)).setScale(4, BigDecimal.RoundingMode.HALF_UP), cid)
+      }.maxBy { case (s, cid) => (s, -cid) }._2.toLong
+      got.get(id).foreach(t => assert(t == want, s"vec $id: topic $t != $want"))
+    }
+  }
+
   test("IVF cluster assignment is a pure projection — zero exchanges") {
     import graft.model.Tables
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
