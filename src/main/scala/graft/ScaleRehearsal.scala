@@ -218,6 +218,21 @@ object ScaleRehearsal {
            "ns_sim_ivfpq_indexed");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
+    // Round-6c: bloom decontamination streams the corpus through a fixed
+    // 1 MiB broadcast probe (linear; confirm-join mass ~ matches + fpp of
+    // corpus); the admission audit composes the gopher scan (linear), the
+    // fp semi-join (linear), the banded match (the minhash regime above)
+    // and the decon scan; audio decode is one payload-generation +
+    // chunk-walk pass (linear in bytes, no shuffle but the output sort).
+    for (q <- Seq("ns_decontaminate_bloom", "pipe_corpus_admission",
+           "ns_multimodal_audio");
+         (sfName, dir) <- scales) measure(q, sfName, dir)
+    // Topic curation: map-side assign + k-row stats + ONE topic-keyed
+    // rank exchange — the subject is that wall tracks N while shuffle
+    // stays ~rows-kept.
+    for (q <- Seq("ns_corpus_topics"); (sfName, dir) <- simScales)
+      measure(q, sfName, dir)
+
     // Sessionization: 100k events matches the sf0.1 row count, then 4x
     // steps with users scaling alongside (fixed 67 events/user — the
     // per-user series is the self-similar unit). Packing reuses the
