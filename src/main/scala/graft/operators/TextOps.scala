@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over the `documents` table
@@ -241,6 +242,39 @@ object TextOps {
     */
   def nsTextGopher(spark: SparkSession, dir: String): DataFrame =
     gopherProfile(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ---- Corpus-level hot n-grams -------------------------------------------
+
+  private[operators] val HotNgramK = 50
+
+  /** The corpus's TOP-[[HotNgramK]] word-3-grams by document frequency —
+    * the phrase-granularity boilerplate candidate table (the CCNet-family
+    * signal [[graft.operators.DedupOps.nsDedupLines]] computes at line
+    * granularity): navigation chrome, legal footers and template phrases
+    * surface here long before any pair-level dedup runs, and the result
+    * is the natural input to a phrase blocklist.
+    *
+    * Scale shape: one (doc, shingle) dedup exchange + one df aggregation
+    * (both uniformly hashed, map-side-combined), then the global top-k is
+    * `TakeOrderedAndProject` — every partition forwards at most k rows,
+    * NO global sort (spec-pinned). The rank window runs on the k-row
+    * result only.
+    */
+  def nsTextHotNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val topK = Tables.documents(spark, dir)
+      .withColumn("w", split(lower(col("text")), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+      .distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle")).limit(HotNgramK)
+    topK.withColumn("rank", row_number()
+      .over(Window.orderBy(col("df").desc, col("shingle"))).cast("long"))
+      .select("rank", "shingle", "df")
+      .orderBy("rank")
+  }
 
   /** The rule battery as a frame transform — shared by the batch query
     * and the ingest-time gate ([[graft.streaming.StreamingQualityGate]]),
@@ -928,6 +962,7 @@ object TextOps {
     "ns_text_rarity" -> (nsTextRarity _),
     "ns_text_repetition" -> (nsTextRepetition _),
     "ns_text_gopher" -> (nsTextGopher _),
+    "ns_text_hotngrams" -> (nsTextHotNgrams _),
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
@@ -1136,6 +1171,20 @@ object TextOps {
         |       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
         |             / count(*), 6) > 0.5 AS rare_heavy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns_text_hotngrams" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS shingle
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+        |r AS (SELECT shingle, df,
+        |             CAST(row_number() OVER (ORDER BY df DESC, shingle) AS BIGINT) AS rank
+        |      FROM df)
+        |SELECT rank, shingle, df FROM r WHERE rank <= $HotNgramK
+        |ORDER BY rank""".stripMargin,
     "ns_text_gopher" ->
       """WITH d AS (
         |  SELECT doc_id, lower(text) AS lt,

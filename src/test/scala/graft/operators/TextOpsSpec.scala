@@ -28,6 +28,29 @@ class TextOpsSpec extends SparkSpec {
       s"rarity mismatch: got=${got.take(2)} want=${want.take(2)}")
   }
 
+  test("hot ngrams: top-k by df matches a brute-force fold; top-k is TakeOrdered, not a global sort") {
+    val rows = TextOps.nsTextHotNgrams(spark, sfDir).collect()
+    assert(rows.length == TextOps.HotNgramK)
+    // brute force df over the raw text
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+    val df = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, ws) =>
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+        .foreach { s: String => df(s) += 1 }
+    }
+    val want = df.toSeq.sortBy { case (s, n) => (-n, s) }
+      .take(TextOps.HotNgramK)
+      .zipWithIndex.map { case ((s, n), i) => (i + 1L, s, n) }
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == want)
+    // the global top-k must be limit-pushed (TakeOrderedAndProject),
+    // never a full sort of the df table
+    val nodes = noAqeNodes(TextOps.nsTextHotNgrams(spark, sfDir))
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"no TakeOrderedAndProject in:\n${nodes.map(_.nodeName)}")
+  }
+
   test("chunking matches a brute-force slide and covers every word") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
