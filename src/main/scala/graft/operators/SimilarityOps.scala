@@ -227,7 +227,11 @@ object SimilarityOps {
   def nsSimKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraphCapped(spark, dir, LshBucketCap)
 
-  private[operators] def knnGraphCapped(
+  /** The ranked top-[[GraphK]] edge list (src_id, rank, nbr_id, cos) —
+    * the directed k-NN graph the mutual-flag query and PageRank both
+    * build on.
+    */
+  private[operators] def knnRankedEdges(
       spark: SparkSession, dir: String, cap: Int): DataFrame = {
     val emb = embeddings(spark, dir)
     val uncapped = lshBuckets(emb).select("vec_id", "band", "bucket")
@@ -252,17 +256,80 @@ object SimilarityOps {
     val eb = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("emb_b"))
     val w = Window.partitionBy("src_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    val ranked = cand.join(ea, "src_id").join(eb, "nbr_id")
+    cand.join(ea, "src_id").join(eb, "nbr_id")
       .withColumn("cos", round(expr("cosine_sim(emb_a, emb_b)"), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= GraphK)
       .select("src_id", "rank", "nbr_id", "cos")
+  }
+
+  private[operators] def knnGraphCapped(
+      spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    val ranked = knnRankedEdges(spark, dir, cap)
     val back = ranked.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
     ranked.join(back,
       col("nbr_id") === col("r_src") && col("src_id") === col("r_nbr"), "left")
       .select(col("src_id"), col("rank"), col("nbr_id"), col("cos"),
         col("r_src").isNotNull.as("mutual"))
       .orderBy("src_id", "rank")
+  }
+
+  private[operators] val PrIters = 3
+  private[operators] val PrUnit = 1000000L // micro-unit rank scale
+  private[operators] val PrDamp = 850000L // damping 0.85 in micro-units
+
+  /** PageRank-style importance over the directed k-NN graph
+    * ([[knnRankedEdges]]) — the centrality curation signal: a document
+    * whose semantic neighbors are themselves well-connected scores high
+    * (a canonical/representative sample of its region), an isolated
+    * outlier scores the (1−d) floor. Complements
+    * [[nsSimDiversitySample]]'s density signal: diversity THINS dense
+    * regions, centrality RANKS what remains.
+    *
+    * Exact fixed-point arithmetic (the Lloyd-centroid determinism
+    * contract applied to power iteration): ranks are micro-unit Longs,
+    * each of the [[PrIters]] iterations computes
+    * `r' = (1−d)·U + (d · Σ_in floor(r/out_deg)) div U` — order-free
+    * integer sums, floor division, no float anywhere, so the DuckDB
+    * oracle replays the iterations as CTEs and lands on identical
+    * integers. No overflow: in-degree is ≤ bands × [[LshBucketCap]] by
+    * the bucket-cap construction, bounding every contribution sum far
+    * below 2^63 / d.
+    *
+    * Scale shape: the edge list is computed ONCE (localCheckpoint) and
+    * each iteration is one src-keyed join + one nbr-keyed aggregation —
+    * two exchanges per iteration over k·N bounded edges, the same
+    * bounded-iteration pattern as [[trainCentroids]] but with state kept
+    * DISTRIBUTED (ranks are a frame, never collected to the driver).
+    */
+  def nsSimPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val edges = knnRankedEdges(spark, dir, LshBucketCap)
+      .select("src_id", "nbr_id").localCheckpoint()
+    val nodes = emb.select(col("vec_id")).localCheckpoint()
+    val deg = edges.groupBy("src_id").agg(count(lit(1)).as("out_deg"))
+    var r = nodes.withColumn("r", lit(PrUnit))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(deg, "src_id")
+        .join(r.select(col("vec_id").as("src_id"), col("r")), "src_id")
+        .select(col("nbr_id").as("vec_id"), expr("r div out_deg").as("share"))
+        .groupBy("vec_id").agg(sum("share").as("contrib"))
+      r = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(PrUnit - PrDamp) + expr(
+            s"($PrDamp * coalesce(contrib, CAST(0 AS BIGINT))) div $PrUnit"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    val inDeg = edges.groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    r.join(deg.withColumnRenamed("src_id", "vec_id"), Seq("vec_id"), "left")
+      .join(inDeg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("r").as("pagerank_u"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy("vec_id")
   }
 
   private val DiversityMaxMutual = 1L
@@ -918,6 +985,7 @@ object SimilarityOps {
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_knn_graph" -> (nsSimKnnGraph _),
+    "ns_sim_pagerank" -> (nsSimPagerank _),
     "ns_sim_diversity_sample" -> (nsSimDiversitySample _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
@@ -1122,6 +1190,37 @@ object SimilarityOps {
     s"""WITH $knnGraphCtes
        |SELECT src_id, rank, nbr_id, cos, mutual FROM m
        |ORDER BY src_id, rank""".stripMargin
+
+  /** PageRank oracle: the shared knn-graph CTEs, then [[PrIters]] exact
+    * integer power-iteration CTEs mirroring the Spark loop.
+    */
+  private def pagerankOracle: String = {
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.vec_id,
+         |         ${PrUnit - PrDamp} + ($PrDamp * COALESCE(c.contrib, 0)) // $PrUnit AS r
+         |  FROM (SELECT vec_id FROM e) n LEFT JOIN (
+         |    SELECT ge.nbr_id AS vec_id,
+         |           CAST(SUM(p.r // d.out_deg) AS BIGINT) AS contrib
+         |    FROM ge JOIN r${i - 1} p ON ge.src_id = p.vec_id
+         |            JOIN deg d ON ge.src_id = d.src_id
+         |    GROUP BY 1) c ON n.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |ge AS (SELECT src_id, nbr_id FROM g),
+       |deg AS (SELECT src_id, CAST(count(*) AS BIGINT) AS out_deg FROM ge GROUP BY 1),
+       |ind AS (SELECT nbr_id AS vec_id, CAST(count(*) AS BIGINT) AS in_deg FROM ge GROUP BY 1),
+       |r0 AS (SELECT vec_id, CAST($PrUnit AS BIGINT) AS r FROM e),
+       |$iterCtes
+       |SELECT e.vec_id, CAST(r$PrIters.r AS BIGINT) AS pagerank_u,
+       |       COALESCE(deg2.out_deg, 0) AS out_deg,
+       |       COALESCE(ind.in_deg, 0) AS in_deg
+       |FROM e JOIN r$PrIters ON e.vec_id = r$PrIters.vec_id
+       |LEFT JOIN (SELECT src_id AS vec_id, out_deg FROM deg) deg2
+       |  ON e.vec_id = deg2.vec_id
+       |LEFT JOIN ind ON e.vec_id = ind.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   /** Diversity-sample oracle: the same graph CTEs, per-node aggregation,
     * fixed-point mean, lowest-id survivorship predicate.
@@ -1350,6 +1449,7 @@ object SimilarityOps {
     "ns_corpus_topics" -> corpusTopicsOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_knn_graph" -> knnGraphOracle,
+    "ns_sim_pagerank" -> pagerankOracle,
     "ns_sim_diversity_sample" -> diversityOracle,
     "ns_sim_quant_topk" -> quantOracle,
     "ns_sim_quant_rerank" -> quantRerankOracle,

@@ -260,6 +260,38 @@ class SimilaritySpec extends SparkSpec {
     assert(after > before, s"inertia analog did not improve: $before -> $after")
   }
 
+  test("pagerank: matches a brute-force integer power iteration over the collected edge list") {
+    graft.functions.CosineSimilarity.register(spark)
+    val edges = SimilarityOps.nsSimKnnGraph(spark, sfDir)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.model.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0))
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val inEdges = edges.groupBy(_._2)
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      r = nodes.map { v =>
+        val contrib = inEdges.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (u, _) => r(u) / outDeg(u) }.sum
+        v -> (150000L + 850000L * contrib / 1000000L)
+      }.toMap
+    }
+    val got = SimilarityOps.nsSimPagerank(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == nodes.length)
+    got.foreach { row =>
+      val (v, pr, od, id) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(pr == r(v), s"vec $v: $pr != ${r(v)}")
+      assert(od == outDeg.getOrElse(v, 0L))
+      assert(id == inEdges.get(v).map(_.length.toLong).getOrElse(0L))
+      // isolated nodes sit exactly at the (1-d) floor
+      if (id == 0) assert(pr == 150000L)
+    }
+    // the signal is non-degenerate: connected nodes rise above the floor
+    assert(got.count(_.getLong(1) > 150000L) > 0)
+  }
+
   test("topic curation: sqrt-flattened quotas filled exactly, assignment matches brute force") {
     import graft.model.Tables
     graft.functions.CosineSimilarity.register(spark)
