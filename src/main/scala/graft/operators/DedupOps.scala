@@ -453,7 +453,9 @@ object DedupOps {
     out
   }
 
-  /** Min-id connected components over an undirected pair list.
+  /** Per-doc min-id component labels (doc_id, component) over an
+    * undirected pair list — every node of `allNodes` gets a row
+    * (singletons label themselves).
     *
     * Scale design (two-level): while the edge list is larger than
     * `driverMaxEdges`, run distributed CONTRACTION rounds — relabel every
@@ -472,7 +474,7 @@ object DedupOps {
     * end. localCheckpoint truncates lineage each round — iterative plans
     * otherwise nest exponentially.
     */
-  private[operators] def componentsFromEdges(
+  private[operators] def componentLabelsFromEdges(
       allNodes: DataFrame,
       pairs: DataFrame,
       driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
@@ -568,11 +570,20 @@ object DedupOps {
       .join(broadcast(labels.select("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
     labels.unionByName(singletons)
+  }
+
+  /** [[componentLabelsFromEdges]] aggregated to component rows — the
+    * published components deliverable.
+    */
+  private[operators] def componentsFromEdges(
+      allNodes: DataFrame,
+      pairs: DataFrame,
+      driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame =
+    componentLabelsFromEdges(allNodes, pairs, driverMaxEdges)
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .select(col("component"), col("n_docs"), col("keep_doc_id"))
       .orderBy("component")
-  }
 
   /** The end-to-end dedup deliverable: the SURVIVING corpus. Each
     * near-dup component keeps its min-id document; the output row carries
@@ -586,6 +597,37 @@ object DedupOps {
     docs.join(comps, docs("doc_id") === comps("keep_doc_id"))
       .select(docs("doc_id"), col("lang"),
         (col("n_docs") - 1).as("n_dups_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** LEAKAGE-FREE train/validation/test split (80/10/10): the split key
+    * is the near-dup COMPONENT label, not the document id, so an entire
+    * near-duplicate family always lands in ONE split — the
+    * split-integrity discipline of the dedup literature (a train doc
+    * whose near-twin sits in test is a leak the doc-hash split can't
+    * prevent). Singletons (the overwhelming majority) label themselves
+    * and split exactly like a doc-hash would.
+    *
+    * Deterministic: the component label feeds the same affine hash as
+    * every sampling query ([[SamplingOps.sampleKeyCol]]'s constants);
+    * no rand(), replays are stable. Scale shape: the component machinery
+    * is [[nsDedupComponents]]' (edge-proportional, never corpus-
+    * proportional); the split assignment itself is a projection.
+    */
+  def nsCorpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (sets, sig) = materializedSetsAndSig(docs)
+    val pairs = minhashNearDupPairs(sets, sig, 0.5).select("doc_a", "doc_b")
+    val labels = componentLabelsFromEdges(docs.select("doc_id"), pairs)
+    sets.unpersist(); sig.unpersist()
+    val bucket = pmod(
+      pmod(col("component") * lit(SamplingOps.SampleKeyA)
+        + lit(SamplingOps.SampleKeyB), lit(SamplingOps.SampleKeyP)),
+      lit(100L))
+    labels.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "validation")
+        .otherwise("test"))
+      .select("doc_id", "component", "split")
       .orderBy("doc_id")
   }
 
@@ -862,6 +904,7 @@ object DedupOps {
     "ns_dedup_incremental" -> (nsDedupIncremental _),
     "ns_decontaminate_fuzzy" -> (nsDecontaminateFuzzy _),
     "ns_decontaminate_bloom" -> (nsDecontaminateBloom _),
+    "ns_corpus_split" -> (nsCorpusSplit _),
     "ns_dedup_spans" -> (nsDedupSpans _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
@@ -1126,6 +1169,7 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "ns_dedup_components" -> componentsOracle,
+    "ns_corpus_split" -> corpusSplitOracle,
     "ns_dedup_corpus" ->
       s"""SELECT d.doc_id, d.lang, CAST(c.n_docs - 1 AS BIGINT) AS n_dups_removed
          |FROM ($componentsOracle) c
@@ -1136,8 +1180,12 @@ object DedupOps {
     * MinHash candidates verified at 0.5 — the same edges the Spark plan
     * derives — closed transitively by the recursive CTE.
     */
-  private lazy val componentsOracle: String =
-    s"""WITH RECURSIVE $shingleCte,
+  /** The recursive reachability closure ending in a per-doc `comp`
+    * (doc_id, component) CTE — shared by the components aggregate and
+    * the leakage-free split oracle.
+    */
+  private def componentLabelCtes: String =
+    s"""$shingleCte,
       |$minhashCandCtes,
       |jacc AS (
       |  SELECT p.doc_a, p.doc_b FROM p
@@ -1152,7 +1200,27 @@ object DedupOps {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT reach.doc_id, edges.doc_b FROM reach JOIN edges ON reach.r = edges.doc_a),
-      |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+      |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)""".stripMargin
+
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE $componentLabelCtes
       |SELECT component, count(*) AS n_docs, min(doc_id) AS keep_doc_id
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  /** Split oracle: component labels, then the same affine bucket the
+    * Spark plan computes on the component id.
+    */
+  private lazy val corpusSplitOracle: String = {
+    import SamplingOps.{SampleKeyA, SampleKeyB, SampleKeyP}
+    s"""WITH RECURSIVE $componentLabelCtes,
+      |b AS (
+      |  SELECT doc_id, component,
+      |         ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 AS k
+      |  FROM comp)
+      |SELECT doc_id, component,
+      |       CASE WHEN k < 80 THEN 'train'
+      |            WHEN k < 90 THEN 'validation'
+      |            ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+  }
 }

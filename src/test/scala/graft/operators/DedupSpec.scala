@@ -230,6 +230,27 @@ class DedupSpec extends SparkSpec {
     }, s"confirm join is not sort-merge on sh:\n${nodes.map(_.nodeName)}")
   }
 
+  test("leakage-free split: every doc assigned, components atomic, no near-dup pair straddles splits") {
+    val rows = DedupOps.nsCorpusSplit(spark, sfDir).collect()
+    val docs = graft.model.Tables.documents(spark, sfDir).count()
+    assert(rows.length == docs)
+    val split = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // components are atomic: one split per component label
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getString(2)).distinct.length == 1, s"component $c split")
+    }
+    // the actual leak check: exact near-dup pairs co-assign
+    exactPairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles splits")
+    }
+    // all three splits are populated with roughly 80/10/10 mass
+    val frac = rows.groupBy(_.getString(2)).map { case (s, rs) =>
+      s -> rs.length.toDouble / rows.length
+    }
+    assert(frac.keySet == Set("train", "validation", "test"), s"$frac")
+    assert(frac("train") > 0.6 && frac("validation") < 0.25 && frac("test") < 0.25, s"$frac")
+  }
+
   test("exact dedup keeps one survivor per fingerprint") {
     val out = DedupOps.nsDedupExact(spark, sfDir).collect()
     assert(out.map(_.getString(0)).distinct.length == out.length)
