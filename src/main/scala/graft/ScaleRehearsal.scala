@@ -225,12 +225,14 @@ object ScaleRehearsal {
     // and the decon scan; audio decode is one payload-generation +
     // chunk-walk pass (linear in bytes, no shuffle but the output sort).
     for (q <- Seq("ns_decontaminate_bloom", "pipe_corpus_admission",
-           "ns_multimodal_audio");
+           "ns_multimodal_audio", "ns_text_hotngrams", "ns_corpus_split");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // Topic curation: map-side assign + k-row stats + ONE topic-keyed
     // rank exchange — the subject is that wall tracks N while shuffle
-    // stays ~rows-kept.
-    for (q <- Seq("ns_corpus_topics"); (sfName, dir) <- simScales)
+    // stays ~rows-kept. PageRank adds two exchanges per iteration over
+    // the k-bounded edge list.
+    for (q <- Seq("ns_corpus_topics", "ns_sim_pagerank");
+         (sfName, dir) <- simScales)
       measure(q, sfName, dir)
 
     // Sessionization: 100k events matches the sf0.1 row count, then 4x
