@@ -54,7 +54,8 @@ object ServeBench {
           // harness measuring them would report corpus-build latency as
           // request latency
           n != "pipe_training_corpus" && n != "pipe_corpus_build" &&
-          n != "pipe_select_pack" }
+          n != "pipe_select_pack" && n != "pipe_corpus_admission" &&
+          n != "pipe_corpus_report" }
       .sortBy(_._1)
 
     // Warm once single-threaded: codegen/footers are per-JVM costs a

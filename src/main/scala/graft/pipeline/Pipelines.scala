@@ -594,7 +594,51 @@ object Pipelines {
         && !col("near_dup") && !col("contaminated"))
   }
 
+  /** The nightly CORPUS-HEALTH REPORT — one (metric, value) row per
+    * corpus-level statistic a pretraining-data owner watches, composed
+    * from the published operators (each metric is that operator's
+    * aggregate, so the report is consistent with the detailed queries by
+    * construction):
+    *   n_docs / n_ws_tokens / n_chars   — volume
+    *   n_dup_docs                       — docs displaced by near-dup
+    *                                       survivorship (docs − components)
+    *   n_contaminated                   — eval-leak docs the decon scan drops
+    *   n_gopher_pass                    — docs clearing the quality battery
+    *   n_quality_{high,medium,low}      — tier histogram
+    *   n_langs                          — distinct predicted languages
+    * All values are exact BIGINTs — no ratio ever divides inside the
+    * report, so there is no float-parity surface at all.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val text = graft.operators.TextOps
+    val dedup = graft.operators.DedupOps
+    def one(name: String, v: org.apache.spark.sql.Column, from: DataFrame): DataFrame =
+      from.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
+    val nDocs = one("n_docs", count(lit(1)), docs)
+    val nTok = one("n_ws_tokens", sum(size(split(col("text"), " ")).cast("long")), docs)
+    val nChars = one("n_chars", sum(length(col("text")).cast("long")), docs)
+    val nDup = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        dedup.nsDedupComponents(spark, dir).agg(count(lit(1)).as("nc"))))
+      .select(lit("n_dup_docs").as("metric"), (col("n") - col("nc")).as("value"))
+    val nContam = one("n_contaminated", count(lit(1)),
+      dedup.nsDecontaminate(spark, dir).where(col("drop_doc")))
+    val nGopher = one("n_gopher_pass", count(lit(1)),
+      text.nsTextGopher(spark, dir).where(col("pass")))
+    val nLangs = one("n_langs", countDistinct(col("predicted_lang")),
+      text.nsTextLangId(spark, dir))
+    val tiers = text.nsTextQuality(spark, dir)
+      .groupBy("tier").agg(count(lit(1)).as("value"))
+      .select(concat(lit("n_quality_"), col("tier")).as("metric"), col("value"))
+    nDocs.unionByName(nTok).unionByName(nChars).unionByName(nDup)
+      .unionByName(nContam).unionByName(nGopher).unionByName(nLangs)
+      .unionByName(tiers)
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus_report" -> (corpusReport _),
     "pipe_corpus_admission" -> (corpusAdmission _),
     "pipe_corpus_build" -> (corpusBuild _),
     "pipe_index_apr_average" -> (indexAprAverage _),
@@ -657,6 +701,40 @@ object Pipelines {
   /** Composes the published oracles of the constituent operators as
     * subqueries — the SQL moves in lockstep with the operator oracles.
     */
+  /** Each metric composes the corresponding operator's published oracle,
+    * so the report can never drift from the detailed queries.
+    */
+  private def corpusReportOracle: String = {
+    val comps = graft.operators.DedupOps.oracles("ns_dedup_components")
+    val decon = graft.operators.DedupOps.oracles("ns_decontaminate")
+    val gopher = graft.operators.TextOps.oracles("ns_text_gopher")
+    val langid = graft.operators.TextOps.oracles("ns_text_langid")
+    val quality = graft.operators.TextOps.oracles("ns_text_quality")
+    s"""SELECT * FROM (
+       |SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+       |UNION ALL
+       |SELECT 'n_ws_tokens', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'n_dup_docs',
+       |       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+       |     - (SELECT CAST(count(*) AS BIGINT) FROM ($comps) c)
+       |UNION ALL
+       |SELECT 'n_contaminated',
+       |       (SELECT CAST(count(*) AS BIGINT) FROM ($decon) d WHERE drop_doc)
+       |UNION ALL
+       |SELECT 'n_gopher_pass',
+       |       (SELECT CAST(count(*) AS BIGINT) FROM ($gopher) g WHERE pass)
+       |UNION ALL
+       |SELECT 'n_langs',
+       |       (SELECT CAST(count(DISTINCT predicted_lang) AS BIGINT) FROM ($langid) l)
+       |UNION ALL
+       |SELECT 'n_quality_' || tier, CAST(count(*) AS BIGINT)
+       |FROM ($quality) q GROUP BY tier
+       |) ORDER BY metric""".stripMargin
+  }
+
   /** Composes the published gate oracles: Gopher pass bits, a normalized-
     * sha256 candidate-vs-corpus fp join, the parameterized near-dup
     * matches oracle on the admission split, and the decontamination scan
@@ -843,6 +921,7 @@ object Pipelines {
          |FROM latest JOIN cust ON user_id = c_custkey
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
+    "pipe_corpus_report" -> corpusReportOracle,
     "pipe_corpus_admission" -> corpusAdmissionOracle,
     "pipe_corpus_build" -> corpusBuildOracle,
     "pipe_extract_catchup" ->

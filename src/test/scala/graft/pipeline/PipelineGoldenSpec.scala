@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 class PipelineGoldenSpec extends SparkSpec {
 
+  test("corpus report: metrics internally consistent with the detailed operators") {
+    val rows = Pipelines.corpusReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    assert(rows("n_docs") == nDocs)
+    // tier histogram partitions the corpus
+    val tierSum = rows.filterKeys(_.startsWith("n_quality_")).values.sum
+    assert(tierSum == nDocs, s"tiers sum $tierSum != $nDocs")
+    // dup count consistent with the components query
+    val nComps = graft.operators.DedupOps.nsDedupComponents(spark, sfDir).count()
+    assert(rows("n_dup_docs") == nDocs - nComps)
+    // volume metrics positive and ordered sanely (chars >= tokens)
+    assert(rows("n_ws_tokens") > 0 && rows("n_chars") > rows("n_ws_tokens"))
+    assert(rows("n_langs") >= 1 && rows("n_gopher_pass") >= 0
+      && rows("n_contaminated") >= 0)
+  }
+
   test("balances -> income -> leaderboard matches hand-computed values") {
     import spark.implicits._
     // Two "indexes" (groups): users 1,2 in group A; user 3 in group B.
