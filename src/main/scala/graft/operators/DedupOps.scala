@@ -267,6 +267,36 @@ object DedupOps {
     minhashNearDupPairs(sets, sig, 0.5)
   }
 
+  /** Cross-source near-dup CONTAMINATION MATRIX — which sources copy
+    * from which: every verified MinHash near-dup pair labeled with its
+    * two documents' source tags, aggregated to (source_a, source_b) pair
+    * counts and mean similarity. The off-diagonal cells are the curation
+    * diagnostic (a wiki mirror inside the web crawl lights up
+    * (web, wiki)); the diagonal is ordinary within-source duplication.
+    *
+    * Mean jaccard follows the boundary-free fixed-point discipline: the
+    * 6dp-rounded pair jaccards become micro-unit Longs, the mean is a
+    * single half-up integer division, and the OUTPUT stays an integer
+    * micro-unit column — no float ever crosses the engines.
+    *
+    * Scale shape: pair-proportional on top of the banded pair
+    * enumeration (never corpus-proportional); the source labels join on
+    * the pair ids and the final matrix is |sources|² rows.
+    */
+  def nsDedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    nsDedupMinhash(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .withColumn("j_u", round(col("jaccard") * 1e6).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("j_u").as("sum_j_u"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("(sum_j_u * 2 + n_pairs) div (n_pairs * 2)").as("avg_jaccard_u"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Incremental dedup: an arriving BATCH of documents (ids with
     * doc_id % 10 < 2, a deterministic 20% stand-in for "new today")
     * checked against the INDEXED CORPUS (the other 80%) — the production
@@ -905,6 +935,7 @@ object DedupOps {
     "ns_decontaminate_fuzzy" -> (nsDecontaminateFuzzy _),
     "ns_decontaminate_bloom" -> (nsDecontaminateBloom _),
     "ns_corpus_split" -> (nsCorpusSplit _),
+    "ns_dedup_source_matrix" -> (nsDedupSourceMatrix _),
     "ns_dedup_spans" -> (nsDedupSpans _))
 
   /** Shared oracle CTE fragments (DuckDB): word-3-gram shingles and the
@@ -1132,6 +1163,15 @@ object DedupOps {
     // positive, so its contract is EXACTLY the exact-overlap scan's.
     "ns_decontaminate_bloom" -> decontaminateOracle,
     "ns_dedup_minhash" -> minhashOracle,
+    "ns_dedup_source_matrix" ->
+      s"""SELECT sa.source AS source_a, sb.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST((CAST(SUM(CAST(round(p.jaccard * 1000000, 0) AS BIGINT)) AS BIGINT) * 2
+         |             + count(*)) // (count(*) * 2) AS BIGINT) AS avg_jaccard_u
+         |FROM ($minhashOracle) p
+         |JOIN documents sa ON p.doc_a = sa.doc_id
+         |JOIN documents sb ON p.doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ns_dedup_simhash" -> simhashOracle,
     "ns_dedup_incremental" -> incrementalOracle,
     "ns_decontaminate_fuzzy" -> fuzzyDecontaminateOracle,

@@ -230,6 +230,27 @@ class DedupSpec extends SparkSpec {
     }, s"confirm join is not sort-merge on sh:\n${nodes.map(_.nodeName)}")
   }
 
+  test("source matrix: cells match a brute-force fold over the pair list") {
+    val pairs = DedupOps.nsDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.groupBy { case (a, b, _) => (srcOf(a), srcOf(b)) }
+      .map { case (k, ps) =>
+        val n = ps.length.toLong
+        val sumU = ps.map(p => math.round(p._3 * 1e6)).sum
+        k -> (n, (sumU * 2 + n) / (2 * n))
+      }
+    val got = DedupOps.nsDedupSourceMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty && got == want,
+      s"matrix mismatch: got=${got.toSeq.sorted.take(3)} want=${want.toSeq.sorted.take(3)}")
+    assert(got.values.map(_._1).sum == pairs.length)
+    got.values.foreach { case (_, j) => assert(j >= 500000L && j <= 1000000L) }
+  }
+
   test("leakage-free split: every doc assigned, components atomic, no near-dup pair straddles splits") {
     val rows = DedupOps.nsCorpusSplit(spark, sfDir).collect()
     val docs = graft.model.Tables.documents(spark, sfDir).count()
