@@ -687,6 +687,199 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- Unigram-LM (SentencePiece-style) tokenizer -------------------------
+
+  private[operators] val UniMaxPiece = 6
+  private[operators] val UniTopMulti = 256
+  private[operators] val UniMinFreq = 2L
+  private[operators] val UniMaxWord = 20
+
+  /** The vocabulary of the unigram tokenizer: every corpus CHARACTER
+    * (coverage guarantee — any word stays segmentable) plus the top
+    * [[UniTopMulti]] multi-character substrings (length 2..[[UniMaxPiece]])
+    * by frequency-weighted occurrence count, with each piece's
+    * log-probability in micro-units. (piece, score, logp_u), best-first.
+    *
+    * Bounds mirror the BPE-train discipline: the single-char side is
+    * alphabet-bounded by definition; the multi-char candidate table is
+    * floored at word frequency >= [[UniMinFreq]] BEFORE scoring (on web
+    * text the unfloored substring table is corpus-scale) and capped at
+    * [[UniTopMulti]] before the collect, so the driver holds
+    * <= |alphabet| + 256 rows on ANY corpus. logp quantizes the
+    * probability to micro-units BEFORE the ln (the DSIR recipe), so both
+    * engines ln() the same dyadic rational. The micro-unit scale-up
+    * (score·1e6) needs DECIMAL headroom past ~2^43 total occurrences —
+    * noted, like DSIR's, as the documented fixed-point bound.
+    */
+  private[operators] def unigramVocab(
+      spark: SparkSession, dir: String): Array[(String, Long, Long)] = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .where(col("wd") =!= "")
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+    val pos = wf
+      .withColumn("i", explode(sequence(lit(1), length(col("wd")))))
+      .withColumn("l", explode(sequence(lit(1),
+        least(lit(UniMaxPiece), length(col("wd")) - col("i") + 1))))
+      .select(col("wd").substr(col("i"), col("l")).as("piece"),
+        col("freq"), col("l"))
+    val chars = pos.where(col("l") === 1)
+      .groupBy("piece").agg(sum("freq").as("score"))
+    val multi = pos.where(col("l") >= 2 && col("freq") >= UniMinFreq)
+      .groupBy("piece").agg(sum("freq").as("score"))
+      .orderBy(desc("score"), col("piece")).limit(UniTopMulti)
+    val rows = chars.unionByName(multi)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    rows.map { case (p, s) =>
+      val q = math.max(s * 1000000L / total, 1L)
+      (p, s, Math.round(Math.log(q / 1e6) * 1e6))
+    }.sortBy { case (p, s, _) => (-s, p) }
+  }
+
+  /** Unigram tokenizer TRAINING table — the second tokenizer family next
+    * to BPE: (rank, piece, score, logp_u), the model a Viterbi encoder
+    * consumes. The deliberate simplification vs full SentencePiece is
+    * the fit (one frequency pass instead of EM pruning rounds — each EM
+    * round would be one more scan + re-score of the same bounded
+    * candidate table); the vocabulary shape, probability model and
+    * encoder contract are the real thing.
+    */
+  def nsTextUnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramVocab(spark, dir).zipWithIndex
+      .map { case ((p, s, lp), i) => (i + 1L, p, s, lp) }.toSeq
+      .toDF("rank", "piece", "score", "logp_u")
+      .orderBy("rank")
+  }
+
+  /** Viterbi-encode the corpus under the trained unigram model: per
+    * document, the word count, total piece count and total log-prob of
+    * the MAXIMUM-likelihood segmentation (ties broken toward the longest
+    * final piece — smallest split point — so the piece count is
+    * deterministic too).
+    *
+    * The DP runs ONCE PER DISTINCT WORD (the BPE-train trick): an
+    * in-row `aggregate` over positions with a nested argmax over the
+    * [[UniMaxPiece]] split points, the vocabulary riding as a ~300-entry
+    * map literal — interpreted lambdas, but confined to the vocab-scale
+    * distinct-word table, never the corpus scan; per-doc totals then
+    * join the encoded words back on the word key. Integer dp values
+    * (micro-unit logp sums) make the argmax engine-exact; the oracle
+    * replays the DP as [[UniMaxWord]] chained CTEs over the same vocab.
+    */
+  def nsTextUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = unigramVocab(spark, dir)
+    val vmap = typedLit(vocab.map(v => v._1 -> v._3).toMap)
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("wd"))
+      .where(col("wd") =!= "" && length(col("wd")) <= UniMaxWord)
+    val words = wf.distinct()
+    def bestStep(acc: Column, i: Column, word: Column): Column =
+      aggregate(
+        sequence(greatest(i - lit(UniMaxPiece), lit(0)), i - lit(1)),
+        struct(lit(Long.MinValue).as("dp"), lit(0L).as("pc")),
+        (b, j) => {
+          val lp = element_at(vmap, word.substr(j + lit(1), i - j))
+          val prev = element_at(acc, (j + lit(1)).cast("int"))
+          val cand = prev.getField("dp") + lp
+          when(lp.isNotNull && cand > b.getField("dp"),
+            struct(cand.as("dp"), (prev.getField("pc") + lit(1L)).as("pc")))
+            .otherwise(b)
+        })
+    val enc = words.select(col("wd"),
+      element_at(
+        aggregate(
+          sequence(lit(1), length(col("wd"))),
+          array(struct(lit(0L).as("dp"), lit(0L).as("pc"))),
+          (acc, i) => concat(acc, array(bestStep(acc, i, col("wd"))))),
+        (length(col("wd")) + 1).cast("int")).as("fin"))
+      .select(col("wd"), col("fin").getField("dp").as("w_logp_u"),
+        col("fin").getField("pc").as("w_pieces"))
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+      .where(col("wd") =!= "" && length(col("wd")) <= UniMaxWord)
+    occ.join(enc, "wd")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("w_pieces").as("n_pieces"),
+        sum("w_logp_u").as("logp_u"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram vocabulary CTE chain ending in `v(piece, score, logp_u,
+    * rank)` — shared by the train oracle and the Viterbi encode oracle.
+    * Mirrors [[unigramVocab]] exactly: char pieces from the full word
+    * table, multi-char pieces floored+capped, quantize-then-ln logp.
+    */
+  private def unigramVocabCtes: String =
+    s"""wf AS MATERIALIZED (
+       |  SELECT wd, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
+       |    FROM documents) GROUP BY wd),
+       |p1 AS (
+       |  SELECT wd, freq, CAST(i AS INT) AS i
+       |  FROM wf, unnest(range(1, len(wd) + 1)) AS t(i)),
+       |pos AS (
+       |  SELECT wd, freq, i, CAST(l AS INT) AS l,
+       |         substr(wd, i, CAST(l AS INT)) AS piece
+       |  FROM p1, unnest(range(1, LEAST($UniMaxPiece, len(wd) - i + 1) + 1)) AS u(l)),
+       |chars AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS score
+       |  FROM pos WHERE l = 1 GROUP BY piece),
+       |multi AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS score
+       |  FROM pos WHERE l >= 2 AND freq >= $UniMinFreq GROUP BY piece
+       |  ORDER BY score DESC, piece LIMIT $UniTopMulti),
+       |vocab0 AS (
+       |  SELECT piece, score FROM chars UNION ALL SELECT piece, score FROM multi),
+       |tot AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM vocab0),
+       |v AS MATERIALIZED (
+       |  SELECT piece, score,
+       |         CAST(round(ln(CAST(GREATEST((score * 1000000) // total, 1) AS DOUBLE) / 1000000.0) * 1000000, 0) AS BIGINT) AS logp_u,
+       |         CAST(row_number() OVER (ORDER BY score DESC, piece) AS BIGINT) AS rank
+       |  FROM vocab0 CROSS JOIN tot)""".stripMargin
+
+  /** Viterbi replay: [[UniMaxWord]] chained DP CTEs, each taking the
+    * argmax over the last [[UniMaxPiece]] split points (dp DESC, split
+    * ASC — the same longest-final-piece tie-break as the Spark lambda).
+    */
+  private def unigramEncodeOracle: String = {
+    val dCtes = (1 to UniMaxWord).map { i =>
+      val lo = math.max(0, i - UniMaxPiece)
+      val prev = (lo until i).map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT wd, $i AS pos, dp_u, pc FROM (
+         |    SELECT p.wd, p.dp_u + v.logp_u AS dp_u, p.pc + 1 AS pc,
+         |           row_number() OVER (PARTITION BY p.wd
+         |             ORDER BY p.dp_u + v.logp_u DESC, p.pos ASC) AS rn
+         |    FROM ($prev) p
+         |    JOIN w ON w.wd = p.wd AND w.n >= $i
+         |    JOIN v ON v.piece = substr(p.wd, p.pos + 1, $i - p.pos)
+         |  ) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dall = (1 to UniMaxWord).map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ")
+    s"""WITH $unigramVocabCtes,
+       |w AS MATERIALIZED (SELECT wd, CAST(len(wd) AS INT) AS n FROM wf WHERE len(wd) <= $UniMaxWord),
+       |d0 AS MATERIALIZED (SELECT wd, 0 AS pos, CAST(0 AS BIGINT) AS dp_u, CAST(0 AS BIGINT) AS pc FROM w),
+       |$dCtes,
+       |dall AS ($dall),
+       |enc AS (
+       |  SELECT w.wd, d.dp_u, d.pc FROM w
+       |  JOIN dall d ON d.wd = w.wd AND d.pos = w.n),
+       |occ AS (
+       |  SELECT doc_id, wd FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS wd
+       |    FROM documents)
+       |  WHERE len(wd) <= $UniMaxWord)
+       |SELECT occ.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(e.pc) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(e.dp_u) AS BIGINT) AS logp_u
+       |FROM occ JOIN enc e USING (wd)
+       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+  }
+
   // ---- Hashed linear quality classifier -----------------------------------
 
   private val ClsBuckets = 64
@@ -963,6 +1156,8 @@ object TextOps {
     "ns_text_repetition" -> (nsTextRepetition _),
     "ns_text_gopher" -> (nsTextGopher _),
     "ns_text_hotngrams" -> (nsTextHotNgrams _),
+    "ns_text_unigram_train" -> (nsTextUnigramTrain _),
+    "ns_text_unigram_encode" -> (nsTextUnigramEncode _),
     "ns_text_tokens" -> (nsTextTokens _),
     "ns_text_quality" -> (nsTextQuality _),
     "ns_text_langid" -> (nsTextLangId _),
@@ -1171,6 +1366,10 @@ object TextOps {
         |       round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
         |             / count(*), 6) > 0.5 AS rare_heavy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns_text_unigram_train" ->
+      s"""WITH $unigramVocabCtes
+        |SELECT rank, piece, score, logp_u FROM v ORDER BY rank""".stripMargin,
+    "ns_text_unigram_encode" -> unigramEncodeOracle,
     "ns_text_hotngrams" ->
       s"""WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -28,6 +28,46 @@ class TextOpsSpec extends SparkSpec {
       s"rarity mismatch: got=${got.take(2)} want=${want.take(2)}")
   }
 
+  test("unigram tokenizer: vocab covers all chars; encode matches a brute-force Viterbi") {
+    val vocab = TextOps.nsTextUnigramTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(vocab.nonEmpty)
+    val logp = vocab.map(v => v._1 -> v._3).toMap
+    // every corpus character is a piece (segmentability guarantee);
+    // multi-char side respects the cap; logp is a proper log-prob (< 0)
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
+    val allChars = docs.flatMap(_._2.split(" ").filter(_.nonEmpty).flatMap(_.toSeq)).toSet
+    assert(allChars.forall(c => logp.contains(c.toString)))
+    assert(vocab.count(_._1.length >= 2) <= 256)
+    vocab.foreach { case (p, s, lp) => assert(s > 0 && lp < 0, s"$p") }
+    // brute-force Viterbi per word (same tie-break: smallest split point)
+    def viterbi(w: String): (Long, Long) = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, 0L))
+      dp(0) = (0L, 0L)
+      for (i <- 1 to w.length) {
+        for (j <- math.max(0, i - 6) until i) {
+          logp.get(w.substring(j, i)).foreach { lp =>
+            val cand = dp(j)._1 + lp
+            if (cand > dp(i)._1) dp(i) = (cand, dp(j)._2 + 1)
+          }
+        }
+      }
+      dp(w.length)
+    }
+    val got = TextOps.nsTextUnigramEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(w => w.nonEmpty && w.length <= 20)
+      if (ws.nonEmpty) {
+        val encs = ws.map(viterbi)
+        val want = (ws.length.toLong, encs.map(_._2).sum, encs.map(_._1).sum)
+        assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+      }
+    }
+  }
+
   test("hot ngrams: top-k by df matches a brute-force fold; top-k is TakeOrdered, not a global sort") {
     val rows = TextOps.nsTextHotNgrams(spark, sfDir).collect()
     assert(rows.length == TextOps.HotNgramK)
