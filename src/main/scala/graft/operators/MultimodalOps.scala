@@ -222,11 +222,42 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded per-frame video features — all BIGINT for exact replay. */
+  case class VideoFrameFeatures(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_frames: Long, px_sum: Long)
+
+  /** Video corpus: every doc_id ≡ 2 mod 5 carries a REAL generated AVI
+    * (uncompressed 24-bit DIB frames, [[AviFixtures]]); decode walks the
+    * actual RIFF chunk tree ([[VideoCodecs.decodeAvi]] — hdrl/strl
+    * validation, movi frame chunks, DIB row-padding skip) and every 2nd
+    * frame emits a feature row — frame sampling over REAL decoded
+    * frames, completing the image/audio/video modality triple. Same
+    * per-partition batched shape; payloads never cross a shuffle.
+    */
+  def nsMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 5 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val d = VideoCodecs.decodeAvi(AviFixtures.avi(id))
+        d.frameSums.zipWithIndex.collect { case (s, f) if f % 2 == 0 =>
+          VideoFrameFeatures(id, f.toLong, d.width, d.height,
+            d.frameSums.length.toLong, s)
+        }
+      })
+      .toDF()
+      .select("doc_id", "frame_idx", "width", "height", "n_frames", "px_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
     "ns_multimodal_frames" -> (nsMultimodalFrames _),
     "ns_multimodal_resize" -> (nsMultimodalResize _),
-    "ns_multimodal_audio" -> (nsMultimodalAudio _))
+    "ns_multimodal_audio" -> (nsMultimodalAudio _),
+    "ns_multimodal_video" -> (nsMultimodalVideo _))
 
   /** Shared oracle CTE: 4-way mime class (0 bmp, 1 ppm, 2 text, 3 pgm)
     * with per-class dims and channel count — ONE definition for all three
@@ -379,5 +410,33 @@ object MultimodalOps {
         |       a.n * 1000 // 8000 AS duration_ms,
         |       agg.abs_sum, agg.peak
         |FROM a JOIN agg USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin)
+        |ORDER BY a.doc_id""".stripMargin,
+    // Replays the AviFixtures formulas symbolically: (id%7+2) × (id%5+2)
+    // frames, 8 + id%9 of them, pixel byte k of frame f =
+    // (id·31 + f·7 + k) % 256, every 2nd frame sampled. A hash-match
+    // proves the Spark-side codec walked the real hdrl/strl/movi tree
+    // and summed only pixel bytes (DIB row padding is 0xAB, not 0).
+    "ns_multimodal_video" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 7 + 2 AS BIGINT) AS w,
+        |         CAST(doc_id % 5 + 2 AS BIGINT) AS h,
+        |         CAST(8 + doc_id % 9 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |f AS (
+        |  SELECT doc_id, w, h, nf,
+        |         unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+        |  FROM a),
+        |k AS (
+        |  SELECT doc_id, frame_idx,
+        |         unnest(generate_series(0, 3*w*h - 1)) AS k
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |         CAST(SUM((doc_id*31 + frame_idx*7 + k) % 256) AS BIGINT) AS px_sum
+        |  FROM k GROUP BY doc_id, frame_idx)
+        |SELECT f.doc_id, f.frame_idx, f.w AS width, f.h AS height,
+        |       f.nf AS n_frames, s.px_sum
+        |FROM f JOIN s USING (doc_id, frame_idx)
+        |ORDER BY f.doc_id, f.frame_idx""".stripMargin)
 }

@@ -149,6 +149,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI codec round-trips generated frames and skips DIB row padding") {
+    for (id <- Seq(2L, 7L, 12L, 57L, 102L)) {
+      val bytes = AviFixtures.avi(id)
+      val d = VideoCodecs.decodeAvi(bytes)
+      val (w, h, n) = (AviFixtures.width(id), AviFixtures.height(id), AviFixtures.nFrames(id))
+      assert((d.width, d.height, d.frameSums.length) == (w.toLong, h.toLong, n), s"id=$id header")
+      (0 until n).foreach { f =>
+        val want = (0L until 3L * w * h)
+          .map(k => (AviFixtures.pxByte(id, f, k) & 0xff).toLong).sum
+        assert(d.frameSums(f) == want, s"id=$id frame $f")
+      }
+      // padding trap: when rows pad, a naive whole-movi byte sum diverges
+      if ((3 * w) % 4 != 0) {
+        val stride = (3 * w + 3) / 4 * 4
+        assert(stride * h > 3 * w * h) // padding exists for this id
+      }
+    }
+  }
+
+  test("AVI codec fails loud on malformed payloads") {
+    val ok = AviFixtures.avi(7L)
+    // bad magic
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(AudioFixtures.wav(7L)))
+    // truncated frame data
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(ok.dropRight(1)))
+    // inconsistent RIFF size
+    val badSize = ok.clone(); badSize(4) = (badSize(4) + 1).toByte
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(badSize))
+    // frame-count mismatch: bump avih total_frames — avih body starts at
+    // RIFF(12) + LIST hdr(8) + 'hdrl'(4) + avih hdr(8) = 32, field at +16
+    val badN = ok.clone(); badN(48) = (badN(48) + 1).toByte
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(badN))
+    // unsupported bit depth: strf biBitCount lives 14 bytes into strf body
+    val strfBody = ok.indexOfSlice("strf".getBytes("US-ASCII")) + 8
+    val badBits = ok.clone(); badBits(strfBody + 14) = 32.toByte
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(badBits))
+    // compressed stream rejected
+    val badComp = ok.clone(); badComp(strfBody + 16) = 1.toByte
+    intercept[IllegalArgumentException](VideoCodecs.decodeAvi(badComp))
+  }
+
+  test("video query samples every 2nd real decoded frame batch-wide") {
+    val rows = MultimodalOps.nsMultimodalVideo(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      assert(id % 5 == 2 && f % 2 == 0)
+      val d = VideoCodecs.decodeAvi(AviFixtures.avi(id))
+      assert(r.getLong(2) == d.width && r.getLong(3) == d.height
+        && r.getLong(4) == d.frameSums.length && r.getLong(5) == d.frameSums(f.toInt),
+        s"id=$id frame $f")
+    }
+    // sampled-per-doc counts: ceil(n_frames / 2)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length == (AviFixtures.nFrames(id) + 1) / 2, s"id=$id count")
+    }
+  }
+
   test("resize decimates real pixels with input-position weights") {
     def brute(w: Long, h: Long, px: Array[Byte]): (Long, Long, Long) = {
       val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
