@@ -226,7 +226,8 @@ object ScaleRehearsal {
     // chunk-walk pass (linear in bytes, no shuffle but the output sort).
     for (q <- Seq("ns_decontaminate_bloom", "pipe_corpus_admission",
            "ns_multimodal_audio", "ns_text_hotngrams", "ns_corpus_split",
-           "ns_text_unigram_encode", "ns_dedup_source_matrix");
+           "ns_text_unigram_encode", "ns_dedup_source_matrix",
+           "ns_multimodal_video");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // Topic curation: map-side assign + k-row stats + ONE topic-keyed
     // rank exchange — the subject is that wall tracks N while shuffle

@@ -637,7 +637,29 @@ object Pipelines {
       .orderBy("metric")
   }
 
+  /** Tokenizer bake-off — the vocabulary-selection job a pretraining
+    * pipeline runs before committing to a tokenizer: per document, the
+    * whitespace baseline, the trained BPE token count and the trained
+    * unigram piece count side by side, plus the winner (ties to BPE).
+    * All exact integers; the oracle composes the three published
+    * tokenizer oracles on the doc key.
+    */
+  def tokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val text = graft.operators.TextOps
+    val ws = text.nsTextTokens(spark, dir).select("doc_id", "ws_tokens")
+    val bpe = text.nsTextBpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val uni = text.nsTextUnigramEncode(spark, dir)
+      .select(col("doc_id"), col("n_pieces").as("n_uni_pieces"))
+    ws.join(bpe, "doc_id").join(uni, "doc_id")
+      .withColumn("fewer_tokens",
+        when(col("n_bpe_tokens") <= col("n_uni_pieces"), "bpe")
+          .otherwise("unigram"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_tokenizer_eval" -> (tokenizerEval _),
     "pipe_corpus_report" -> (corpusReport _),
     "pipe_corpus_admission" -> (corpusAdmission _),
     "pipe_corpus_build" -> (corpusBuild _),
@@ -921,6 +943,18 @@ object Pipelines {
          |FROM latest JOIN cust ON user_id = c_custkey
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
+    "pipe_tokenizer_eval" ->
+      s"""WITH t AS (SELECT doc_id, ws_tokens
+         |           FROM (${graft.operators.TextOps.oracles("ns_text_tokens")}) tt),
+         |b AS (SELECT doc_id, n_bpe_tokens
+         |      FROM (${graft.operators.TextOps.oracles("ns_text_bpe_encode")}) bb),
+         |u AS (SELECT doc_id, n_pieces AS n_uni_pieces
+         |      FROM (${graft.operators.TextOps.oracles("ns_text_unigram_encode")}) uu)
+         |SELECT t.doc_id, t.ws_tokens, b.n_bpe_tokens, u.n_uni_pieces,
+         |       CASE WHEN b.n_bpe_tokens <= u.n_uni_pieces
+         |            THEN 'bpe' ELSE 'unigram' END AS fewer_tokens
+         |FROM t JOIN b USING (doc_id) JOIN u USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "pipe_corpus_report" -> corpusReportOracle,
     "pipe_corpus_admission" -> corpusAdmissionOracle,
     "pipe_corpus_build" -> corpusBuildOracle,
