@@ -29,13 +29,21 @@ object DedupOps {
     * distincts it and [[shingleSetsOnePass]] set-aggregates it, so the
     * exact-Jaccard and MinHash paths cannot desynchronize.
     */
-  private[operators] def explodedShingles(docs: DataFrame): DataFrame =
+  /** One row per (doc, shingle occurrence) with the RAW shingle string —
+    * the single tokenization definition; the dedup family fingerprints
+    * it ([[explodedShingles]]), the hot-ngram table
+    * ([[TextOps.nsTextHotNgrams]]) aggregates it directly.
+    */
+  private[graft] def wordShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(col("text")), " "))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("shingle"))
+
+  private[operators] def explodedShingles(docs: DataFrame): DataFrame =
+    wordShingles(docs)
       .select(col("doc_id"),
         conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
 

@@ -261,12 +261,7 @@ object TextOps {
     * result only.
     */
   def nsTextHotNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val topK = Tables.documents(spark, dir)
-      .withColumn("w", split(lower(col("text")), " "))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
+    val topK = DedupOps.wordShingles(Tables.documents(spark, dir))
       .distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle")).limit(HotNgramK)
@@ -692,7 +687,7 @@ object TextOps {
   private[operators] val UniMaxPiece = 6
   private[operators] val UniTopMulti = 256
   private[operators] val UniMinFreq = 2L
-  private[operators] val UniMaxWord = 20
+  private[graft] val UniMaxWord = 20
 
   /** The vocabulary of the unigram tokenizer: every corpus CHARACTER
     * (coverage guarantee — any word stays segmentable) plus the top

@@ -643,15 +643,26 @@ object Pipelines {
     * unigram piece count side by side, plus the winner (ties to BPE).
     * All exact integers; the oracle composes the three published
     * tokenizer oracles on the doc key.
+    *
+    * Restricted to documents every tokenizer fully encodes: the unigram
+    * Viterbi skips words longer than [[graft.operators.TextOps.UniMaxWord]]
+    * chars, so a doc containing one would compare a full BPE count
+    * against a partial unigram count — those docs are excluded (both
+    * engines), keeping the comparison apples-to-apples.
     */
   def tokenizerEval(spark: SparkSession, dir: String): DataFrame = {
     val text = graft.operators.TextOps
+    val eligible = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        s"size(filter(split(lower(text), ' '), w -> length(w) > ${text.UniMaxWord}))")
+        .as("n_long"))
+      .where(col("n_long") === 0).select("doc_id")
     val ws = text.nsTextTokens(spark, dir).select("doc_id", "ws_tokens")
     val bpe = text.nsTextBpeEncode(spark, dir)
       .select(col("doc_id"), col("n_bpe_tokens"))
     val uni = text.nsTextUnigramEncode(spark, dir)
       .select(col("doc_id"), col("n_pieces").as("n_uni_pieces"))
-    ws.join(bpe, "doc_id").join(uni, "doc_id")
+    ws.join(eligible, "doc_id").join(bpe, "doc_id").join(uni, "doc_id")
       .withColumn("fewer_tokens",
         when(col("n_bpe_tokens") <= col("n_uni_pieces"), "bpe")
           .otherwise("unigram"))
@@ -944,8 +955,12 @@ object Pipelines {
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "pipe_training_corpus" -> trainingCorpusOracle,
     "pipe_tokenizer_eval" ->
-      s"""WITH t AS (SELECT doc_id, ws_tokens
-         |           FROM (${graft.operators.TextOps.oracles("ns_text_tokens")}) tt),
+      s"""WITH elig AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(list_filter(string_split(lower(text), ' '),
+         |        w -> len(w) > ${graft.operators.TextOps.UniMaxWord})) = 0),
+         |t AS (SELECT doc_id, ws_tokens
+         |      FROM (${graft.operators.TextOps.oracles("ns_text_tokens")}) tt),
          |b AS (SELECT doc_id, n_bpe_tokens
          |      FROM (${graft.operators.TextOps.oracles("ns_text_bpe_encode")}) bb),
          |u AS (SELECT doc_id, n_pieces AS n_uni_pieces
@@ -953,7 +968,7 @@ object Pipelines {
          |SELECT t.doc_id, t.ws_tokens, b.n_bpe_tokens, u.n_uni_pieces,
          |       CASE WHEN b.n_bpe_tokens <= u.n_uni_pieces
          |            THEN 'bpe' ELSE 'unigram' END AS fewer_tokens
-         |FROM t JOIN b USING (doc_id) JOIN u USING (doc_id)
+         |FROM t JOIN elig USING (doc_id) JOIN b USING (doc_id) JOIN u USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     "pipe_corpus_report" -> corpusReportOracle,
     "pipe_corpus_admission" -> corpusAdmissionOracle,

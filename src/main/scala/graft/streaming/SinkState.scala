@@ -21,7 +21,12 @@ object SinkState {
     * permanent crash loop. Hidden-path components (_/. prefixed, at any
     * depth) are exactly what Spark's own file index skips.
     */
-  def priorSink(session: SparkSession, outPath: String): Option[DataFrame] = {
+  /** `keepBatchId = true` retains the `batch_id` partition column —
+    * [[StreamingAdmissionChain]] rebuilds its src_batch extension tags
+    * from it; the doc-keyed twins drop it.
+    */
+  def priorSink(session: SparkSession, outPath: String,
+      keepBatchId: Boolean = false): Option[DataFrame] = {
     val sinkPath = new org.apache.hadoop.fs.Path(outPath)
     val fs = sinkPath.getFileSystem(session.sparkContext.hadoopConfiguration)
     def hasDataFiles: Boolean = {
@@ -39,8 +44,10 @@ object SinkState {
       false
     }
     if (fs.exists(sinkPath) && hasDataFiles)
-      Some(session.read.parquet(outPath).drop("batch_id"))
-        .filter(df => !df.isEmpty)
+      Some {
+        val df = session.read.parquet(outPath)
+        if (keepBatchId) df else df.drop("batch_id")
+      }.filter(df => !df.isEmpty)
     else None
   }
 }

@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   * upstream with [[StreamingDedup.dedupStream]] (the watermarked exact
   * gate), then admit against history here.
   *
-  * Replay/restart contract (shared with the other admission twins):
-  * per-batch dirs overwrite; extension entries keyed by the CURRENT
-  * batch's doc ids are anti-joined away before gating, so a replayed
-  * batch can't self-reject; on restart every extension is rebuilt from
-  * the sink — the committed truth ([[SinkState.priorSink]]).
+  * Replay/restart contract: per-batch dirs overwrite; extension entries
+  * are tagged with the batch that ADMITTED them, and gating excludes
+  * only entries tagged with the CURRENT batch id — so a replayed batch
+  * can't self-reject, while a document redelivered in a LATER batch
+  * still meets its earlier admission and is rejected (spec-pinned; the
+  * doc-id-keyed exclusion the other twins use cannot tell those two
+  * events apart). On restart every extension is rebuilt, tags included,
+  * from the sink's batch_id partition dirs — the committed truth
+  * ([[SinkState.priorSink]]).
   *
   * Scale posture: the static gates are metadata-scale broadcasts (probe
   * shingles) or materialized index frames (corpus fps, banded sigs +
@@ -56,35 +60,52 @@ object StreamingAdmissionChain {
       .localCheckpoint()
     val corpusFp = Pipelines.contentFp(corpusDocs).localCheckpoint()
     val (baseBanded, baseSets) = DedupOps.corpusIndexMaterialized(corpusDocs)
-    // Admitted-documents extensions; rebuilt from the sink on restart.
-    val prior = SinkState.priorSink(session, outPath)
-    var extFp = prior.map(Pipelines.contentFp)
-      .getOrElse(corpusFp.limit(0)).localCheckpoint()
-    val (extB0, extS0) = prior.map(DedupOps.corpusIndexMaterialized)
-      .getOrElse((baseBanded.limit(0), baseSets.limit(0)))
+    // Admitted-documents extensions, every row tagged with the batch that
+    // admitted it (`src_batch`). Replay safety keys on THAT, not on the
+    // current batch's doc ids: a replayed batch B sees the index minus
+    // only its own prior contribution (src_batch = B), while a document
+    // RE-SENT in a later batch still meets its earlier admission and is
+    // rejected as the duplicate it is — checkpoint replay and cross-batch
+    // redelivery are different events and get different treatment.
+    // On restart the tags rebuild from the sink's batch_id partition dirs.
+    val prior = SinkState.priorSink(session, outPath, keepBatchId = true)
+    def withBatchTag(p: DataFrame, of: DataFrame): DataFrame =
+      of.join(p.select(col("doc_id"),
+        col("batch_id").cast("long").as("src_batch")), "doc_id")
+    var extFp = prior.map(p => withBatchTag(p, Pipelines.contentFp(p)))
+      .getOrElse(corpusFp.limit(0).withColumn("src_batch", lit(0L)))
+      .localCheckpoint()
+    val (extB0, extS0) = prior.map { p =>
+      val (b, s) = DedupOps.corpusIndexMaterialized(p)
+      (withBatchTag(p, b), withBatchTag(p, s))
+    }.getOrElse((
+      baseBanded.limit(0).withColumn("src_batch", lit(0L)),
+      baseSets.limit(0).withColumn("src_batch", lit(0L))))
     var extBanded = extB0.localCheckpoint()
     var extSets = extS0.localCheckpoint()
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val curIds = batch.select("doc_id")
         // 1. Gopher: per-row rules, no state touched.
         val s1 = batch.join(
           TextOps.gopherProfile(batch).where(col("pass")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        // 2. Exact dup vs corpus + admitted (minus this batch's own
-        //    prior contribution — replay safety).
-        val extFpNow = extFp.join(curIds, Seq("doc_id"), "left_anti")
-        val dupFps = corpusFp.select("fp")
-          .unionByName(extFpNow.select("fp")).distinct()
+        // 2. Exact dup vs corpus + admitted. The batch's fingerprints are
+        //    micro-scale, so they BROADCAST-probe the (executor-resident)
+        //    fp frames — per-batch cost is a scan, never a corpus shuffle
+        //    (the bucketed-artifact probe replaces even the scan at
+        //    production scale).
+        val extFpNow = extFp.where(col("src_batch") =!= batchId)
+        val batchFp = Pipelines.contentFp(s1)
+        val dupFp = corpusFp.select("fp").unionByName(extFpNow.select("fp"))
+          .join(broadcast(batchFp.select("fp").distinct()), Seq("fp"), "left_semi")
         val s2 = s1.join(
-          Pipelines.contentFp(s1).join(dupFps, Seq("fp"), "left_semi")
-            .select("doc_id"),
+          batchFp.join(broadcast(dupFp), Seq("fp"), "left_semi").select("doc_id"),
           Seq("doc_id"), "left_anti")
         // 3. Near-dup vs banded index + admitted extension.
-        val idxBanded = baseBanded.unionByName(extBanded)
-          .join(curIds, Seq("doc_id"), "left_anti")
-        val idxSets = baseSets.unionByName(extSets)
-          .join(curIds, Seq("doc_id"), "left_anti")
+        val idxBanded = baseBanded.unionByName(
+          extBanded.where(col("src_batch") =!= batchId).drop("src_batch"))
+        val idxSets = baseSets.unionByName(
+          extSets.where(col("src_batch") =!= batchId).drop("src_batch"))
         val nearIds = DedupOps
           .matchAgainstIndex(s2, idxBanded, idxSets, cacheShingles = false)
           .select(col("batch_doc").as("doc_id"))
@@ -97,15 +118,20 @@ object StreamingAdmissionChain {
         val sinkDir = s"$outPath/batch_id=$batchId"
         admittedNow.write.mode("overwrite").parquet(sinkDir)
         // Fold the committed admissions into every extension (reading
-        // back from the sink, which a replay would regenerate).
+        // back from the sink, which a replay would regenerate), tagged
+        // with this batch id.
         val admitted = batch.sparkSession.read.parquet(sinkDir)
-        extFp = extFpNow.unionByName(Pipelines.contentFp(admitted))
+        extFp = extFpNow
+          .unionByName(Pipelines.contentFp(admitted)
+            .withColumn("src_batch", lit(batchId)))
           .localCheckpoint()
         val (nb, ns) = DedupOps.corpusIndexMaterialized(admitted)
-        extBanded = extBanded.join(curIds, Seq("doc_id"), "left_anti")
-          .unionByName(nb).localCheckpoint()
-        extSets = extSets.join(curIds, Seq("doc_id"), "left_anti")
-          .unionByName(ns).localCheckpoint()
+        extBanded = extBanded.where(col("src_batch") =!= batchId)
+          .unionByName(nb.withColumn("src_batch", lit(batchId)))
+          .localCheckpoint()
+        extSets = extSets.where(col("src_batch") =!= batchId)
+          .unionByName(ns.withColumn("src_batch", lit(batchId)))
+          .localCheckpoint()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -108,9 +108,15 @@ class StreamingAdmissionChainSpec extends SparkSpec {
         (7L, contaminated),
         (8L, passText(9))))
       query.processAllAvailable()
+      // Batch 3: doc 1 REDELIVERED verbatim — cross-batch redelivery is
+      // NOT a replay, so its batch-1 admission must reject it (the
+      // src_batch-tagged extensions keep doc 1's own entries in view).
+      input.addData(Seq((1L, textB)))
+      query.processAllAvailable()
     } finally query.stop()
-    val admitted = spark.read.parquet(out).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(admitted == Set(1L, 8L), s"got $admitted")
+    val admittedRows = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(admittedRows.sorted.toSeq == Seq(1L, 8L),
+      s"got ${admittedRows.toSeq} — redelivery duplicated or gates leaked")
   }
 }
