@@ -705,6 +705,18 @@ object TextOps {
     * engines ln() the same dyadic rational. The micro-unit scale-up
     * (score·1e6) needs DECIMAL headroom past ~2^43 total occurrences —
     * noted, like DSIR's, as the documented fixed-point bound.
+    *
+    * FLOAT-PARITY BOUND (explicit, like the DSIR note): neither engine's
+    * ln() is guaranteed correctly rounded, and Math.round rounds negative
+    * halves toward +inf while DuckDB round() rounds half away from zero —
+    * so parity needs every ln(q/1e6)·1e6 to sit AWAY from a .5 boundary.
+    * There are only 1e6 possible quantized inputs q, and an exhaustive
+    * scan (UnigramLogpParitySpec, re-run every build) shows the minimum
+    * distance to any half-boundary is 1.31e-6 micro-units (at q=380004)
+    * — about 10^4 double ulps at this magnitude. No half-case is ever
+    * exercised, and any ln within thousands of ulps of correct lands on
+    * the same integer; the spec turns the bound from a claim into a
+    * regression-checked fact.
     */
   private[operators] def unigramVocab(
       spark: SparkSession, dir: String): Array[(String, Long, Long)] = {

@@ -47,6 +47,10 @@ object VideoCodecs {
         require(body + size <= to, s"truncated '$id' chunk")
         id match {
           case "LIST" =>
+            // The list type is 4 bytes of the chunk BODY: a declared size
+            // under 4 would read the next chunk's header as the type and
+            // misparse silently instead of failing loud.
+            require(size >= 4, s"short LIST chunk (size $size < 4)")
             val listType = tag(bytes, body)
             listType match {
               case "hdrl" | "strl" => walk(body + 4, body + size.toInt)
