@@ -324,6 +324,40 @@ object DedupOps {
     matchAgainstIndex(docs.where(isBatch), banded, sets)
   }
 
+  /** ONE shared shingle pass feeding BOTH corpus-health dedup metrics —
+    * near-dup survivorship components AND the decontamination profile —
+    * for the nightly report ([[graft.pipeline.Pipelines]]): the cached
+    * per-doc shingle sets are built once ([[shingleSetsOnePass]], the
+    * report's single wide operation over the corpus); components derive
+    * their banded edges from the cached signatures, and the
+    * decontamination scan re-derives its (doc, shingle) / probe frames by
+    * EXPLODING THE CACHED SETS (a narrow map-side projection) instead of
+    * re-shingling the corpus — per-doc distinct explode of a collect_set
+    * is row-identical to the distinct exploded-shingle frame, so the
+    * published decontamination oracle holds unchanged.
+    *
+    * Returns (components, contaminationProfile). The components frame is
+    * eagerly materialized (the [[componentsFromEdges]] driver finish);
+    * the contamination frame stays lazy over the CACHED sets, so callers
+    * must evaluate it within the session (Verify/Bench clear the cache
+    * manager after each query — the documented one-shot convention).
+    * `evalSplit` marks the probe/eval side (the decontamination split).
+    */
+  private[graft] def healthSharedPass(
+      docs: DataFrame, evalSplit: Column): (DataFrame, DataFrame) = {
+    val sets = shingleSetsOnePass(docs).cache()
+    val sig = signaturesFromSets(sets).cache()
+    sig.count() // one sequential job materializes docs -> sets -> sig
+    val pairs = minhashNearDupPairs(sets, sig, 0.5).select("doc_a", "doc_b")
+    val comps = componentsFromEdges(docs.select("doc_id"), pairs)
+    sig.unpersist() // edges are materialized; only the sets serve decon
+    val corpusSh = sets.where(!evalSplit)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val benchSh = sets.where(evalSplit)
+      .select(explode(col("shs")).as("sh")).distinct()
+    (comps, contaminationProfile(corpusSh, benchSh))
+  }
+
   /** A corpus's near-dup INDEX: (banded signatures, shingle sets with
     * cardinalities) — what an incremental or streaming ingest joins
     * arriving documents against. Both frames derive from one cached

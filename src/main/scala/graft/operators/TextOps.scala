@@ -29,44 +29,75 @@ object TextOps {
     * stopword ratio, and a composite score with tier labels — the shape of
     * standard pretraining-corpus quality filters.
     */
-  def nsTextQuality(spark: SparkSession, dir: String): DataFrame = {
+  def nsTextQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityProfile(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The quality battery as a frame transform — shared by the query above
+    * and the shared-scan corpus report ([[graft.pipeline.Pipelines]]),
+    * which feeds every metric from ONE cached documents frame.
+    */
+  private[graft] def qualityProfile(docs: DataFrame): DataFrame =
+    qualityCols(docs)
+      // Empty docs would divide by zero (Spark: null/NaN, DuckDB: inf —
+      // engines disagree); quality scoring is undefined for them anyway.
+      .where(length(col("text")) > 0)
+      .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score", "tier")
+
+  /** The quality column stage: appends the score columns, KEEPING input
+    * columns so stages chain into one projection ([[corpusProfile]]).
+    * `tier` is null for empty docs (scoring undefined — the profile
+    * wrapper filters them; the fused report excludes null tiers, which is
+    * the same histogram).
+    */
+  private def qualityCols(docs: DataFrame): DataFrame = {
     val toks = size(split(col("text"), " ")).cast("double")
     val stopHits =
       expr("size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','is','to','in')))")
         .cast("double")
     val punct =
       expr("size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0))").cast("double")
-    Tables.documents(spark, dir)
-      // Empty docs would divide by zero (Spark: null/NaN, DuckDB: inf —
-      // engines disagree); quality scoring is undefined for them anyway.
-      .where(length(col("text")) > 0)
-      .select(
-        col("doc_id"),
-        toks.cast("long").as("n_tokens"),
-        round(length(col("text")) / toks, 6).as("mean_token_len"),
-        round(punct / length(col("text")), 6).as("punct_ratio"),
-        round(stopHits / toks, 6).as("stopword_ratio"))
+    docs
+      .withColumn("n_tokens", toks.cast("long"))
+      .withColumn("mean_token_len", round(length(col("text")) / toks, 6))
+      .withColumn("punct_ratio", round(punct / length(col("text")), 6))
+      .withColumn("stopword_ratio", round(stopHits / toks, 6))
       .withColumn("quality_score",
         round(least(lit(1.0),
           col("stopword_ratio") * 2.0
             + when(col("n_tokens") >= 20, 0.5).otherwise(0.0)
             - col("punct_ratio")), 6))
       .withColumn("tier",
-        when(col("quality_score") >= 0.7, "high")
-          .when(col("quality_score") >= 0.4, "medium")
-          .otherwise("low"))
-      .orderBy("doc_id")
+        when(length(col("text")) > 0,
+          when(col("quality_score") >= 0.7, "high")
+            .when(col("quality_score") >= 0.4, "medium")
+            .otherwise("low")))
   }
 
   /** Language-ID via stopword-hit scoring (n-gram-free heuristic): count
     * hits against per-language function-word lists, argmax with fixed
     * precedence. Deterministic and engine-portable.
     */
-  def nsTextLangId(spark: SparkSession, dir: String): DataFrame = {
+  def nsTextLangId(spark: SparkSession, dir: String): DataFrame =
+    langIdProfile(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The language-ID scorer as a frame transform — shared by the query
+    * above and the shared-scan corpus report ([[qualityProfile]]'s
+    * rationale).
+    */
+  private[graft] def langIdProfile(docs: DataFrame): DataFrame =
+    langIdCols(docs)
+      .select("doc_id", "lang", "predicted_lang", "en_hits", "es_hits",
+        "de_hits", "fr_hits")
+
+  /** The language-ID column stage — appends hit counts + predicted_lang,
+    * keeping input columns so stages chain ([[corpusProfile]]).
+    */
+  private def langIdCols(docs: DataFrame): DataFrame = {
     def hits(words: Seq[String]): org.apache.spark.sql.Column =
       expr(s"size(filter(split(lower(text), ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
         .cast("long")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("en_hits", hits(Seq("the", "a", "of", "and", "is")))
       .withColumn("es_hits", hits(Seq("el", "la", "de", "los", "y")))
       .withColumn("de_hits", hits(Seq("der", "die", "das", "und", "ist")))
@@ -79,8 +110,6 @@ object TextOps {
           .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
           .when(col("fr_hits") > 0, "fr")
           .otherwise("unknown"))
-      .select("doc_id", "lang", "predicted_lang", "en_hits", "es_hits", "de_hits", "fr_hits")
-      .orderBy("doc_id")
   }
 
   /** Document fingerprinting: sha256 over whitespace-normalized lowercase
@@ -276,7 +305,23 @@ object TextOps {
     * which is legal precisely because this is a stateless per-row
     * projection.
     */
-  private[graft] def gopherProfile(docs: DataFrame): DataFrame = {
+  private[graft] def gopherProfile(docs: DataFrame): DataFrame =
+    gopherCols(docs)
+      .where(col("nw") > 0)
+      .select(
+        col("doc_id"), col("nw").as("n_words"), col("mwl_u"), col("sym_u"),
+        col("alpha_u"), col("n_stop_distinct"), col("dup3_u"),
+        col("r_words"), col("r_mwl"), col("r_symbol"), col("r_alpha"),
+        col("r_stop"), col("r_rep"), col("pass"))
+
+  /** The Gopher column stage: appends the rule/ratio columns, KEEPING
+    * input columns so stages chain into one projection
+    * ([[corpusProfile]]). Every `DIV nw` is CASE-guarded so the
+    * unfiltered form is ANSI-safe for zero-word docs — such docs fail
+    * `r_words` (and thus `pass`) by construction, exactly as if the
+    * profile's nw > 0 filter had dropped them.
+    */
+  private def gopherCols(docs: DataFrame): DataFrame = {
     val stopList = "'the','a','of','and','is','to','in','that','be','have','with'"
     // `ws` is materialized ONCE as a column: inlining the filter∘split
     // string into the dup3 lambda makes every element_at re-split the
@@ -285,13 +330,14 @@ object TextOps {
     docs
       .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
       .withColumn("nw", expr("CAST(size(ws) AS BIGINT)"))
-      .where(col("nw") > 0)
       .withColumn("mwl_u", expr(
-        "(aggregate(transform(ws, w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000) DIV nw"))
+        """CASE WHEN nw > 0 THEN
+          |  (aggregate(transform(ws, w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000) DIV nw
+          |END""".stripMargin))
       .withColumn("sym_u", expr(
-        "(CAST(size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) * 1000000) DIV nw"))
+        "CASE WHEN nw > 0 THEN (CAST(size(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) * 1000000) DIV nw END"))
       .withColumn("alpha_u", expr(
-        "(CAST(size(filter(ws, w -> w RLIKE '[a-z]')) AS BIGINT) * 1000000) DIV nw"))
+        "CASE WHEN nw > 0 THEN (CAST(size(filter(ws, w -> w RLIKE '[a-z]')) AS BIGINT) * 1000000) DIV nw END"))
       .withColumn("n_stop_distinct", expr(
         s"CAST(size(array_distinct(filter(ws, t -> t IN ($stopList)))) AS BIGINT)"))
       .withColumn("dup3_u", expr(
@@ -300,19 +346,41 @@ object TextOps {
           |      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))) AS BIGINT))
           |   * 1000000) DIV (nw - 2)
           |ELSE CAST(0 AS BIGINT) END""".stripMargin))
-      .select(
-        col("doc_id"), col("nw").as("n_words"), col("mwl_u"), col("sym_u"),
-        col("alpha_u"), col("n_stop_distinct"), col("dup3_u"),
-        (col("nw") >= 20 && col("nw") <= 90).as("r_words"),
-        (col("mwl_u") >= 3000000L && col("mwl_u") <= 10000000L).as("r_mwl"),
-        (col("sym_u") <= 100000L).as("r_symbol"),
-        (col("alpha_u") >= 800000L).as("r_alpha"),
-        (col("n_stop_distinct") >= 2L).as("r_stop"),
-        (col("dup3_u") <= 30000L).as("r_rep"))
+      .withColumn("r_words", col("nw") >= 20 && col("nw") <= 90)
+      .withColumn("r_mwl", col("mwl_u") >= 3000000L && col("mwl_u") <= 10000000L)
+      .withColumn("r_symbol", col("sym_u") <= 100000L)
+      .withColumn("r_alpha", col("alpha_u") >= 800000L)
+      .withColumn("r_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("r_rep", col("dup3_u") <= 30000L)
       .withColumn("pass",
         col("r_words") && col("r_mwl") && col("r_symbol")
           && col("r_alpha") && col("r_stop") && col("r_rep"))
   }
+
+  /** ALL per-document text-health columns of the nightly corpus report in
+    * ONE chained projection — gopher battery, quality tier, language ID,
+    * and the volume counters — so the report's text metrics cost a single
+    * pass over the corpus instead of one scan per metric family. Each
+    * stage is the SAME column builder its published operator wraps
+    * (gopherCols / qualityCols / langIdCols), so the values cannot drift
+    * from the oracled queries; the only differences are the row guards,
+    * restated here null-safely:
+    *   - gopher_pass is false for zero-word docs (the profile filters
+    *     them; false is what the report's count-of-pass needs);
+    *   - tier is null for empty docs (the profile filters them; the
+    *     report excludes null tiers from the histogram).
+    * PipelineGoldenSpec pins each fused metric against the
+    * independently-computed published operator.
+    */
+  private[graft] def corpusProfile(docs: DataFrame): DataFrame =
+    langIdCols(qualityCols(gopherCols(docs)))
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        length(col("text")).cast("long").as("chars"),
+        col("pass").as("gopher_pass"),
+        col("tier"),
+        col("predicted_lang"))
 
   /** Corpus-frequency rarity scoring (the CCNet/Gopher-family quality
     * signal computed from the corpus itself): per document, the mean

@@ -608,32 +608,58 @@ object Pipelines {
     *   n_langs                          — distinct predicted languages
     * All values are exact BIGINTs — no ratio ever divides inside the
     * report, so there is no float-parity surface at all.
+    *
+    * SHARED-SCAN composition (round 7): the round-6 form recomputed every
+    * constituent cache-cold — the components machinery and the
+    * decontamination scan each ran their OWN shingle pass over the corpus
+    * and the gopher/quality/langid metrics each re-scanned the parquet
+    * (five corpus scans, two shingle exchanges; the slowest query in the
+    * round-6 clean bench at 10.2 s). Now every metric feeds from ONE
+    * cached documents frame, and the two shingle-family metrics share ONE
+    * cached shingle pass ([[graft.operators.DedupOps.healthSharedPass]]):
+    * one corpus scan + one shingle exchange total — at 100 TB the
+    * difference between a nightly report that costs one pass and six.
+    * Metric values are unchanged (the per-doc text columns come from the
+    * SAME column builders the published operators wrap —
+    * [[graft.operators.TextOps.corpusProfile]]), so the composed oracle
+    * holds verbatim; PipelineGoldenSpec additionally pins every fused
+    * metric against the independently-computed constituents.
     */
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val text = graft.operators.TextOps
     val dedup = graft.operators.DedupOps
-    def one(name: String, v: org.apache.spark.sql.Column, from: DataFrame): DataFrame =
-      from.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
-    val nDocs = one("n_docs", count(lit(1)), docs)
-    val nTok = one("n_ws_tokens", sum(size(split(col("text"), " ")).cast("long")), docs)
-    val nChars = one("n_chars", sum(length(col("text")).cast("long")), docs)
-    val nDup = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(
-        dedup.nsDedupComponents(spark, dir).agg(count(lit(1)).as("nc"))))
-      .select(lit("n_dup_docs").as("metric"), (col("n") - col("nc")).as("value"))
-    val nContam = one("n_contaminated", count(lit(1)),
-      dedup.nsDecontaminate(spark, dir).where(col("drop_doc")))
-    val nGopher = one("n_gopher_pass", count(lit(1)),
-      text.nsTextGopher(spark, dir).where(col("pass")))
-    val nLangs = one("n_langs", countDistinct(col("predicted_lang")),
-      text.nsTextLangId(spark, dir))
-    val tiers = text.nsTextQuality(spark, dir)
+    // ONE corpus scan: both passes below read this cached frame.
+    val docs = Tables.documents(spark, dir).cache()
+    // ONE shingle exchange: components + decontamination share it
+    // (materializes the docs cache as a side effect).
+    val (comps, contam) =
+      dedup.healthSharedPass(docs, col("doc_id") % 50 === 0)
+    // ONE text pass: every per-doc text metric in a single chained
+    // projection, cached thin (no text column) and materialized eagerly
+    // so the report's parallel aggregate branches don't race to compute
+    // it (the materializedSetsAndSig discipline).
+    val prof = text.corpusProfile(docs).cache()
+    prof.count()
+    val main = prof.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("n_ws_tokens"),
+        sum(col("chars")).cast("long").as("n_chars"),
+        count(when(col("gopher_pass"), 1)).cast("long").as("n_gopher_pass"),
+        countDistinct(col("predicted_lang")).cast("long").as("n_langs"))
+      .selectExpr(
+        """stack(5, 'n_docs', n_docs, 'n_ws_tokens', n_ws_tokens,
+          |'n_chars', n_chars, 'n_gopher_pass', n_gopher_pass,
+          |'n_langs', n_langs) AS (metric, value)""".stripMargin)
+    val tiers = prof.where(col("tier").isNotNull)
       .groupBy("tier").agg(count(lit(1)).as("value"))
       .select(concat(lit("n_quality_"), col("tier")).as("metric"), col("value"))
-    nDocs.unionByName(nTok).unionByName(nChars).unionByName(nDup)
-      .unionByName(nContam).unionByName(nGopher).unionByName(nLangs)
-      .unionByName(tiers)
+    val nDup = prof.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(comps.agg(count(lit(1)).as("nc"))))
+      .select(lit("n_dup_docs").as("metric"), (col("n") - col("nc")).as("value"))
+    val nContam = contam.where(col("drop_doc"))
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("n_contaminated").as("metric"), col("value"))
+    main.unionByName(nDup).unionByName(nContam).unionByName(tiers)
       .orderBy("metric")
   }
 

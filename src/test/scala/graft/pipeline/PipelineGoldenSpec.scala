@@ -27,6 +27,23 @@ class PipelineGoldenSpec extends SparkSpec {
     assert(rows("n_ws_tokens") > 0 && rows("n_chars") > rows("n_ws_tokens"))
     assert(rows("n_langs") >= 1 && rows("n_gopher_pass") >= 0
       && rows("n_contaminated") >= 0)
+    // Shared-scan refactor pin (round 7): every metric that now derives
+    // from the ONE cached documents frame / ONE shared shingle pass must
+    // equal its independently-computed published operator — the
+    // exploded-cached-sets decontamination in particular must be
+    // row-identical to the re-shingling form.
+    val dedup = graft.operators.DedupOps
+    val text = graft.operators.TextOps
+    assert(rows("n_contaminated") ==
+      dedup.nsDecontaminate(spark, sfDir).where(col("drop_doc")).count())
+    assert(rows("n_gopher_pass") ==
+      text.nsTextGopher(spark, sfDir).where(col("pass")).count())
+    assert(rows("n_langs") ==
+      text.nsTextLangId(spark, sfDir).select("predicted_lang").distinct().count())
+    val tiers = text.nsTextQuality(spark, sfDir)
+      .groupBy("tier").count().collect()
+      .map(r => s"n_quality_${r.getString(0)}" -> r.getLong(1)).toMap
+    tiers.foreach { case (k, v) => assert(rows(k) == v, s"$k: ${rows(k)} != $v") }
   }
 
   test("balances -> income -> leaderboard matches hand-computed values") {
