@@ -33,8 +33,14 @@ object SimilarityOps {
   /** Exact brute-force top-k neighbors for the first `NumQueries` vectors.
     * Query side is broadcast; candidates stream through codegen'd cosine.
     */
-  def nsSimBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+  def nsSimBruteforceTopk(spark: SparkSession, dir: String): DataFrame =
+    bruteforceTopk(embeddings(spark, dir))
+
+  /** The exact search as a frame transform — shared by the query above
+    * and the [[probesForRecall]] tuning loop (which needs ground truth on
+    * the same query sample).
+    */
+  private def bruteforceTopk(emb: DataFrame): DataFrame = {
     val queries = emb.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
@@ -597,11 +603,12 @@ object SimilarityOps {
     * 100 TB the inverted lists are partition keys and each query touches
     * probes/clusters ≈ 1/8 of the data.
     */
-  private def ivfSearch(emb: DataFrame, cents: Seq[(Int, Column)]): DataFrame = {
+  private def ivfSearch(emb: DataFrame, cents: Seq[(Int, Column)],
+      probes: Int = IvfProbes): DataFrame = {
     val ranked = emb.withColumn("_cr", centroidRanking(cents))
     val assign = ranked.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), col("_cr")(0)("cent_id").as("cluster"))
-    ivfProbeRerank(assign, emb.where(col("vec_id") < NumQueries), cents)
+    ivfProbeRerank(assign, emb.where(col("vec_id") < NumQueries), cents, probes)
   }
 
   /** The probe + rerank stage over an ALREADY-ASSIGNED inverted file:
@@ -612,10 +619,11 @@ object SimilarityOps {
     * by construction.
     */
   private[operators] def ivfProbeRerank(
-      assign: DataFrame, queries: DataFrame, cents: Seq[(Int, Column)]): DataFrame = {
+      assign: DataFrame, queries: DataFrame, cents: Seq[(Int, Column)],
+      nProbes: Int = IvfProbes): DataFrame = {
     val probes = queries.withColumn("_cr", centroidRanking(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(col("_cr"), 1, IvfProbes)).as("pr"))
+        explode(slice(col("_cr"), 1, nProbes)).as("pr"))
       .select(col("query_id"), col("q_emb"), col("pr")("cent_id").as("cluster"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -648,6 +656,57 @@ object SimilarityOps {
   def nsSimIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
     ivfSearch(emb, centLits(trainCentroids(emb)))
+  }
+
+  /** Probe count of the MULTI-PROBE IVF variant: chosen by running
+    * [[probesForRecall]] on the fixture against a 0.75 recall@3 floor
+    * (the production tuning loop — SimilaritySpec re-derives it every
+    * build and pins that this constant IS the tuner's answer, so the
+    * registered query stays oracle-deterministic while the tuning path
+    * stays exercised). The fixture's near-uniform vectors are IVF's
+    * worst case — recall grows ~linearly with probes (measured 1->0.30,
+    * 2->0.43, 4->0.57, 8->0.76, 16->1.00; table in docs/PLANS.md) — so
+    * the meaningful floor here is 0.75 at half the lists; on real
+    * clustered embeddings the same loop lands far fewer probes for far
+    * higher recall.
+    */
+  private[operators] val IvfProbesHi = 8
+
+  /** Multi-probe IVF top-k — [[nsSimIvfTopk]] with the probe count tuned
+    * to a measured recall floor instead of the fixed 1/8 fraction:
+    * production ANN picks nprobe from a recall@k target on a held-out
+    * query sample, trading linearly more list reads for recall. Same
+    * assign → probe → rerank plan shape (probes stays a map-side slice
+    * of the centroid ranking; only the probe fan-out widens), same
+    * generated oracle with the probe constant swapped.
+    */
+  def nsSimIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    ivfSearch(emb, centLits(seedCentroids(emb)), IvfProbesHi)
+  }
+
+  /** The nprobe TUNING LOOP: measure recall@[[TopK]] of the IVF search
+    * against brute force on the query sample for each candidate probe
+    * count, and return the smallest one meeting `target`, plus the full
+    * (probes, recall) table for the report. Driver-side state is the
+    * truth/candidate top-k id sets — NumQueries × TopK rows per
+    * evaluation, bounded by construction (the assignment-quality /
+    * centroid-collect class). In production the sample is a held-out
+    * query log; the loop shape is identical.
+    */
+  def probesForRecall(emb: DataFrame, cents: Seq[(Int, Column)],
+      target: Double, candidates: Seq[Int] = Seq(1, 2, 4, 8, 16))
+      : (Int, Seq[(Int, Double)]) = {
+    val truth = bruteforceTopk(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val table = candidates.sorted.map { p =>
+      val got = ivfSearch(emb, cents, p).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> truth.count(got.contains).toDouble / truth.size
+    }
+    val chosen = table.collectFirst { case (p, r) if r >= target => p }
+      .getOrElse(table.last._1)
+    (chosen, table)
   }
 
   /** Topic-balanced corpus curation over the TRAINED k-means model — the
@@ -988,6 +1047,7 @@ object SimilarityOps {
     "ns_sim_pagerank" -> (nsSimPagerank _),
     "ns_sim_diversity_sample" -> (nsSimDiversitySample _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
+    "ns_sim_ivf_multiprobe" -> (nsSimIvfMultiprobe _),
     "ns_sim_ivf_trained" -> (nsSimIvfTrained _),
     "ns_corpus_topics" -> (nsCorpusTopics _),
     "ns_sim_semdedup" -> (nsSimSemdedup _),
@@ -998,7 +1058,7 @@ object SimilarityOps {
     * `centCte` with columns (cent_id, cv) — shared by the seed and trained
     * IVF oracles, mirroring [[ivfSearch]].
     */
-  private def ivfSearchSql(centCte: String): String =
+  private def ivfSearchSql(centCte: String, probes: Int = IvfProbes): String =
     s"""scored AS (
        |  SELECT e.vec_id, e.v, cent_id,
        |         round(list_cosine_similarity(e.v, cv), 4) AS ccos
@@ -1013,7 +1073,7 @@ object SimilarityOps {
        |  FROM ranked WHERE crank = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, v AS qv, cent_id AS cluster
-       |  FROM ranked WHERE crank <= $IvfProbes AND vec_id < $NumQueries),
+       |  FROM ranked WHERE crank <= $probes AND vec_id < $NumQueries),
        |s AS (
        |  SELECT query_id, neighbor_id,
        |         round(list_cosine_similarity(qv, nv), 4) AS cos
@@ -1034,6 +1094,14 @@ object SimilarityOps {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
        |${ivfSearchSql("c")}""".stripMargin
+
+  /** The multi-probe oracle is the seed-IVF oracle with the probe
+    * constant widened to [[IvfProbesHi]] — same generated chain.
+    */
+  private def ivfMultiprobeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $IvfClusters),
+       |${ivfSearchSql("c", IvfProbesHi)}""".stripMargin
 
   /** Generated trained-IVF oracle: replays [[trainCentroids]]' Lloyd
     * iterations symbolically — per iteration, a 4dp-rounded argmax
@@ -1445,6 +1513,7 @@ object SimilarityOps {
     "ns_sim_ivfpq_topk" -> ivfPqOracle,
     "ns_sim_neardup_lsh" -> neardupLshOracle,
     "ns_sim_ivf_topk" -> ivfOracle,
+    "ns_sim_ivf_multiprobe" -> ivfMultiprobeOracle,
     "ns_sim_ivf_trained" -> ivfTrainedOracle,
     "ns_corpus_topics" -> corpusTopicsOracle,
     "ns_sim_lsh_topk" -> lshOracle,

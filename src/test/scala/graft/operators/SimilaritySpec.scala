@@ -137,6 +137,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@3 = $recall")
   }
 
+  test("multi-probe IVF: recall monotone in probes; IvfProbesHi meets the 0.75 floor as the tuner's minimal answer") {
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val cents = SimilarityOps.centLits(SimilarityOps.seedCentroids(emb))
+    val (chosen, table) = SimilarityOps.probesForRecall(emb, cents, 0.75)
+    info(s"probe/recall table: ${table.map { case (p, r) => f"$p->$r%.3f" }.mkString(", ")}")
+    // more probes can only add candidates -> recall never decreases
+    table.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall regressed $p1->$p2: $r1 -> $r2")
+    }
+    // probing every cluster IS brute force (same cosine, same tie-break)
+    assert(table.last._1 == SimilarityOps.IvfClusters && table.last._2 == 1.0,
+      s"all-clusters probe must be exact: ${table.last}")
+    assert(chosen == SimilarityOps.IvfProbesHi,
+      s"tuner picked $chosen but the registered constant is ${SimilarityOps.IvfProbesHi} — re-derive")
+    // and the registered query itself clears the floor
+    val truth = SimilarityOps.nsSimBruteforceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mp = SimilarityOps.nsSimIvfMultiprobe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = truth.count(mp.contains).toDouble / truth.size
+    assert(recall >= 0.75, s"multi-probe recall@3 = $recall")
+  }
+
   test("PQ top-k: valid ranks, 4-bit codes, decent ADC recall vs brute force") {
     val exact = SimilarityOps.nsSimBruteforceTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
