@@ -760,8 +760,14 @@ object TextOps {
   /** The vocabulary of the unigram tokenizer: every corpus CHARACTER
     * (coverage guarantee — any word stays segmentable) plus the top
     * [[UniTopMulti]] multi-character substrings (length 2..[[UniMaxPiece]])
-    * by frequency-weighted occurrence count, with each piece's
-    * log-probability in micro-units. (piece, score, logp_u), best-first.
+    * by frequency-weighted occurrence count, REFINED by [[UniEmRounds]]
+    * hard-EM round(s): Viterbi-segment the corpus words under the current
+    * model (E-step, [[viterbiStates]]/[[viterbiPieces]] — the encoder's
+    * own DP with backpointers), re-score every piece by its
+    * frequency-weighted usage in the maximum-likelihood paths, and PRUNE
+    * multi-char candidates no best path uses (M-step) — the SentencePiece
+    * fit loop in its Viterbi-EM form. (piece, score, logp_u), best-first,
+    * where score after round 1 is the EM usage count.
     *
     * Bounds mirror the BPE-train discipline: the single-char side is
     * alphabet-bounded by definition; the multi-char candidate table is
@@ -792,6 +798,7 @@ object TextOps {
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .where(col("wd") =!= "")
       .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .cache() // read by the seed fit AND every EM round's E-step
     val pos = wf
       .withColumn("i", explode(sequence(lit(1), length(col("wd")))))
       .withColumn("l", explode(sequence(lit(1),
@@ -803,8 +810,33 @@ object TextOps {
     val multi = pos.where(col("l") >= 2 && col("freq") >= UniMinFreq)
       .groupBy("piece").agg(sum("freq").as("score"))
       .orderBy(desc("score"), col("piece")).limit(UniTopMulti)
-    val rows = chars.unionByName(multi)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seed = rescoreVocab(chars.unionByName(multi)
+      .collect().map(r => (r.getString(0), r.getLong(1))))
+    val out = (1 to UniEmRounds).foldLeft(seed) { (vocab, _) =>
+      val usage = emUsage(wf, vocab)
+      // M-step: survivors re-score by Viterbi usage; single chars always
+      // survive (the coverage guarantee every round — any word stays
+      // segmentable under the pruned vocab), multi-char candidates the
+      // best segmentations never use are PRUNED.
+      rescoreVocab(vocab.collect {
+        case (p, _, _) if p.length == 1 || usage.getOrElse(p, 0L) > 0L =>
+          (p, usage.getOrElse(p, 0L))
+      })
+    }
+    wf.unpersist()
+    out
+  }
+
+  /** EM rounds over the seed vocabulary: 1 hard-EM (Viterbi-EM)
+    * re-score/prune pass, the SentencePiece fit loop in its
+    * maximum-likelihood-path form.
+    */
+  private[operators] val UniEmRounds = 1
+
+  /** (piece, rawScore) -> (piece, score, logp_u) best-first: micro-unit
+    * quantize then ln (the vocab0 recipe — same float-parity bound).
+    */
+  private def rescoreVocab(rows: Array[(String, Long)]): Array[(String, Long, Long)] = {
     val total = rows.map(_._2).sum
     rows.map { case (p, s) =>
       val q = math.max(s * 1000000L / total, 1L)
@@ -812,13 +844,82 @@ object TextOps {
     }.sortBy { case (p, s, _) => (-s, p) }
   }
 
+  /** The E-STEP: Viterbi-segment every encodable DISTINCT word under the
+    * current vocabulary (the same DP as the encoder, extended with
+    * BACKPOINTERS), walk each word's maximum-likelihood path back to its
+    * pieces, and aggregate frequency-weighted piece usage. Runs
+    * distributed over the distinct-word table like the encoder; the
+    * collected result is <= |vocab| rows BY CONSTRUCTION (only vocabulary
+    * pieces can appear in a path), the same driver bound as the vocab
+    * collect itself. Words longer than [[UniMaxWord]] don't vote — the
+    * encoder skips them too, so usage reflects exactly the tokens the
+    * model will serve.
+    */
+  private def emUsage(
+      wf: DataFrame, vocab: Array[(String, Long, Long)]): Map[String, Long] = {
+    val vmap = typedLit(vocab.map(v => v._1 -> v._3).toMap)
+    wf.where(length(col("wd")) <= UniMaxWord)
+      .select(col("freq"), explode(
+        viterbiPieces(col("wd"), viterbiStates(col("wd"), vmap))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("usage"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** The Viterbi DP as a pure Catalyst fold with BACKPOINTERS: position i
+    * (1-based) stores (dp micro-unit logp, pc piece count, back = chosen
+    * split point), argmax over the last [[UniMaxPiece]] splits with the
+    * longest-final-piece tie-break (strict >, ascending j — identical to
+    * the encoder's DP and the oracle's dp DESC, pos ASC rank).
+    */
+  private def viterbiStates(word: Column, vmap: Column): Column = {
+    def bestStep(acc: Column, i: Column): Column =
+      aggregate(
+        sequence(greatest(i - lit(UniMaxPiece), lit(0)), i - lit(1)),
+        struct(lit(Long.MinValue).as("dp"), lit(0L).as("pc"), lit(-1).as("back")),
+        (b, j) => {
+          val lp = element_at(vmap, word.substr(j + lit(1), i - j))
+          val prev = element_at(acc, (j + lit(1)).cast("int"))
+          val cand = prev.getField("dp") + lp
+          when(lp.isNotNull && cand > b.getField("dp"),
+            struct(cand.as("dp"), (prev.getField("pc") + lit(1L)).as("pc"),
+              j.cast("int").as("back")))
+            .otherwise(b)
+        })
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("dp"), lit(0L).as("pc"), lit(0).as("back"))),
+      (acc, i) => concat(acc, array(bestStep(acc, i))))
+  }
+
+  /** Backtrace over [[viterbiStates]]' result: walk i = len(word) ->
+    * back(i) -> ... -> 0 (at most [[UniMaxWord]] hops, a bounded fold)
+    * collecting the best path's pieces.
+    */
+  private def viterbiPieces(word: Column, states: Column): Column =
+    aggregate(
+      sequence(lit(1), lit(UniMaxWord)),
+      struct(length(word).as("i"), typedLit(Seq.empty[String]).as("ps")),
+      (st, _) => {
+        val i = st.getField("i")
+        val s = element_at(states, i + lit(1))
+        when(i > 0,
+          struct(s.getField("back").as("i"),
+            concat(st.getField("ps"),
+              array(word.substr(s.getField("back") + lit(1), i - s.getField("back"))))
+              .as("ps")))
+          .otherwise(st)
+      }).getField("ps")
+
   /** Unigram tokenizer TRAINING table — the second tokenizer family next
     * to BPE: (rank, piece, score, logp_u), the model a Viterbi encoder
-    * consumes. The deliberate simplification vs full SentencePiece is
-    * the fit (one frequency pass instead of EM pruning rounds — each EM
-    * round would be one more scan + re-score of the same bounded
-    * candidate table); the vocabulary shape, probability model and
-    * encoder contract are the real thing.
+    * consumes, now fit with the full loop: seed frequency pass +
+    * [[UniEmRounds]] Viterbi-EM re-score/prune round(s) over the bounded
+    * candidate table (closing the round-6 "one frequency pass" gap). The
+    * remaining simplification vs SentencePiece is hard-EM (best-path
+    * counts) instead of forward-backward expected counts — the
+    * documented Viterbi-EM variant, chosen because the max-likelihood
+    * path is exactly replayable as integer SQL while posterior sums are
+    * float-order-sensitive.
     */
   def nsTextUnigramTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -850,24 +951,11 @@ object TextOps {
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .where(col("wd") =!= "" && length(col("wd")) <= UniMaxWord)
     val words = wf.distinct()
-    def bestStep(acc: Column, i: Column, word: Column): Column =
-      aggregate(
-        sequence(greatest(i - lit(UniMaxPiece), lit(0)), i - lit(1)),
-        struct(lit(Long.MinValue).as("dp"), lit(0L).as("pc")),
-        (b, j) => {
-          val lp = element_at(vmap, word.substr(j + lit(1), i - j))
-          val prev = element_at(acc, (j + lit(1)).cast("int"))
-          val cand = prev.getField("dp") + lp
-          when(lp.isNotNull && cand > b.getField("dp"),
-            struct(cand.as("dp"), (prev.getField("pc") + lit(1L)).as("pc")))
-            .otherwise(b)
-        })
+    // The SAME DP the EM E-step uses ([[viterbiStates]]) — one definition
+    // of the fold, tie-break and argmax for fit and serve; the encoder
+    // reads the final position's (dp, pc) and ignores the backpointer.
     val enc = words.select(col("wd"),
-      element_at(
-        aggregate(
-          sequence(lit(1), length(col("wd"))),
-          array(struct(lit(0L).as("dp"), lit(0L).as("pc"))),
-          (acc, i) => concat(acc, array(bestStep(acc, i, col("wd"))))),
+      element_at(viterbiStates(col("wd"), vmap),
         (length(col("wd")) + 1).cast("int")).as("fin"))
       .select(col("wd"), col("fin").getField("dp").as("w_logp_u"),
         col("fin").getField("pc").as("w_pieces"))
@@ -882,10 +970,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Unigram vocabulary CTE chain ending in `v(piece, score, logp_u,
-    * rank)` — shared by the train oracle and the Viterbi encode oracle.
-    * Mirrors [[unigramVocab]] exactly: char pieces from the full word
-    * table, multi-char pieces floored+capped, quantize-then-ln logp.
+  /** Seed-vocabulary CTE chain ending in `v(piece, score, logp_u, rank)`
+    * — the pre-EM fit. Mirrors [[unigramVocab]]'s seed pass exactly: char
+    * pieces from the full word table, multi-char pieces floored+capped,
+    * quantize-then-ln logp.
     */
   private def unigramVocabCtes: String =
     s"""wf AS MATERIALIZED (
@@ -915,33 +1003,81 @@ object TextOps {
        |         CAST(row_number() OVER (ORDER BY score DESC, piece) AS BIGINT) AS rank
        |  FROM vocab0 CROSS JOIN tot)""".stripMargin
 
-  /** Viterbi replay: [[UniMaxWord]] chained DP CTEs, each taking the
-    * argmax over the last [[UniMaxPiece]] split points (dp DESC, split
-    * ASC — the same longest-final-piece tie-break as the Spark lambda).
+  /** Viterbi DP replay over vocabulary CTE `vocab`, chain prefix
+    * `$p0..$p$UniMaxWord` + `${p}all`: each position takes the argmax
+    * over the last [[UniMaxPiece]] split points (dp DESC, split ASC —
+    * the same longest-final-piece tie-break as the Spark lambda) and
+    * RECORDS the chosen split as `back`, so the EM E-step can walk the
+    * best path. Words come from the shared `w` CTE.
     */
-  private def unigramEncodeOracle: String = {
+  private def viterbiDpCtes(p: String, vocab: String): String = {
     val dCtes = (1 to UniMaxWord).map { i =>
       val lo = math.max(0, i - UniMaxPiece)
-      val prev = (lo until i).map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")
-      s"""d$i AS MATERIALIZED (
-         |  SELECT wd, $i AS pos, dp_u, pc FROM (
-         |    SELECT p.wd, p.dp_u + v.logp_u AS dp_u, p.pc + 1 AS pc,
-         |           row_number() OVER (PARTITION BY p.wd
-         |             ORDER BY p.dp_u + v.logp_u DESC, p.pos ASC) AS rn
-         |    FROM ($prev) p
-         |    JOIN w ON w.wd = p.wd AND w.n >= $i
-         |    JOIN v ON v.piece = substr(p.wd, p.pos + 1, $i - p.pos)
+      val prev = (lo until i).map(j => s"SELECT * FROM $p$j").mkString(" UNION ALL ")
+      s"""$p$i AS MATERIALIZED (
+         |  SELECT wd, $i AS pos, dp_u, pc, back FROM (
+         |    SELECT q.wd, q.dp_u + vv.logp_u AS dp_u, q.pc + 1 AS pc, q.pos AS back,
+         |           row_number() OVER (PARTITION BY q.wd
+         |             ORDER BY q.dp_u + vv.logp_u DESC, q.pos ASC) AS rn
+         |    FROM ($prev) q
+         |    JOIN w ON w.wd = q.wd AND w.n >= $i
+         |    JOIN $vocab vv ON vv.piece = substr(q.wd, q.pos + 1, $i - q.pos)
          |  ) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val dall = (1 to UniMaxWord).map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ")
-    s"""WITH $unigramVocabCtes,
-       |w AS MATERIALIZED (SELECT wd, CAST(len(wd) AS INT) AS n FROM wf WHERE len(wd) <= $UniMaxWord),
-       |d0 AS MATERIALIZED (SELECT wd, 0 AS pos, CAST(0 AS BIGINT) AS dp_u, CAST(0 AS BIGINT) AS pc FROM w),
+    val dall = (1 to UniMaxWord).map(i => s"SELECT * FROM $p$i").mkString(" UNION ALL ")
+    s"""${p}0 AS MATERIALIZED (SELECT wd, 0 AS pos, CAST(0 AS BIGINT) AS dp_u, CAST(0 AS BIGINT) AS pc, 0 AS back FROM w),
        |$dCtes,
-       |dall AS ($dall),
+       |${p}all AS ($dall)""".stripMargin
+  }
+
+  /** The EM round as CTEs: backtrace each word's best path under the
+    * seed-vocab DP (`dall`, [[UniMaxWord]] chained hop CTEs — the SQL
+    * form of [[viterbiPieces]]), aggregate frequency-weighted piece
+    * usage, and rebuild the vocabulary: chars always survive, multi-char
+    * pieces with zero usage are pruned, survivors re-score by usage with
+    * the same quantize-then-ln logp. Ends in
+    * `v1(piece, score, logp_u, rank)` — the EM'd model.
+    */
+  private def unigramEmCtes: String = {
+    val btCtes = (1 to UniMaxWord).map { k =>
+      val prev = if (k == 1) "bt0" else s"bt${k - 1}"
+      s"""bt$k AS MATERIALIZED (
+         |  SELECT b.wd, d.back AS i, substr(b.wd, d.back + 1, b.i - d.back) AS piece
+         |  FROM $prev b JOIN dall d ON d.wd = b.wd AND d.pos = b.i
+         |  WHERE b.i > 0)""".stripMargin
+    }.mkString(",\n")
+    val btall = (1 to UniMaxWord).map(k => s"SELECT wd, piece FROM bt$k").mkString(" UNION ALL ")
+    s"""$unigramVocabCtes,
+       |w AS MATERIALIZED (SELECT wd, CAST(len(wd) AS INT) AS n FROM wf WHERE len(wd) <= $UniMaxWord),
+       |${viterbiDpCtes("d", "v")},
+       |bt0 AS (SELECT wd, n AS i, '' AS piece FROM w),
+       |$btCtes,
+       |btall AS ($btall),
+       |pu AS (
+       |  SELECT b.piece, CAST(SUM(wf.freq) AS BIGINT) AS u
+       |  FROM btall b JOIN wf USING (wd) GROUP BY b.piece),
+       |vocab1 AS (
+       |  SELECT v.piece, CAST(COALESCE(u.u, 0) AS BIGINT) AS score
+       |  FROM v LEFT JOIN pu u USING (piece)
+       |  WHERE len(v.piece) = 1 OR COALESCE(u.u, 0) > 0),
+       |tot1 AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM vocab1),
+       |v1 AS MATERIALIZED (
+       |  SELECT piece, score,
+       |         CAST(round(ln(CAST(GREATEST((score * 1000000) // total, 1) AS DOUBLE) / 1000000.0) * 1000000, 0) AS BIGINT) AS logp_u,
+       |         CAST(row_number() OVER (ORDER BY score DESC, piece) AS BIGINT) AS rank
+       |  FROM vocab1 CROSS JOIN tot1)""".stripMargin
+  }
+
+  /** Encode replay: the EM CTE chain fits `v1`, then a SECOND DP chain
+    * (prefix `f`) Viterbi-encodes every word under the EM'd model —
+    * exactly the serve path the Spark side runs.
+    */
+  private def unigramEncodeOracle: String =
+    s"""WITH $unigramEmCtes,
+       |${viterbiDpCtes("f", "v1")},
        |enc AS (
        |  SELECT w.wd, d.dp_u, d.pc FROM w
-       |  JOIN dall d ON d.wd = w.wd AND d.pos = w.n),
+       |  JOIN fall d ON d.wd = w.wd AND d.pos = w.n),
        |occ AS (
        |  SELECT doc_id, wd FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS wd
@@ -953,7 +1089,6 @@ object TextOps {
        |       CAST(SUM(e.dp_u) AS BIGINT) AS logp_u
        |FROM occ JOIN enc e USING (wd)
        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
-  }
 
   // ---- Hashed linear quality classifier -----------------------------------
 
@@ -1442,8 +1577,8 @@ object TextOps {
         |             / count(*), 6) > 0.5 AS rare_heavy
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ns_text_unigram_train" ->
-      s"""WITH $unigramVocabCtes
-        |SELECT rank, piece, score, logp_u FROM v ORDER BY rank""".stripMargin,
+      s"""WITH $unigramEmCtes
+        |SELECT rank, piece, score, logp_u FROM v1 ORDER BY rank""".stripMargin,
     "ns_text_unigram_encode" -> unigramEncodeOracle,
     "ns_text_hotngrams" ->
       s"""WITH toks AS (

@@ -41,7 +41,10 @@ class TextOpsSpec extends SparkSpec {
     val allChars = docs.flatMap(_._2.split(" ").filter(_.nonEmpty).flatMap(_.toSeq)).toSet
     assert(allChars.forall(c => logp.contains(c.toString)))
     assert(vocab.count(_._1.length >= 2) <= 256)
-    vocab.foreach { case (p, s, lp) => assert(s > 0 && lp < 0, s"$p") }
+    // post-EM scores are usage counts: multi pieces survive only with
+    // usage > 0; chars always survive, possibly unused (score 0)
+    vocab.foreach { case (p, s, lp) =>
+      assert(lp < 0 && (if (p.length >= 2) s > 0 else s >= 0), s"$p") }
     // brute-force Viterbi per word (same tie-break: smallest split point)
     def viterbi(w: String): (Long, Long) = {
       val dp = Array.fill(w.length + 1)((Long.MinValue, 0L))
@@ -66,6 +69,117 @@ class TextOpsSpec extends SparkSpec {
         assert(got(id) == want, s"doc $id: ${got(id)} != $want")
       }
     }
+  }
+
+  test("unigram EM round: usage re-score + zero-usage pruning, independently replayed") {
+    // Brute-force the SEED fit (pre-EM): char scores over all positions,
+    // multi scores floored at word freq >= 2, top-256 by (-score, piece).
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getString(1).toLowerCase)
+    val wordFreq = docs.flatMap(_.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    def quantLn(rows: Seq[(String, Long)]): Map[String, Long] = {
+      val total = rows.map(_._2).sum
+      rows.map { case (p, s) =>
+        p -> Math.round(Math.log(math.max(s * 1000000L / total, 1L) / 1e6) * 1e6)
+      }.toMap
+    }
+    val charScore = wordFreq.toSeq.flatMap { case (w, f) => w.map(c => (c.toString, f)) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val multiScore = wordFreq.toSeq.filter(_._2 >= 2L).flatMap { case (w, f) =>
+      for (i <- 0 until w.length; l <- 2 to math.min(6, w.length - i))
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (p, s) => (-s, p) }.take(256)
+    val seedRows = charScore.toSeq ++ multiScore
+    val seedLogp = quantLn(seedRows)
+    // Viterbi with backtrace under an arbitrary logp model (tie-break:
+    // smallest split point, matching the operator and the oracle).
+    def segment(w: String, lp: Map[String, Long]): Seq[String] = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, -1))
+      dp(0) = (0L, 0)
+      for (i <- 1 to w.length; j <- math.max(0, i - 6) until i)
+        lp.get(w.substring(j, i)).foreach { p =>
+          if (dp(j)._1 + p > dp(i)._1) dp(i) = (dp(j)._1 + p, j)
+        }
+      var i = w.length
+      val out = Seq.newBuilder[String]
+      while (i > 0) { val j = dp(i)._2; out += w.substring(j, i); i = j }
+      out.result()
+    }
+    // E-step usage: frequency-weighted piece counts over encodable words.
+    val usage = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    wordFreq.filter(_._1.length <= 20).foreach { case (w, f) =>
+      segment(w, seedLogp).foreach(p => usage(p) += f)
+    }
+    // The trained table must BE the M-step over this usage.
+    val em = TextOps.nsTextUnigramTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val emScores = em.map(v => v._1 -> v._2).toMap
+    val wantKept = seedRows.collect {
+      case (p, _) if p.length == 1 || usage(p) > 0L => (p, usage(p))
+    }
+    assert(emScores == wantKept.toMap,
+      s"EM usage scores diverge: ${(emScores.toSet -- wantKept.toSet).take(3)}")
+    val wantLogp = quantLn(wantKept)
+    em.foreach { case (p, _, l) => assert(l == wantLogp(p), s"logp($p)") }
+    // pruning is REAL on the fixture: some seed multi piece had no usage
+    val pruned = multiScore.map(_._1).filterNot(emScores.contains)
+    assert(pruned.nonEmpty, "EM pruned nothing — fixture degenerate?")
+    // On THIS fixture the re-fit flips no argmax (hard-EM reinforces the
+    // winning paths — measured fact, also true at sf0.01): every word
+    // segments identically under seed and EM'd models.
+    val emLogp = em.map(v => v._1 -> v._3).toMap
+    val changed = wordFreq.keys.filter(_.length <= 20)
+      .count(w => segment(w, seedLogp) != segment(w, emLogp))
+    assert(changed == 0, s"fixture flip count moved: $changed (doc says 0)")
+  }
+
+  test("unigram EM round flips a near-tied segmentation (operator end to end on a crafted corpus)") {
+    // Corpus found by search: one EM round re-scores 'ccc' above the
+    // 'cc|cb' path, so 'cccbb' flips [cc,cb,b] -> [ccc,b,b] — piece count
+    // stays 3 but total logp changes; doc 1 (5x 'cccbb') must show the
+    // EM'd path's logp, proving the ENCODER serves the re-fit model.
+    val dir = graft.ops.ProcessTmp.dir("graft_unigram_em") + "/fixture"
+    val docs = Seq(
+      (0L, Seq.fill(5)("ccc").mkString(" ")),
+      (1L, "cccbb"), // freq 1: rides the others' piece table
+      (2L, Seq.fill(5)("cbcaac").mkString(" ")),
+      (3L, Seq.fill(9)("aacaa").mkString(" ")))
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val em = TextOps.nsTextUnigramTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val emLogp = em.map(v => v._1 -> v._3).toMap
+    // 'ccc' survives EM with usage > 0; the seed-only runner-up path
+    // piece 'cb' is NOT in every... (cb is used by cbcaac) — the flip is
+    // visible through the encoded logp of doc 1:
+    assert(emLogp.contains("ccc"))
+    val enc = TextOps.nsTextUnigramEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val wantDoc1 = (1L, 3L, emLogp("ccc") + 2 * emLogp("b"))
+    assert(enc(1L) == wantDoc1,
+      s"doc 1 not encoded on the EM'd [ccc,b,b] path: ${enc(1L)} != $wantDoc1")
+    // and the seed path really was different: under pre-EM scores the
+    // argmax for 'cccbb' is [cc,cb,b] (re-derived brute force from the
+    // crafted corpus's seed fit) — kept as a literal here because the
+    // corpus is fixed: seed logp(cc)+logp(cb) > logp(ccc)+logp(b).
+    val wf = Map("ccc" -> 5L, "cccbb" -> 1L, "cbcaac" -> 5L, "aacaa" -> 9L)
+    val chars = wf.toSeq.flatMap { case (w, f) => w.map(c => (c.toString, f)) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val multi = wf.toSeq.filter(_._2 >= 2L).flatMap { case (w, f) =>
+      for (i <- 0 until w.length; l <- 2 to math.min(6, w.length - i))
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (p, s) => (-s, p) }.take(256)
+    val seedTotal = chars.values.sum + multi.map(_._2).sum
+    def lp(s: Long): Long =
+      Math.round(Math.log(math.max(s * 1000000L / seedTotal, 1L) / 1e6) * 1e6)
+    val seedMap = (chars.toSeq ++ multi).toMap
+    assert(lp(seedMap("cc")) + lp(seedMap("cb")) > lp(seedMap("ccc")) + lp(seedMap("b")),
+      "crafted corpus no longer near-tied — regenerate it")
   }
 
   test("hot ngrams: top-k by df matches a brute-force fold; top-k is TakeOrdered, not a global sort") {
