@@ -85,6 +85,123 @@ object ImageCodecs {
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
+  /** Real PNG (8-bit RGB, color type 2): signature, chunk walk with CRC32
+    * verification, multi-IDAT zlib stream inflated via the JDK's
+    * `java.util.zip.Inflater` (zero external dependencies), and scanline
+    * UN-FILTERING — each row carries a filter byte (0 none / 1 sub /
+    * 2 up / 3 average / 4 paeth) whose prediction must be reversed
+    * byte-wise mod 256. The fixture generator cycles ALL FIVE filter
+    * types across rows, so a reader that skips un-filtering (summing the
+    * raw inflated bytes) diverges from the oracle — the compressed-format
+    * analog of the BMP row-padding trap.
+    *
+    * Fail-loud contract like the other codecs: bad signature, CRC
+    * mismatch, unsupported IHDR variant, truncated or oversized inflate
+    * all throw.
+    */
+  def decodePng(bytes: Array[Byte]): Decoded = {
+    val (w, h, px) = pngPixels(bytes)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    (w, h, 3L, sum)
+  }
+
+  /** Number of IDAT chunks in a PNG payload — the multi-chunk layout
+    * statistic the registered query reports (a single zlib stream may
+    * legally split across any number of IDATs).
+    */
+  def pngIdatCount(bytes: Array[Byte]): Long =
+    pngChunks(bytes).count(_._1 == "IDAT").toLong
+
+  /** Full PNG decode: (width, height, 3·w·h RGB bytes row-major,
+    * un-filtered).
+    */
+  def pngPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
+    val chunks = pngChunks(bytes)
+    require(chunks.nonEmpty && chunks.head._1 == "IHDR", "PNG: IHDR not first")
+    require(chunks.last._1 == "IEND", "PNG: missing IEND")
+    val ihdr = chunks.head._2
+    require(ihdr.length == 13, s"PNG: IHDR length ${ihdr.length}")
+    val hb = ByteBuffer.wrap(ihdr).order(ByteOrder.BIG_ENDIAN)
+    val w = hb.getInt(0)
+    val h = hb.getInt(4)
+    val (depth, color) = (ihdr(8) & 0xff, ihdr(9) & 0xff)
+    val (comp, filt, interlace) = (ihdr(10) & 0xff, ihdr(11) & 0xff, ihdr(12) & 0xff)
+    require(w > 0 && h > 0, s"PNG: bad dimensions ${w}x$h")
+    require(depth == 8 && color == 2,
+      s"PNG: unsupported depth/color $depth/$color (8-bit RGB only)")
+    require(comp == 0 && filt == 0 && interlace == 0,
+      s"PNG: unsupported comp/filter/interlace $comp/$filt/$interlace")
+    require(3L * w * h + h <= Int.MaxValue, s"PNG: ${w}x$h overflows the buffer")
+    val idat = chunks.filter(_._1 == "IDAT").map(_._2)
+    require(idat.nonEmpty, "PNG: no IDAT chunk")
+    val stream = new Array[Byte](idat.map(_.length).sum)
+    idat.foldLeft(0) { (off, c) => System.arraycopy(c, 0, stream, off, c.length); off + c.length }
+    // One zlib stream across all IDATs; the raw image is h scanlines of
+    // (1 filter byte + 3w pixel bytes).
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(stream)
+    val got = try inf.inflate(raw) finally inf.end()
+    require(got == raw.length, s"PNG: inflated $got of ${raw.length} bytes")
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      val f = raw(rowIn - 1) & 0xff
+      require(f <= 4, s"PNG: unknown filter type $f in row $y")
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= 3) out(rowOut + x - 3) & 0xff else 0 // left
+        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
+        val c = if (x >= 3 && y > 0) out(rowOut - stride + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(rowOut + x) = ((raw(rowIn + x) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** PNG chunk walk: verifies the 8-byte signature and EVERY chunk's
+    * CRC32 (over type+data), returns (type, data) in file order.
+    */
+  private def pngChunks(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length >= 8 && bytes.take(8).sameElements(sig),
+      "not a PNG: bad signature")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var pos = 8
+    while (pos < bytes.length) {
+      require(pos + 12 <= bytes.length, "PNG: truncated chunk header")
+      val len = b.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"PNG: truncated chunk data (len $len at $pos)")
+      val typ = new String(bytes, pos + 4, 4, US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == b.getInt(pos + 8 + len),
+        s"PNG: CRC mismatch in '$typ' chunk")
+      out += ((typ, java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)))
+      pos += 12 + len
+    }
+    out.result()
+  }
+
   /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): little-endian
     * header fields, bottom-up rows padded to 4-byte boundaries — the
     * padding bytes are NOT pixel data and are excluded from the sum.
@@ -140,6 +257,76 @@ object ImageFixtures {
   val PpmMime = "image/x-portable-pixmap"
   val BmpMime = "image/bmp"
   val PgmMime = "image/x-portable-graymap"
+  val PngMime = "image/png"
+
+  /** Real 8-bit RGB PNG, (id%11+1) × (id%5+4): raw pixel byte i is
+    * [[pxByte]], row r is FILTERED with type r % 5 (so every image with
+    * h >= 5 exercises none/sub/up/average/paeth — the decoder must
+    * reverse all four non-trivial predictors to recover the pixels), the
+    * filtered scanlines deflate into ONE zlib stream split across TWO
+    * IDAT chunks (multi-IDAT concatenation is part of the format), and
+    * every chunk carries a real CRC32. h >= 4 guarantees sub/up/average
+    * appear even in the smallest image; compressed byte counts are
+    * Deflater-version-dependent, so the oracle never references payload
+    * size — only header fields and pixel statistics.
+    */
+  def png(id: Long): Array[Byte] = {
+    val w = (id % 11 + 1).toInt
+    val h = (id % 5 + 4).toInt
+    val stride = 3 * w
+    // raw -> filtered scanlines
+    val raw = Array.tabulate(h * stride)(i => pxByte(id, i))
+    val filtered = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * stride + x) & 0xff
+        val a = if (x >= 3) raw(y * stride + x - 3) & 0xff else 0
+        val b = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) raw((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(y * (1 + stride) + 1 + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered)
+    defl.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    val zlen = defl.deflate(zbuf)
+    val done = defl.finished()
+    defl.end()
+    require(done, "deflate output buffer too small for the fixture image")
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      out.putInt(data.length).put(typ.getBytes(US_ASCII)).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes(US_ASCII)); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
 
   /** Pixel component byte i of document id — shared by all formats. */
   def pxByte(id: Long, i: Long): Byte = ((id * 31 + i) % 256).toByte

@@ -30,15 +30,19 @@ object MultimodalOps {
       doc_id: Long, mime: String, n_bytes: Long,
       width: Long, height: Long, channels: Long, px_sum: Long)
 
-  /** Mime-dispatched decode: REAL parsers ([[ImageCodecs]]) for PPM and
-    * BMP — width/height/channels read from the actual header bytes, the
-    * pixel statistic from walking the actual pixel array — and the
-    * clearly-marked deterministic stub only for mimes with no offline
-    * codec (JPEG/PNG/WAV need libs this container doesn't have; a real
+  /** Mime-dispatched decode: REAL parsers ([[ImageCodecs]]) for
+    * PPM/BMP/PGM/PNG — width/height/channels read from the actual header
+    * bytes, the pixel statistic from walking the actual (for PNG:
+    * inflated + un-filtered) pixel array — and the clearly-marked
+    * deterministic stub only for mimes with no offline codec (JPEG/MP3
+    * entropy coding needs libs this container doesn't have; a real
     * deployment adds `case`s here, nothing else changes).
     */
   object Decoder {
     def decode(r: MediaRecord): MediaFeatures = r.mime match {
+      case ImageFixtures.PngMime =>
+        val (w, h, c, s) = ImageCodecs.decodePng(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
       case ImageFixtures.PpmMime =>
         val (w, h, c, s) = ImageCodecs.decodePpm(r.payload)
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, c, s)
@@ -252,7 +256,42 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Decoded PNG features — all BIGINT for exact replay; no payload-size
+    * column because compressed byte counts depend on the Deflater
+    * version, which an oracle cannot replay.
+    */
+  case class PngFeatures(
+      doc_id: Long, mime: String, width: Long, height: Long,
+      channels: Long, px_sum: Long, n_idat: Long)
+
+  /** PNG corpus: every doc_id ≡ 3 mod 4 carries a REAL generated PNG —
+    * the first COMPRESSED format in the modality set (the others are
+    * uncompressed containers): decode walks the chunk tree with CRC32
+    * verification, inflates the multi-IDAT zlib stream with the JDK
+    * Inflater, and reverses the per-row scanline filters
+    * (none/sub/up/average/paeth — the generator cycles all five, so an
+    * unfiltered read diverges from the oracle). Same per-partition
+    * batched shape as the other modalities; payloads never cross a
+    * shuffle.
+    */
+  def nsMultimodalPng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 4 === 3)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, ImageFixtures.PngMime, ImageFixtures.png(id)))
+      .mapPartitions(_.map { r =>
+        val (w, h, c, s) = ImageCodecs.decodePng(r.payload)
+        PngFeatures(r.doc_id, r.mime, w, h, c, s,
+          ImageCodecs.pngIdatCount(r.payload))
+      })
+      .toDF()
+      .select("doc_id", "mime", "width", "height", "channels", "px_sum", "n_idat")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_png" -> (nsMultimodalPng _),
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
     "ns_multimodal_frames" -> (nsMultimodalFrames _),
     "ns_multimodal_resize" -> (nsMultimodalResize _),
@@ -297,6 +336,31 @@ object MultimodalOps {
       |         ELSE 'text/plain' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the PngFixtures formulas symbolically: w = id%11+1,
+    // h = id%5+4, px_sum = Σ (id·31 + i) % 256 over 3·w·h UN-FILTERED
+    // pixel bytes, always 2 IDAT chunks. A hash-match proves the Spark
+    // side inflated the real zlib stream and reversed every scanline
+    // filter (the generator cycles all five types per image).
+    "ns_multimodal_png" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 11 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |u AS (
+        |  SELECT doc_id, unnest(generate_series(0, 3*w*h - 1)) AS i
+        |  FROM a),
+        |px AS (
+        |  SELECT doc_id, CAST(SUM((doc_id*31 + i) % 256) AS BIGINT) AS px_sum
+        |  FROM u GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       'image/png' AS mime,
+        |       a.w AS width, a.h AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       px.px_sum,
+        |       CAST(2 AS BIGINT) AS n_idat
+        |FROM a JOIN px USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // Replays the ImageFixtures formulas symbolically: PNM n_bytes =
     // header + ch·w·h, BMP = 54 + padded stride × h, px_sum =
     // Σ (id·31 + i) % 256 over the ch·w·h pixel bytes — so a hash-match

@@ -80,6 +80,83 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageCodecs.decodeBmp(bad))
   }
 
+  test("PNG codec round-trips: inflate + un-filter recovers the exact raw pixels") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 19L, 43L, 1000L)) {
+      val bytes = ImageFixtures.png(id)
+      val (w, h, c, s) = ImageCodecs.decodePng(bytes)
+      assert((w, h, c) == (id % 11 + 1, id % 5 + 4, 3L), s"id=$id header")
+      assert(s == expectedPxSum(id, 3 * w * h), s"id=$id pixel sum")
+      assert(ImageCodecs.pngIdatCount(bytes) == 2L, s"id=$id idat count")
+      // byte-exact reconstruction, not just the sum
+      val (_, _, px) = ImageCodecs.pngPixels(bytes)
+      px.zipWithIndex.foreach { case (b, i) =>
+        assert(b == ImageFixtures.pxByte(id, i), s"id=$id pixel $i")
+      }
+    }
+  }
+
+  test("PNG filters really change the stored bytes (an unfiltered reader diverges)") {
+    // h >= 4 guarantees sub/up/average rows in every image; id=4 adds
+    // paeth (h=8). Summing the raw inflated bytes (minus filter bytes)
+    // must NOT equal the true pixel sum — the trap the un-filter step
+    // exists for.
+    for (id <- Seq(4L, 7L, 19L)) {
+      val bytes = ImageFixtures.png(id)
+      val (w, h, _, trueSum) = ImageCodecs.decodePng(bytes)
+      // naive read: inflate and sum everything except the filter bytes
+      val chunks = collection.mutable.ArrayBuffer[Byte]()
+      var pos = 8
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      while (pos < bytes.length) {
+        val len = bb.getInt(pos)
+        if (new String(bytes, pos + 4, 4, "US-ASCII") == "IDAT")
+          chunks ++= bytes.slice(pos + 8, pos + 8 + len)
+        pos += 12 + len
+      }
+      val raw = new Array[Byte]((h * (1 + 3 * w)).toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(chunks.toArray)
+      inf.inflate(raw); inf.end()
+      val naive = (0 until h.toInt).map { y =>
+        raw.slice(y * (1 + 3 * w.toInt) + 1, (y + 1) * (1 + 3 * w.toInt))
+          .map(b => (b & 0xff).toLong).sum
+      }.sum
+      assert(naive != trueSum,
+        s"id=$id: filters were all no-ops — the trap is not exercised")
+    }
+  }
+
+  test("PNG codec fails loud on malformed payloads") {
+    val good = ImageFixtures.png(7L)
+    // corrupted CRC (flip one pixel-data byte inside the first IDAT)
+    val bad = good.clone()
+    bad(8 + 25 + 12 + 10) = (bad(8 + 25 + 12 + 10) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](ImageCodecs.decodePng(bad))
+    // truncated file
+    intercept[IllegalArgumentException](
+      ImageCodecs.decodePng(good.dropRight(6)))
+    // bad signature
+    intercept[IllegalArgumentException](
+      ImageCodecs.decodePng("not a png at all".getBytes("US-ASCII")))
+    // wrong color type (grayscale IHDR) — rebuild a minimal header
+    val gray = good.clone()
+    gray(8 + 8 + 9) = 0.toByte // IHDR color type byte
+    intercept[IllegalArgumentException](ImageCodecs.decodePng(gray))
+  }
+
+  test("png query decodes real PNGs batch-wide") {
+    val rows = MultimodalOps.nsMultimodalPng(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h, px, ni) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(id % 4 == 3)
+      assert((w, h) == (id % 11 + 1, id % 5 + 4))
+      assert(px == expectedPxSum(id, 3 * w * h))
+      assert(ni == 2L)
+    }
+  }
+
   test("WAV codec round-trips generated chunk lists and samples") {
     for (id <- Seq(1L, 5L, 13L, 57L, 121L, 1001L)) {
       val d = AudioCodecs.decodeWav(AudioFixtures.wav(id))
