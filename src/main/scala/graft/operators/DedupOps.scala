@@ -418,6 +418,37 @@ object DedupOps {
       "batch_doc", "corpus_doc", threshold)
   }
 
+  /** Near-dup EDGES of an indexed corpus against ITSELF, from the stored
+    * (banded, sets) frames — the band self-join + set-intersect verify of
+    * [[minhashNearDupPairs]] run over the ARTIFACT instead of in-session
+    * caches (banded rows are stored DISTINCT, so the candidate set is
+    * identical). This is what lets a platform build derive survivorship
+    * from the index it just published rather than re-shingling the corpus
+    * ([[graft.pipeline.Pipelines]] pipe_platform_build).
+    */
+  private[graft] def pairsFromIndex(
+      banded: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    setIntersectVerify(candidates, sets, sets, "doc_a", "doc_b", threshold)
+  }
+
+  /** The leakage-free 80/10/10 split label over a `component` column —
+    * ONE definition of the affine bucket + thresholds, shared by
+    * [[nsCorpusSplit]] and the platform-build composition.
+    */
+  private[graft] def splitCol: Column = {
+    val bucket = pmod(
+      pmod(col("component") * lit(SamplingOps.SampleKeyA)
+        + lit(SamplingOps.SampleKeyB), lit(SamplingOps.SampleKeyP)),
+      lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "validation")
+      .otherwise("test")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   private val SimBits = 64
@@ -546,7 +577,7 @@ object DedupOps {
     * end. localCheckpoint truncates lineage each round — iterative plans
     * otherwise nest exponentially.
     */
-  private[operators] def componentLabelsFromEdges(
+  private[graft] def componentLabelsFromEdges(
       allNodes: DataFrame,
       pairs: DataFrame,
       driverMaxEdges: Long = 2L * 1000 * 1000): DataFrame = {
@@ -692,13 +723,7 @@ object DedupOps {
     val pairs = minhashNearDupPairs(sets, sig, 0.5).select("doc_a", "doc_b")
     val labels = componentLabelsFromEdges(docs.select("doc_id"), pairs)
     sets.unpersist(); sig.unpersist()
-    val bucket = pmod(
-      pmod(col("component") * lit(SamplingOps.SampleKeyA)
-        + lit(SamplingOps.SampleKeyB), lit(SamplingOps.SampleKeyP)),
-      lit(100L))
-    labels.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "validation")
-        .otherwise("test"))
+    labels.withColumn("split", splitCol)
       .select("doc_id", "component", "split")
       .orderBy("doc_id")
   }
@@ -1266,7 +1291,7 @@ object DedupOps {
     * (doc_id, component) CTE — shared by the components aggregate and
     * the leakage-free split oracle.
     */
-  private def componentLabelCtes: String =
+  private[graft] def componentLabelCtes: String =
     s"""$shingleCte,
       |$minhashCandCtes,
       |jacc AS (

@@ -351,6 +351,19 @@ object IndexOps {
     DedupOps.matchAgainstIndex(batchDocs, banded, sets)
   }
 
+  /** Verified near-dup edges of the indexed corpus against ITSELF, read
+    * from the stored artifact ([[DedupOps.pairsFromIndex]]): the
+    * survivorship edge generator for a platform build that publishes the
+    * index once and derives components from the files — no in-session
+    * re-shingling of the corpus. Bucket pruning applies: a band bucket
+    * only ever joins itself.
+    */
+  def dedupEdgesFromIndex(spark: SparkSession, root: String): DataFrame = {
+    val banded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
+    val sets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
+    DedupOps.pairsFromIndex(banded, sets, 0.5)
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Per-process artifact root: unique per JVM (concurrent sbt sessions

@@ -93,7 +93,7 @@ object PackingOps {
     * and select-then-pack forms. Callers pass an already-cached frame
     * (both passes read it).
     */
-  private def packGlobalFrom(docs: DataFrame): DataFrame = {
+  private[graft] def packGlobalFrom(docs: DataFrame): DataFrame = {
     val byLang = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val shardOrder = Window.orderBy("lang")

@@ -261,7 +261,7 @@ object SamplingOps {
     * by [[dsirOracle]] and the select-then-pack composition oracle
     * ([[PackingOps]]).
     */
-  private[operators] def dsirCtes: String =
+  private[graft] def dsirCtes: String =
     s"""docs AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
        |  FROM documents),

@@ -610,7 +610,7 @@ object TextOps {
 
   // ---- BPE tokenizer training ---------------------------------------------
 
-  private[operators] val BpeMerges = 10
+  private[graft] val BpeMerges = 10
   // Driver-side vocab bound (standard BPE practice, e.g. HF tokenizers'
   // min_frequency): words below the frequency floor are excluded from the
   // merge-training statistics, and the collected vocab is hard-capped at
@@ -656,7 +656,7 @@ object TextOps {
     * floor + top-V cap ([[BpeWordMinFreq]]/[[BpeMaxVocab]]) bound the
     * collect at <= BpeMaxVocab rows regardless of corpus size.
     */
-  private[operators] def trainBpeMerges(
+  private[graft] def trainBpeMerges(
       spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
     val wc = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("wd"))
@@ -720,7 +720,7 @@ object TextOps {
     * encode query and the tokenizer-aware packing composition
     * ([[PackingOps.nsPackBpe]]).
     */
-  private[operators] def bpeTokenCountCol(
+  private[graft] def bpeTokenCountCol(
       merges: Seq[(Long, String, String, String, Long)]): Column = {
     def encoded(w: Column): Column = merges.foldLeft(
       concat(lit("|"), regexp_replace(w, "(.)", "$1|")): Column) {
@@ -1385,7 +1385,7 @@ object TextOps {
     * a pair count over adjacent symbols, a (cnt DESC, l, r) argmax b_i,
     * and the same literal string replace the driver loop applies.
     */
-  private[operators] def bpeTrainCtes: String = {
+  private[graft] def bpeTrainCtes: String = {
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt

@@ -695,7 +695,89 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** The PLATFORM END-TO-END BUILD — the whole ingest-to-training-chunks
+    * path as ONE oracled job emitting the audited manifest a pretraining
+    * run consumes. Stages, each reusing the published operator it is
+    * gated by:
+    *
+    *  1. INDEX: publish the near-dup MinHash index artifact
+    *     ([[graft.operators.IndexOps.buildDedupIndex]] — write-audit-
+    *     publish, bucketed by band key), then derive everything dedup
+    *     from the FILES, not an in-session rebuild.
+    *  2. SURVIVORSHIP: near-dup edges from the stored index
+    *     ([[graft.operators.IndexOps.dedupEdgesFromIndex]]) → connected
+    *     components → each component keeps its min-id document. Exact
+    *     duplicates are jaccard-1.0 near-dups, so the exact-dedup gate is
+    *     subsumed by construction.
+    *  3. SPLIT: the leakage-free component-keyed 80/10/10 split
+    *     ([[graft.operators.DedupOps.splitCol]]); only `train` proceeds,
+    *     and the held-out eval suite (doc_id ≡ 0 mod 50) never trains.
+    *  4. GATES: Gopher quality pass (admission), decontamination drop
+    *     (eval-leak scan), DSIR keep (target-distribution selection) —
+    *     all per-doc verdicts of their published oracled queries.
+    *  5. TOKENIZER + PACK: BPE trained on the FULL corpus (vocab
+    *     decoupled from selection, the pipe_select_pack discipline),
+    *     real token budgets, global shard-offset packing.
+    *
+    * Manifest row: (doc_id, lang, component, toks, cum_before,
+    * first_chunk, last_chunk, n_chunks) — which chunk range each
+    * surviving document owns, traceable back to its dedup component.
+    *
+    * Scale shape: nothing new — every stage is the published operator's
+    * plan (index build once; edges bucket-pruned; components
+    * edge-proportional; gates linear scans; pack two-pass shard-offset);
+    * the composition adds only doc-keyed semi/anti joins.
+    */
+  def platformBuild(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = graft.operators.DedupOps
+    val text = graft.operators.TextOps
+    val docs = Tables.documents(spark, dir)
+    // 1-2: publish the index artifact, survivorship from the files
+    val root = graft.ops.ProcessTmp.dir("graft_platform") +
+      "/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.operators.IndexOps.buildDedupIndex(docs, root)
+    val pairs = graft.operators.IndexOps.dedupEdgesFromIndex(spark, root)
+      .select("doc_a", "doc_b")
+    val labels = dedup.componentLabelsFromEdges(docs.select("doc_id"), pairs)
+    // 3: split on the component key; survivors of the train split only
+    val surv = labels.where(dedup.splitCol === "train")
+      .where(col("doc_id") === col("component"))
+      .where(col("doc_id") % 50 =!= 0)
+    // 4: admission + decontamination + selection gates. Decontamination
+    // reads the STORED shingle sets (exploding a per-doc distinct set is
+    // row-identical to the published re-shingling form — the
+    // healthSharedPass equivalence, here from the artifact): the corpus
+    // is shingled exactly ONCE in this whole job, at index build.
+    val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs")
+    val contam = dedup.contaminationProfile(
+        storedSets.where(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("shs")).as("sh")),
+        storedSets.where(col("doc_id") % 50 === 0)
+          .select(explode(col("shs")).as("sh")).distinct())
+      .where(col("drop_doc")).select("doc_id")
+    val gopherPass = text.gopherProfile(docs).where(col("pass")).select("doc_id")
+    val dsirKeep = graft.operators.SamplingOps.nsCorpusDsir(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val fin = surv.select("doc_id", "component")
+      .join(gopherPass, Seq("doc_id"), "left_semi")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    // 5: full-corpus tokenizer, BPE budgets, global shard-offset pack
+    val merges = text.trainBpeMerges(spark, dir)
+    val packed = graft.operators.PackingOps.packGlobalFrom(
+      docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          text.bpeTokenCountCol(merges).as("toks"))
+        .where(col("toks") > 0)
+        .cache())
+    packed.join(fin, Seq("doc_id"))
+      .select("doc_id", "lang", "component", "toks", "cum_before",
+        "first_chunk", "last_chunk", "n_chunks")
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_platform_build" -> (platformBuild _),
     "pipe_tokenizer_eval" -> (tokenizerEval _),
     "pipe_corpus_report" -> (corpusReport _),
     "pipe_corpus_admission" -> (corpusAdmission _),
@@ -792,6 +874,77 @@ object Pipelines {
        |SELECT 'n_quality_' || tier, CAST(count(*) AS BIGINT)
        |FROM ($quality) q GROUP BY tier
        |) ORDER BY metric""".stripMargin
+  }
+
+  /** The platform-build oracle composes the published pieces in stage
+    * order: the recursive component-label closure (the SAME edge CTEs the
+    * components/split oracles use — the stored-index path is
+    * candidate-identical by construction, banded rows are stored
+    * DISTINCT), the split bucket on the component key, the gopher /
+    * decontamination / DSIR verdicts as their published oracles, BPE
+    * training CTEs over the full corpus, and the shard-offset pack
+    * algebra extended with the component column.
+    */
+  private def platformBuildOracle: String = {
+    import graft.operators.SamplingOps.{SampleKeyA, SampleKeyB, SampleKeyP}
+    val text = graft.operators.TextOps
+    val chunk = graft.operators.PackingOps.ChunkTokens
+    val chain = (1 to text.BpeMerges).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE ${graft.operators.DedupOps.componentLabelCtes},
+       |spl AS (
+       |  SELECT doc_id, component,
+       |         ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 AS k
+       |  FROM comp),
+       |surv AS (
+       |  SELECT doc_id, component FROM spl
+       |  WHERE k < 80 AND doc_id = component AND doc_id % 50 <> 0),
+       |g AS (SELECT doc_id FROM (${text.oracles("ns_text_gopher")}) gg WHERE pass),
+       |ctm AS (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_decontaminate")}) dc
+       |        WHERE drop_doc),
+       |${graft.operators.SamplingOps.dsirCtes},
+       |dkeep AS (SELECT doc_id FROM sd WHERE n_grams > 0 AND llr_u > 0),
+       |fin AS (
+       |  SELECT s.doc_id, s.component FROM surv s
+       |  JOIN g USING (doc_id)
+       |  JOIN dkeep USING (doc_id)
+       |  LEFT JOIN ctm ON s.doc_id = ctm.doc_id
+       |  WHERE ctm.doc_id IS NULL),
+       |${text.bpeTrainCtes},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS wd
+       |  FROM documents ddd JOIN fin USING (doc_id)),
+       |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
+       |$chain,
+       |tok AS (
+       |  SELECT doc_id, CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS toks
+       |  FROM e${text.BpeMerges} GROUP BY doc_id),
+       |tt2 AS (
+       |  SELECT d.doc_id, d.lang, fin.component, tok.toks
+       |  FROM documents d JOIN tok USING (doc_id) JOIN fin USING (doc_id)
+       |  WHERE tok.toks > 0),
+       |o2 AS (
+       |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
+       |  FROM tt2 GROUP BY lang),
+       |oo2 AS (
+       |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+       |  FROM o2),
+       |c2 AS (
+       |  SELECT doc_id, lang, component, toks,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+       |  FROM tt2)
+       |SELECT c2.doc_id, c2.lang, c2.component, c2.toks,
+       |       oo2.shard_offset + c2.cum_in_shard AS cum_before,
+       |       (oo2.shard_offset + c2.cum_in_shard) // $chunk AS first_chunk,
+       |       (oo2.shard_offset + c2.cum_in_shard + c2.toks - 1) // $chunk AS last_chunk,
+       |       (oo2.shard_offset + c2.cum_in_shard + c2.toks - 1) // $chunk
+       |         - (oo2.shard_offset + c2.cum_in_shard) // $chunk + 1 AS n_chunks
+       |FROM c2 JOIN oo2 USING (lang)
+       |ORDER BY c2.lang, c2.doc_id""".stripMargin
   }
 
   /** Composes the published gate oracles: Gopher pass bits, a normalized-
@@ -996,6 +1149,7 @@ object Pipelines {
          |            THEN 'bpe' ELSE 'unigram' END AS fewer_tokens
          |FROM t JOIN elig USING (doc_id) JOIN b USING (doc_id) JOIN u USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    "pipe_platform_build" -> platformBuildOracle,
     "pipe_corpus_report" -> corpusReportOracle,
     "pipe_corpus_admission" -> corpusAdmissionOracle,
     "pipe_corpus_build" -> corpusBuildOracle,

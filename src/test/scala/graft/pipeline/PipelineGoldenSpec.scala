@@ -46,6 +46,42 @@ class PipelineGoldenSpec extends SparkSpec {
     tiers.foreach { case (k, v) => assert(rows(k) == v, s"$k: ${rows(k)} != $v") }
   }
 
+  test("platform build manifest: doc set is exactly the stage intersection; chunk stream is contiguous") {
+    val dedup = graft.operators.DedupOps
+    val text = graft.operators.TextOps
+    val rows = Pipelines.platformBuild(spark, sfDir).collect()
+    assert(rows.nonEmpty, "empty manifest at sf0.001")
+    val got = rows.map(_.getLong(0)).toSet
+    // independently recompute each stage from the PUBLISHED queries
+    val split = dedup.nsCorpusSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val surv = split.collect {
+      case (id, comp, s) if s == "train" && id == comp && id % 50 != 0 => id
+    }.toSet
+    val gopher = text.nsTextGopher(spark, sfDir).where(col("pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contam = dedup.nsDecontaminate(spark, sfDir).where(col("drop_doc"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dsir = graft.operators.SamplingOps.nsCorpusDsir(spark, sfDir)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val tokPos = graft.operators.PackingOps.nsPackBpe(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet // toks > 0 docs
+    val want = surv.intersect(gopher).intersect(dsir).intersect(tokPos) -- contam
+    assert(got == want,
+      s"manifest set diverges: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // component labels come straight from the split query
+    val compOf = split.map(t => t._1 -> t._2).toMap
+    rows.foreach(r => assert(r.getLong(2) == compOf(r.getLong(0))))
+    // the packed stream is one contiguous global token stream in
+    // (lang, doc_id) order: each cum_before is the previous cum + toks
+    val ordered = rows.map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    ordered.foldLeft(0L) { case (expect, (lang, id, toks, cum)) =>
+      assert(cum == expect, s"stream gap at ($lang,$id): $cum != $expect")
+      expect + toks
+    }
+  }
+
   test("balances -> income -> leaderboard matches hand-computed values") {
     import spark.implicits._
     // Two "indexes" (groups): users 1,2 in group A; user 3 in group B.
