@@ -229,6 +229,23 @@ object ScaleRehearsal {
            "ns_text_unigram_encode", "ns_dedup_source_matrix",
            "ns_multimodal_video");
          (sfName, dir) <- scales) measure(q, sfName, dir)
+    // Round-7: the shared-scan corpus report is ONE corpus scan + ONE
+    // shingle exchange + one fused text pass (the subject: wall tracks
+    // the components regime, not five metric scans); the platform build
+    // composes the index publish (one-off artifact write), survivorship
+    // + decontamination FROM the stored files, the linear gates and the
+    // two-pass pack; PNG decode is one generate+inflate+unfilter pass
+    // (linear in pixel bytes, no shuffle but the output sort); unigram
+    // train adds the hard-EM E-step (one distinct-word DP pass + a
+    // vocab-bounded piece aggregation) to the seed fit.
+    for (q <- Seq("pipe_corpus_report", "pipe_platform_build",
+           "ns_multimodal_png", "ns_text_unigram_train");
+         (sfName, dir) <- scales) measure(q, sfName, dir)
+    // Multi-probe IVF: same assign/rerank plan as ivf_topk with 4x the
+    // probed lists — the subject is cost ∝ probes, not corpus size.
+    for (q <- Seq("ns_sim_ivf_multiprobe");
+         (sfName, dir) <- simScales) measure(q, sfName, dir)
+
     // Topic curation: map-side assign + k-row stats + ONE topic-keyed
     // rank exchange — the subject is that wall tracks N while shuffle
     // stays ~rows-kept. PageRank adds two exchanges per iteration over

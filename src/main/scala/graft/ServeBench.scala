@@ -55,7 +55,8 @@ object ServeBench {
           // request latency
           n != "pipe_training_corpus" && n != "pipe_corpus_build" &&
           n != "pipe_select_pack" && n != "pipe_corpus_admission" &&
-          n != "pipe_corpus_report" && n != "pipe_tokenizer_eval" }
+          n != "pipe_corpus_report" && n != "pipe_tokenizer_eval" &&
+          n != "pipe_platform_build" }
       .sortBy(_._1)
 
     // Warm once single-threaded: codegen/footers are per-JVM costs a
