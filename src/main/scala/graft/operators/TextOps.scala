@@ -657,8 +657,10 @@ object TextOps {
     * collect at <= BpeMaxVocab rows regardless of corpus size.
     */
   private[graft] def trainBpeMerges(
-      spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
+      spark: SparkSession, dir: String,
+      docFilter: Column = lit(true)): Seq[(Long, String, String, String, Long)] = {
     val wc = Tables.documents(spark, dir)
+      .where(docFilter)
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("freq"))
       // Both bounds BEFORE the collect — see [[BpeWordMinFreq]]. The sort
@@ -1385,7 +1387,13 @@ object TextOps {
     * a pair count over adjacent symbols, a (cnt DESC, l, r) argmax b_i,
     * and the same literal string replace the driver loop applies.
     */
-  private[graft] def bpeTrainCtes: String = {
+  private[graft] def bpeTrainCtes: String = bpeTrainCtesFrom("TRUE")
+
+  /** [[bpeTrainCtes]] over a document-predicate-restricted corpus — the
+    * frozen day-1 vocabulary of the incremental platform path trains on
+    * the pre-existing corpus only.
+    */
+  private[graft] def bpeTrainCtesFrom(pred: String): String = {
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -1400,7 +1408,7 @@ object TextOps {
        |  SELECT * FROM (
        |    SELECT CAST(count(*) AS BIGINT) AS freq,
        |           '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq
-       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents)
+       |    FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents WHERE $pred)
        |    GROUP BY 2
        |    HAVING count(*) >= $BpeWordMinFreq)
        |  ORDER BY freq DESC, replace(seq, '|', '') LIMIT $BpeMaxVocab),
