@@ -85,26 +85,30 @@ object ImageCodecs {
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
-  /** Real PNG (8-bit RGB, color type 2): signature, chunk walk with CRC32
-    * verification, multi-IDAT zlib stream inflated via the JDK's
-    * `java.util.zip.Inflater` (zero external dependencies), and scanline
-    * UN-FILTERING — each row carries a filter byte (0 none / 1 sub /
-    * 2 up / 3 average / 4 paeth) whose prediction must be reversed
-    * byte-wise mod 256. The fixture generator cycles ALL FIVE filter
-    * types across rows, so a reader that skips un-filtering (summing the
-    * raw inflated bytes) diverges from the oracle — the compressed-format
-    * analog of the BMP row-padding trap.
+  /** Real PNG (8-bit; color types 2 RGB, 3 palette, 6 RGBA): signature,
+    * chunk walk with CRC32 verification, multi-IDAT zlib stream inflated
+    * via the JDK's `java.util.zip.Inflater` (zero external dependencies),
+    * and scanline UN-FILTERING — each row carries a filter byte (0 none /
+    * 1 sub / 2 up / 3 average / 4 paeth) whose prediction must be
+    * reversed byte-wise mod 256 at the color type's pixel stride (3 for
+    * RGB, 4 for RGBA, 1 for palette indices). Palette images expand
+    * through the PLTE chunk to 3-channel RGB — a real corpus's PNGs are
+    * majority palette/alpha, so both paths matter. The fixture generator
+    * cycles ALL FIVE filter types across rows, so a reader that skips
+    * un-filtering (summing the raw inflated bytes) diverges from the
+    * oracle — the compressed-format analog of the BMP row-padding trap.
     *
     * Fail-loud contract like the other codecs: bad signature, CRC
-    * mismatch, unsupported IHDR variant, truncated or oversized inflate
-    * all throw.
+    * mismatch, unsupported IHDR variant (16-bit, grayscale 0/4,
+    * interlaced), missing/short PLTE, out-of-range palette index,
+    * truncated or oversized inflate all throw.
     */
   def decodePng(bytes: Array[Byte]): Decoded = {
-    val (w, h, px) = pngPixels(bytes)
+    val (w, h, c, px) = pngPixels(bytes)
     var sum = 0L
     var i = 0
     while (i < px.length) { sum += px(i) & 0xff; i += 1 }
-    (w, h, 3L, sum)
+    (w, h, c, sum)
   }
 
   /** Number of IDAT chunks in a PNG payload — the multi-chunk layout
@@ -114,10 +118,10 @@ object ImageCodecs {
   def pngIdatCount(bytes: Array[Byte]): Long =
     pngChunks(bytes).count(_._1 == "IDAT").toLong
 
-  /** Full PNG decode: (width, height, 3·w·h RGB bytes row-major,
-    * un-filtered).
+  /** Full PNG decode: (width, height, channels, channels·w·h pixel bytes
+    * row-major, un-filtered; palette images arrive EXPANDED to RGB).
     */
-  def pngPixels(bytes: Array[Byte]): (Long, Long, Array[Byte]) = {
+  def pngPixels(bytes: Array[Byte]): (Long, Long, Long, Array[Byte]) = {
     val chunks = pngChunks(bytes)
     require(chunks.nonEmpty && chunks.head._1 == "IHDR", "PNG: IHDR not first")
     require(chunks.last._1 == "IEND", "PNG: missing IEND")
@@ -129,22 +133,44 @@ object ImageCodecs {
     val (depth, color) = (ihdr(8) & 0xff, ihdr(9) & 0xff)
     val (comp, filt, interlace) = (ihdr(10) & 0xff, ihdr(11) & 0xff, ihdr(12) & 0xff)
     require(w > 0 && h > 0, s"PNG: bad dimensions ${w}x$h")
-    require(depth == 8 && color == 2,
-      s"PNG: unsupported depth/color $depth/$color (8-bit RGB only)")
+    // bytes per pixel in the FILTERED stream (the predictor stride)
+    val bpp = color match {
+      case 2 => 3 // truecolor RGB
+      case 6 => 4 // truecolor + alpha
+      case 3 => 1 // palette index
+      case _ => throw new IllegalArgumentException(
+        s"PNG: unsupported color type $color (RGB/RGBA/palette only)")
+    }
+    require(depth == 8, s"PNG: unsupported bit depth $depth (8-bit only)")
     require(comp == 0 && filt == 0 && interlace == 0,
       s"PNG: unsupported comp/filter/interlace $comp/$filt/$interlace")
-    require(3L * w * h + h <= Int.MaxValue, s"PNG: ${w}x$h overflows the buffer")
+    require(bpp.toLong * w * h + h <= Int.MaxValue && 4L * w * h <= Int.MaxValue,
+      s"PNG: ${w}x$h overflows the buffer")
     val idat = chunks.filter(_._1 == "IDAT").map(_._2)
     require(idat.nonEmpty, "PNG: no IDAT chunk")
     val stream = new Array[Byte](idat.map(_.length).sum)
     idat.foldLeft(0) { (off, c) => System.arraycopy(c, 0, stream, off, c.length); off + c.length }
     // One zlib stream across all IDATs; the raw image is h scanlines of
-    // (1 filter byte + 3w pixel bytes).
-    val stride = 3 * w
+    // (1 filter byte + bpp·w pixel bytes). Drain loop: Inflater.inflate
+    // may legally return fewer bytes than available per call, and a
+    // stream decoding to MORE than the image must fail loud, so loop to
+    // finished() and check both directions.
+    val stride = bpp * w
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
-    inf.setInput(stream)
-    val got = try inf.inflate(raw) finally inf.end()
+    val got = try {
+      inf.setInput(stream)
+      var n = 0
+      var stalled = false
+      while (!inf.finished() && n < raw.length && !stalled) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0 && !inf.finished()) stalled = true // truncated/needs-input
+        n += k
+      }
+      require(!stalled, s"PNG: truncated zlib stream (inflated $n of ${raw.length} bytes)")
+      require(inf.finished(), s"PNG: zlib stream larger than the ${raw.length}-byte image")
+      n
+    } finally inf.end()
     require(got == raw.length, s"PNG: inflated $got of ${raw.length} bytes")
     val out = new Array[Byte](h * stride)
     var y = 0
@@ -155,9 +181,9 @@ object ImageCodecs {
       require(f <= 4, s"PNG: unknown filter type $f in row $y")
       var x = 0
       while (x < stride) {
-        val a = if (x >= 3) out(rowOut + x - 3) & 0xff else 0 // left
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0 // left
         val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
-        val c = if (x >= 3 && y > 0) out(rowOut - stride + x - 3) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -173,7 +199,29 @@ object ImageCodecs {
       }
       y += 1
     }
-    (w, h, out)
+    if (color == 3) {
+      // Palette expansion: every index byte looks up its 3-byte PLTE
+      // entry. PLTE is mandatory for color type 3 and precedes IDAT.
+      val plteIdx = chunks.indexWhere(_._1 == "PLTE")
+      require(plteIdx >= 0, "PNG: palette image without PLTE chunk")
+      require(plteIdx < chunks.indexWhere(_._1 == "IDAT"),
+        "PNG: PLTE must precede IDAT")
+      val plte = chunks(plteIdx)._2
+      require(plte.length % 3 == 0 && plte.length > 0 && plte.length <= 3 * 256,
+        s"PNG: bad PLTE length ${plte.length}")
+      val entries = plte.length / 3
+      val rgb = new Array[Byte](3 * w * h)
+      var i = 0
+      while (i < out.length) {
+        val e = out(i) & 0xff
+        require(e < entries, s"PNG: palette index $e >= $entries entries")
+        rgb(3 * i) = plte(3 * e)
+        rgb(3 * i + 1) = plte(3 * e + 1)
+        rgb(3 * i + 2) = plte(3 * e + 2)
+        i += 1
+      }
+      (w, h, 3L, rgb)
+    } else (w, h, bpp.toLong, out)
   }
 
   /** PNG chunk walk: verifies the 8-byte signature and EVERY chunk's
@@ -259,23 +307,59 @@ object ImageFixtures {
   val PgmMime = "image/x-portable-graymap"
   val PngMime = "image/png"
 
-  /** Real 8-bit RGB PNG, (id%11+1) × (id%5+4): raw pixel byte i is
-    * [[pxByte]], row r is FILTERED with type r % 5 (so every image with
-    * h >= 5 exercises none/sub/up/average/paeth — the decoder must
-    * reverse all four non-trivial predictors to recover the pixels), the
-    * filtered scanlines deflate into ONE zlib stream split across TWO
-    * IDAT chunks (multi-IDAT concatenation is part of the format), and
-    * every chunk carries a real CRC32. h >= 4 guarantees sub/up/average
-    * appear even in the smallest image; compressed byte counts are
+  /** PNG chunk assembly with a real CRC32 — exposed so specs can author
+    * variant payloads (e.g. an unsupported-IHDR case with a VALID CRC,
+    * proving the reject happens at the variant check, not the CRC guard).
+    */
+  def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    out.putInt(data.length).put(typ.getBytes(US_ASCII)).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes(US_ASCII)); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Color type of fixture PNG `id`: ids cycle 2 (RGB) / 6 (RGBA) /
+    * 3 (palette) by id%3 — a corpus's PNGs are majority palette/alpha,
+    * so the decoder must handle all three.
+    */
+  def pngColorType(id: Long): Int =
+    (id % 3).toInt match { case 0 => 2; case 1 => 6; case _ => 3 }
+
+  /** PLTE entry byte (entry e, component c) of fixture PNG `id`. */
+  def paletteByte(id: Long, e: Int, c: Int): Byte =
+    ((id * 13 + e * 3 + c) % 256).toByte
+
+  private val PaletteEntries = 16
+
+  /** Palette index of pixel i for a palette fixture: (id·31 + i) % 16. */
+  def paletteIdx(id: Long, i: Long): Byte = ((id * 31 + i) % PaletteEntries).toByte
+
+  /** Real 8-bit PNG, (id%11+1) × (id%5+4), color type by [[pngColorType]]
+    * (RGB / RGBA / palette cycling with id%3): raw pixel byte i is
+    * [[pxByte]] (RGB/RGBA) or palette index [[paletteIdx]] with PLTE
+    * entries [[paletteByte]]; row r is FILTERED with type r % 5 at the
+    * color type's pixel stride (so every image with h >= 5 exercises
+    * none/sub/up/average/paeth — the decoder must reverse all four
+    * non-trivial predictors to recover the pixels), the filtered
+    * scanlines deflate into ONE zlib stream split across TWO IDAT chunks
+    * (multi-IDAT concatenation is part of the format), and every chunk
+    * carries a real CRC32. h >= 4 guarantees sub/up/average appear even
+    * in the smallest image; compressed byte counts are
     * Deflater-version-dependent, so the oracle never references payload
     * size — only header fields and pixel statistics.
     */
   def png(id: Long): Array[Byte] = {
     val w = (id % 11 + 1).toInt
     val h = (id % 5 + 4).toInt
-    val stride = 3 * w
+    val colorType = pngColorType(id)
+    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val stride = bpp * w
     // raw -> filtered scanlines
-    val raw = Array.tabulate(h * stride)(i => pxByte(id, i))
+    val raw = Array.tabulate(h * stride) { i =>
+      if (colorType == 3) paletteIdx(id, i) else pxByte(id, i)
+    }
     val filtered = new Array[Byte](h * (1 + stride))
     var y = 0
     while (y < h) {
@@ -284,9 +368,9 @@ object ImageFixtures {
       var x = 0
       while (x < stride) {
         val cur = raw(y * stride + x) & 0xff
-        val a = if (x >= 3) raw(y * stride + x - 3) & 0xff else 0
+        val a = if (x >= bpp) raw(y * stride + x - bpp) & 0xff else 0
         val b = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
-        val c = if (x >= 3 && y > 0) raw((y - 1) * stride + x - 3) & 0xff else 0
+        val c = if (x >= bpp && y > 0) raw((y - 1) * stride + x - bpp) & 0xff else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -311,20 +395,17 @@ object ImageFixtures {
     defl.end()
     require(done, "deflate output buffer too small for the fixture image")
     val z = java.util.Arrays.copyOf(zbuf, zlen)
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val out = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
-      out.putInt(data.length).put(typ.getBytes(US_ASCII)).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typ.getBytes(US_ASCII)); crc.update(data)
-      out.putInt(crc.getValue.toInt)
-      out.array()
-    }
+    val chunk = pngChunk _
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val plte =
+      if (colorType == 3)
+        chunk("PLTE", Array.tabulate(3 * PaletteEntries)(j => paletteByte(id, j / 3, j % 3)))
+      else Array.emptyByteArray
     val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+      chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
       chunk("IEND", Array.emptyByteArray)
   }
 

@@ -80,28 +80,45 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageCodecs.decodeBmp(bad))
   }
 
-  test("PNG codec round-trips: inflate + un-filter recovers the exact raw pixels") {
-    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 19L, 43L, 1000L)) {
+  /** Expected decoded pixel byte i for fixture PNG `id` (palette images
+    * expand through the PLTE entries).
+    */
+  private def pngExpectedByte(id: Long, i: Int): Byte =
+    ImageFixtures.pngColorType(id) match {
+      case 3 =>
+        val idx = ImageFixtures.paletteIdx(id, i / 3) & 0xff
+        ImageFixtures.paletteByte(id, idx, i % 3)
+      case _ => ImageFixtures.pxByte(id, i)
+    }
+
+  test("PNG codec round-trips all three color types (RGB / RGBA / palette)") {
+    // ids cover color types 2 (id%3=0), 6 (=1) and 3 (=2)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 19L, 43L, 1000L)) {
       val bytes = ImageFixtures.png(id)
+      val ct = ImageFixtures.pngColorType(id)
+      val ch = if (ct == 6) 4L else 3L
       val (w, h, c, s) = ImageCodecs.decodePng(bytes)
-      assert((w, h, c) == (id % 11 + 1, id % 5 + 4, 3L), s"id=$id header")
-      assert(s == expectedPxSum(id, 3 * w * h), s"id=$id pixel sum")
+      assert((w, h, c) == (id % 11 + 1, id % 5 + 4, ch), s"id=$id header")
       assert(ImageCodecs.pngIdatCount(bytes) == 2L, s"id=$id idat count")
       // byte-exact reconstruction, not just the sum
-      val (_, _, px) = ImageCodecs.pngPixels(bytes)
+      val (_, _, _, px) = ImageCodecs.pngPixels(bytes)
+      assert(px.length == ch * w * h, s"id=$id pixel count")
       px.zipWithIndex.foreach { case (b, i) =>
-        assert(b == ImageFixtures.pxByte(id, i), s"id=$id pixel $i")
+        assert(b == pngExpectedByte(id, i), s"id=$id ct=$ct pixel $i")
       }
+      assert(s == px.map(b => (b & 0xff).toLong).sum, s"id=$id pixel sum")
     }
   }
 
   test("PNG filters really change the stored bytes (an unfiltered reader diverges)") {
-    // h >= 4 guarantees sub/up/average rows in every image; id=4 adds
-    // paeth (h=8). Summing the raw inflated bytes (minus filter bytes)
-    // must NOT equal the true pixel sum — the trap the un-filter step
-    // exists for.
-    for (id <- Seq(4L, 7L, 19L)) {
+    // h >= 4 guarantees sub/up/average rows in every image, h >= 5 adds
+    // paeth. Summing the raw inflated bytes (minus filter bytes) must NOT
+    // equal the true pixel sum — the trap the un-filter step exists for.
+    // One id per color type: 9 RGB, 7 RGBA, 5 palette (the palette naive
+    // sum additionally skips the PLTE expansion, diverging twice over).
+    for (id <- Seq(9L, 7L, 5L)) {
       val bytes = ImageFixtures.png(id)
+      val bpp = ImageFixtures.pngColorType(id) match { case 2 => 3; case 6 => 4; case _ => 1 }
       val (w, h, _, trueSum) = ImageCodecs.decodePng(bytes)
       // naive read: inflate and sum everything except the filter bytes
       val chunks = collection.mutable.ArrayBuffer[Byte]()
@@ -113,12 +130,13 @@ class MultimodalSpec extends SparkSpec {
           chunks ++= bytes.slice(pos + 8, pos + 8 + len)
         pos += 12 + len
       }
-      val raw = new Array[Byte]((h * (1 + 3 * w)).toInt)
+      val stride = bpp * w.toInt
+      val raw = new Array[Byte](h.toInt * (1 + stride))
       val inf = new java.util.zip.Inflater()
       inf.setInput(chunks.toArray)
       inf.inflate(raw); inf.end()
       val naive = (0 until h.toInt).map { y =>
-        raw.slice(y * (1 + 3 * w.toInt) + 1, (y + 1) * (1 + 3 * w.toInt))
+        raw.slice(y * (1 + stride) + 1, (y + 1) * (1 + stride))
           .map(b => (b & 0xff).toLong).sum
       }.sum
       assert(naive != trueSum,
@@ -128,9 +146,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("PNG codec fails loud on malformed payloads") {
     val good = ImageFixtures.png(7L)
-    // corrupted CRC (flip one pixel-data byte inside the first IDAT)
+    // corrupted CRC: flip a byte inside the first IDAT's data
+    val idatData = good.indexOfSlice("IDAT".getBytes("US-ASCII")) + 4
     val bad = good.clone()
-    bad(8 + 25 + 12 + 10) = (bad(8 + 25 + 12 + 10) ^ 0x5a).toByte
+    bad(idatData + 5) = (bad(idatData + 5) ^ 0x5a).toByte
     intercept[IllegalArgumentException](ImageCodecs.decodePng(bad))
     // truncated file
     intercept[IllegalArgumentException](
@@ -138,23 +157,48 @@ class MultimodalSpec extends SparkSpec {
     // bad signature
     intercept[IllegalArgumentException](
       ImageCodecs.decodePng("not a png at all".getBytes("US-ASCII")))
-    // wrong color type (grayscale IHDR) — rebuild a minimal header
-    val gray = good.clone()
-    gray(8 + 8 + 9) = 0.toByte // IHDR color type byte
-    intercept[IllegalArgumentException](ImageCodecs.decodePng(gray))
+    // unsupported color type (grayscale 0): rebuild the IHDR chunk with a
+    // RECOMPUTED CRC so the reject provably happens at the variant check,
+    // not the CRC guard
+    val ihdrData = good.slice(16, 29)
+    ihdrData(9) = 0.toByte // color type byte
+    val gray = good.take(8) ++ ImageFixtures.pngChunk("IHDR", ihdrData) ++ good.drop(33)
+    val grayErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(gray))
+    assert(grayErr.getMessage.contains("color type"), s"wrong reject: $grayErr")
+    // 16-bit depth, same CRC-valid discipline
+    val deep = good.slice(16, 29); deep(8) = 16.toByte
+    val deepErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(
+      good.take(8) ++ ImageFixtures.pngChunk("IHDR", deep) ++ good.drop(33)))
+    assert(deepErr.getMessage.contains("bit depth"), s"wrong reject: $deepErr")
+    // palette image with the PLTE chunk spliced out
+    val pal = ImageFixtures.png(5L) // id%3=2 -> color type 3
+    val plteAt = pal.indexOfSlice("PLTE".getBytes("US-ASCII")) - 4
+    assert(plteAt >= 0, "fixture 5 must carry a PLTE chunk")
+    val plteLen = java.nio.ByteBuffer.wrap(pal).getInt(plteAt)
+    val noPlte = pal.take(plteAt) ++ pal.drop(plteAt + 12 + plteLen)
+    val plteErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(noPlte))
+    assert(plteErr.getMessage.contains("PLTE"), s"wrong reject: $plteErr")
   }
 
-  test("png query decodes real PNGs batch-wide") {
+  test("png query decodes real PNGs of all three color types batch-wide") {
     val rows = MultimodalOps.nsMultimodalPng(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    val seenTypes = collection.mutable.Set[Long]()
     rows.foreach { r =>
-      val (id, w, h, px, ni) =
-        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      val (id, w, h, ct, ch, px, ni) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))
       assert(id % 4 == 3)
       assert((w, h) == (id % 11 + 1, id % 5 + 4))
-      assert(px == expectedPxSum(id, 3 * w * h))
+      assert(ct == ImageFixtures.pngColorType(id))
+      assert(ch == (if (ct == 6) 4L else 3L))
+      val n = (ch * w * h).toInt
+      assert(px == (0 until n).map(i => (pngExpectedByte(id, i) & 0xff).toLong).sum,
+        s"id=$id px_sum")
       assert(ni == 2L)
+      seenTypes += ct
     }
+    assert(seenTypes == Set(2L, 3L, 6L), "corpus must exercise RGB, palette and RGBA")
   }
 
   test("WAV codec round-trips generated chunk lists and samples") {
