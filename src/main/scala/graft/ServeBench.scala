@@ -56,7 +56,7 @@ object ServeBench {
           n != "pipe_training_corpus" && n != "pipe_corpus_build" &&
           n != "pipe_select_pack" && n != "pipe_corpus_admission" &&
           n != "pipe_corpus_report" && n != "pipe_tokenizer_eval" &&
-          n != "pipe_platform_build" }
+          n != "pipe_platform_build" && n != "pipe_platform_delta" }
       .sortBy(_._1)
 
     // Warm once single-threaded: codegen/footers are per-JVM costs a

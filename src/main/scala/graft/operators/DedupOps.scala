@@ -418,6 +418,91 @@ object DedupOps {
       "batch_doc", "corpus_doc", threshold)
   }
 
+  /** The near-dup edges an ARRIVING BATCH adds to an indexed corpus —
+    * batch↔corpus (band candidates against the stored banded table, the
+    * [[matchAgainstIndex]] shape) PLUS batch↔batch (band self-join among
+    * the arriving docs) — from ONE batch shingle pass. Returns
+    * (batchSets, edges): the cached per-doc shingle sets (so the caller's
+    * decontamination gate explodes them instead of re-shingling — the
+    * [[healthSharedPass]] equivalence) and the verified (doc_a, doc_b)
+    * pairs with doc_a always the batch side.
+    *
+    * Scale shape: every frame here is BATCH-proportional — the batch
+    * shingles once, its band keys probe only matching stored buckets,
+    * and the self-join is batch×batch banded. The corpus is never
+    * re-shingled.
+    */
+  private[graft] def batchIndexAndEdges(
+      batchDocs: DataFrame,
+      corpusBanded: DataFrame,
+      corpusSets: DataFrame,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val sets = shingleSetsOnePass(batchDocs).cache()
+    val sig = signaturesFromSets(sets).cache()
+    sig.count() // one sequential job materializes sets -> sig
+    val bb = minhashNearDupPairs(sets, sig, threshold).select("doc_a", "doc_b")
+    val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
+    val cands = banded.as("a")
+      .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .distinct()
+    val bc = setIntersectVerify(cands, sets, corpusSets, "batch_doc", "corpus_doc", threshold)
+      .select(col("batch_doc").as("doc_a"), col("corpus_doc").as("doc_b"))
+    (sets, bb.unionByName(bc))
+  }
+
+  /** Oracle CTEs for the INCREMENTAL platform path: the full-corpus
+    * closure over the verified edges (`comp` — the final labels a
+    * consistent delta must reproduce) PLUS a prefix-restricted closure
+    * over the SAME edge CTE (`pcomp` — the day-1 labels the stored
+    * artifacts carry). `pred` renders the day-1/prefix predicate for a
+    * given column reference.
+    *
+    * DuckDB-1.0 shape notes: plain CTEs inline PER REFERENCE, so every
+    * multiply-referenced stage carries a MATERIALIZED hint — but a
+    * MATERIALIZED hint in the same WITH clause as a top-level RECURSIVE
+    * CTE trips an internal-error assertion, so each reachability closure
+    * is wrapped in its own subquery-level `WITH RECURSIVE` inside a
+    * materialized CTE body (the outer WITH is non-recursive).
+    */
+  private def reachClosureSql(nodePred: String, edgePred: String): String =
+    s"""  WITH RECURSIVE redges AS (
+       |    SELECT doc_a, doc_b FROM jacc $edgePred
+       |    UNION ALL SELECT doc_b, doc_a FROM jacc $edgePred),
+       |  rreach(doc_id, r) AS (
+       |    SELECT doc_id, doc_id FROM documents $nodePred
+       |    UNION
+       |    SELECT rreach.doc_id, redges.doc_b
+       |    FROM rreach JOIN redges ON rreach.r = redges.doc_a)
+       |  SELECT doc_id, min(r) AS component FROM rreach GROUP BY doc_id""".stripMargin
+
+  /** [[componentLabelCtes]] in the NON-RECURSIVE-outer form the big
+    * composed oracles need: the shingle/candidate scaffold carries
+    * MATERIALIZED hints (multiply-referenced stages otherwise inline per
+    * reference in DuckDB) and the reachability closure is wrapped in a
+    * subquery-level `WITH RECURSIVE` inside the `comp` body — because a
+    * MATERIALIZED hint in the same WITH clause as a TOP-LEVEL recursive
+    * CTE trips a DuckDB-1.0 internal assertion.
+    */
+  private[graft] def componentClosureCtes: String =
+    // `sh` stays UN-hinted: the composed oracles embed the decontamination
+    // oracle as a subquery with its own inner `sh` CTE, and DuckDB 1.0
+    // hits an internal assertion ("Failed to cast physical operator")
+    // when a MATERIALIZED outer CTE is shadowed by an inner one of the
+    // same name.
+    s"""${shingleCte
+          .replace("card AS (", "card AS MATERIALIZED (")},
+       |$minhashCandCtes,
+       |${jaccCte.replace("jacc AS (", "jacc AS MATERIALIZED (")},
+       |comp AS MATERIALIZED (
+       |${reachClosureSql("", "")})""".stripMargin
+
+  private[graft] def deltaComponentCtes(pred: String => String): String =
+    s"""$componentClosureCtes,
+       |pcomp AS MATERIALIZED (
+       |${reachClosureSql(s"WHERE ${pred("doc_id")}",
+                          s"WHERE (${pred("doc_a")}) AND (${pred("doc_b")})")})""".stripMargin
+
   /** Near-dup EDGES of an indexed corpus against ITSELF, from the stored
     * (banded, sets) frames — the band self-join + set-intersect verify of
     * [[minhashNearDupPairs]] run over the ARTIFACT instead of in-session
@@ -1291,15 +1376,18 @@ object DedupOps {
     * (doc_id, component) CTE — shared by the components aggregate and
     * the leakage-free split oracle.
     */
-  private[graft] def componentLabelCtes: String =
-    s"""$shingleCte,
-      |$minhashCandCtes,
-      |jacc AS (
+  private def jaccCte: String =
+    """jacc AS (
       |  SELECT p.doc_a, p.doc_b FROM p
       |  JOIN cand USING (doc_a, doc_b)
       |  JOIN card ca ON p.doc_a = ca.doc_id
       |  JOIN card cb ON p.doc_b = cb.doc_id
-      |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5),
+      |  WHERE round(common * 1.0 / (ca.c + cb.c - common), 6) >= 0.5)""".stripMargin
+
+  private[graft] def componentLabelCtes: String =
+    s"""$shingleCte,
+      |$minhashCandCtes,
+      |$jaccCte,
       |edges AS (
       |  SELECT doc_a, doc_b FROM jacc
       |  UNION ALL SELECT doc_b, doc_a FROM jacc),

@@ -91,9 +91,12 @@ object PackingOps {
   /** The two-pass shard-offset global pack over a prepared
     * (doc_id, lang, toks) frame — shared by the heuristic, BPE-budget,
     * and select-then-pack forms. Callers pass an already-cached frame
-    * (both passes read it).
+    * (both passes read it). `base` shifts the whole stream: the
+    * incremental platform path APPENDS a day's batch after the stored
+    * token total, so its chunk ids continue the existing stream instead
+    * of restarting at zero.
     */
-  private[graft] def packGlobalFrom(docs: DataFrame): DataFrame = {
+  private[graft] def packGlobalFrom(docs: DataFrame, base: Long = 0L): DataFrame = {
     val byLang = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val shardOrder = Window.orderBy("lang")
@@ -105,7 +108,7 @@ object PackingOps {
     docs
       .withColumn("cum_in_shard", coalesce(sum("toks").over(byLang), lit(0L)))
       .join(broadcast(offsets), Seq("lang"))
-      .withColumn("cum_before", col("shard_offset") + col("cum_in_shard"))
+      .withColumn("cum_before", lit(base) + col("shard_offset") + col("cum_in_shard"))
       .select(
         col("doc_id"), col("lang"), col("toks"), col("cum_before"),
         expr(s"cum_before div $ChunkTokens").as("first_chunk"),

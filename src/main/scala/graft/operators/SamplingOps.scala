@@ -294,6 +294,38 @@ object SamplingOps {
        |         CAST(sum(m.llr_u) AS BIGINT) AS llr_u
        |  FROM hb JOIN model m USING (b) GROUP BY hb.doc_id)""".stripMargin
 
+  /** DSIR keep verdicts (doc_id rows) for `docs` under a GIVEN llr model
+    * — the frozen-model form of the [[nsCorpusDsir]] gate: the incremental
+    * platform path scores an arriving batch against the STORED day-1
+    * table instead of retraining (retraining would silently re-key every
+    * existing keep verdict). Pure projection ([[dsirScoreCols]] — the
+    * spec-pinned equal of the exploded aggregation), so batch scoring
+    * adds zero exchanges.
+    */
+  private[graft] def dsirKeepDocs(docs: DataFrame, llrU: Array[Long]): DataFrame = {
+    val (nGrams, llrSum) = dsirScoreCols(llrU)
+    docs.select(col("doc_id"), nGrams.as("n_grams"), llrSum.as("llr_u"))
+      .where(col("n_grams") > 0 && col("llr_u") > 0)
+      .select("doc_id")
+  }
+
+  /** [[dsirCtes]] with the llr MODEL trained on a doc-predicate-restricted
+    * corpus (frozen day-1 model of the incremental platform path) while
+    * `sd` still scores EVERY document against it. `pred` is a SQL
+    * predicate over `doc_id`.
+    */
+  private[graft] def dsirCtesModelFrom(pred: String): String =
+    dsirCtes
+      .replace("FROM hb WHERE doc_id % 10 = 0",
+        s"FROM hb WHERE doc_id % 10 = 0 AND ($pred)")
+      .replace("FROM hb WHERE doc_id % 10 <> 0",
+        s"FROM hb WHERE doc_id % 10 <> 0 AND ($pred)")
+      // DuckDB inlines plain CTEs per reference — `docs` is read twice
+      // (uni, bi) and `hb` five times (tc/sc/tt/st/sd); materialize both
+      // or the corpus re-splits per reference.
+      .replace("docs AS (", "docs AS MATERIALIZED (")
+      .replace("hb AS (", "hb AS MATERIALIZED (")
+
   private def dsirOracle: String =
     s"""WITH $dsirCtes
        |SELECT doc_id, n_grams, llr_u,

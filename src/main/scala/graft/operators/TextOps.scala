@@ -1394,17 +1394,21 @@ object TextOps {
     * the pre-existing corpus only.
     */
   private[graft] def bpeTrainCtesFrom(pred: String): String = {
+    // MATERIALIZED throughout: v_{i-1} is referenced by BOTH p_i and v_i
+    // and b_i by both v_i and a consumer's encode chain — DuckDB inlines
+    // plain CTEs per reference, so an unhinted chain re-expands
+    // exponentially with the merge count.
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, list_filter(string_split(seq, '|'), x -> x <> '') AS s
          |        FROM v${i - 1}), unnest(range(1, len(s))) AS t(i)
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$i AS (SELECT freq, replace(seq, '|' || l || '|' || r || '|', '|' || l || r || '|') AS seq
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT freq, replace(seq, '|' || l || '|' || r || '|', '|' || l || r || '|') AS seq
          |        FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    s"""v0 AS (
+    s"""v0 AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT CAST(count(*) AS BIGINT) AS freq,
        |           '|' || array_to_string(string_split(wd, ''), '|') || '|' AS seq

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.model.Tables
 import graft.ops.{IncomeKernel, WindowOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -728,17 +728,74 @@ object Pipelines {
     * edge-proportional; gates linear scans; pack two-pass shard-offset);
     * the composition adds only doc-keyed semi/anti joins.
     */
-  def platformBuild(spark: SparkSession, dir: String): DataFrame = {
+  def platformBuild(spark: SparkSession, dir: String): DataFrame =
+    platformBuildCore(spark, dir, artifactRootFor("build", dir), lit(true))
+      .orderBy("lang", "doc_id")
+
+  private lazy val platformTmp = graft.ops.ProcessTmp.dir("graft_platform")
+
+  /** Deterministic per-(kind, corpus-dir) artifact root: sanitized for
+    * readability PLUS a sha256-prefix of the RAW dir string — two dirs
+    * differing only in special characters ('a/b' vs 'a_b') must not
+    * collide onto one root and overwrite each other's published index.
+    */
+  private def artifactRootFor(kind: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    s"$platformTmp/${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$digest"
+  }
+
+  private def readMerges(spark: SparkSession, root: String): Seq[(Long, String, String, String, Long)] =
+    spark.read.parquet(s"$root/merges")
+      .select("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+  private def readLlr(spark: SparkSession, root: String): Array[Long] =
+    spark.read.parquet(s"$root/dsir")
+      .select(col("b").cast("int"), col("llr_u"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+
+  /** The parameterized platform-build core: builds the platform over the
+    * `buildFilter`-selected corpus slice, PUBLISHES every artifact a
+    * later incremental run consumes (the day-1 state of
+    * [[platformDelta]]), and returns the packed manifest. Artifacts under
+    * `root`:
+    *
+    *   - `banded/`, `sets/`   — the near-dup MinHash index
+    *     ([[graft.operators.IndexOps.buildDedupIndex]], band-bucketed)
+    *   - `labels/`            — per-doc component labels, doc-bucketed
+    *     (what a delta relabels through)
+    *   - `evalsh/`            — the frozen eval-suite probe shingles
+    *   - `dsir/`              — the trained llr model (128 rows)
+    *   - `merges/`            — the trained BPE merge table
+    *   - `manifest/`          — the packed manifest, partitioned by lang
+    *   - `stats/`             — one row: total packed tokens
+    *
+    * `frozenFrom` points at a PREVIOUS build's root whose models (BPE
+    * merges + DSIR llr) should be reused instead of retrained — the
+    * "full rebuild under frozen day-1 models" arm of the delta
+    * equivalence spec.
+    */
+  private[graft] def platformBuildCore(
+      spark: SparkSession, dir: String, root: String,
+      buildFilter: Column, frozenFrom: Option[String] = None): DataFrame = {
+    import spark.implicits._
     val dedup = graft.operators.DedupOps
     val text = graft.operators.TextOps
-    val docs = Tables.documents(spark, dir)
+    val sampling = graft.operators.SamplingOps
+    val sink = graft.ops.MergeSink
+    val docs = Tables.documents(spark, dir).where(buildFilter)
     // 1-2: publish the index artifact, survivorship from the files
-    val root = graft.ops.ProcessTmp.dir("graft_platform") +
-      "/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     graft.operators.IndexOps.buildDedupIndex(docs, root)
     val pairs = graft.operators.IndexOps.dedupEdgesFromIndex(spark, root)
       .select("doc_a", "doc_b")
     val labels = dedup.componentLabelsFromEdges(docs.select("doc_id"), pairs)
+    sink.publishPartitioned(
+      labels.withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int")),
+      s"$root/labels", "bucket")
     // 3: split on the component key; survivors of the train split only
     val surv = labels.where(dedup.splitCol === "train")
       .where(col("doc_id") === col("component"))
@@ -747,37 +804,211 @@ object Pipelines {
     // reads the STORED shingle sets (exploding a per-doc distinct set is
     // row-identical to the published re-shingling form — the
     // healthSharedPass equivalence, here from the artifact): the corpus
-    // is shingled exactly ONCE in this whole job, at index build.
+    // is shingled exactly ONCE in this whole job, at index build. The
+    // distinct eval probe set is itself published (`evalsh/`) — the
+    // frozen benchmark suite a delta's decontamination gate probes.
     val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs")
+    sink.publishPartitioned(
+      storedSets.where(col("doc_id") % 50 === 0)
+        .select(explode(col("shs")).as("sh")).distinct()
+        .withColumn("bucket", lit(0)),
+      s"$root/evalsh", "bucket")
     val contam = dedup.contaminationProfile(
         storedSets.where(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"), explode(col("shs")).as("sh")),
-        storedSets.where(col("doc_id") % 50 === 0)
-          .select(explode(col("shs")).as("sh")).distinct())
+        spark.read.parquet(s"$root/evalsh").select("sh"))
       .where(col("drop_doc")).select("doc_id")
     val gopherPass = text.gopherProfile(docs).where(col("pass")).select("doc_id")
-    val dsirKeep = graft.operators.SamplingOps.nsCorpusDsir(spark, dir)
-      .where(col("keep")).select("doc_id")
+    val llrU = frozenFrom.fold(sampling.dsirLlrTable(docs))(readLlr(spark, _))
+    sink.publishPartitioned(
+      llrU.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("b", "llr_u").withColumn("bucket", lit(0)),
+      s"$root/dsir", "bucket")
+    val dsirKeep = sampling.dsirKeepDocs(docs, llrU)
     val fin = surv.select("doc_id", "component")
       .join(gopherPass, Seq("doc_id"), "left_semi")
       .join(contam, Seq("doc_id"), "left_anti")
       .join(dsirKeep, Seq("doc_id"), "left_semi")
-    // 5: full-corpus tokenizer, BPE budgets, global shard-offset pack
-    val merges = text.trainBpeMerges(spark, dir)
-    val packed = graft.operators.PackingOps.packGlobalFrom(
-      docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"),
-          text.bpeTokenCountCol(merges).as("toks"))
-        .where(col("toks") > 0)
-        .cache())
-    packed.join(fin, Seq("doc_id"))
+    // 5: tokenizer over the build corpus (or the frozen day-1 table),
+    // BPE budgets, global shard-offset pack
+    val merges = frozenFrom.fold(text.trainBpeMerges(spark, dir, buildFilter))(readMerges(spark, _))
+    sink.publishPartitioned(
+      merges.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+        .withColumn("bucket", lit(0)),
+      s"$root/merges", "bucket")
+    val packInput = docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        text.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache()
+    val manifest = graft.operators.PackingOps.packGlobalFrom(packInput)
+      .join(fin, Seq("doc_id"))
       .select("doc_id", "lang", "component", "toks", "cum_before",
         "first_chunk", "last_chunk", "n_chunks")
-      .orderBy("lang", "doc_id")
+    sink.publishPartitioned(manifest, s"$root/manifest", "lang")
+    sink.publishPartitioned(
+      packInput.agg(coalesce(sum("toks"), lit(0L)).as("total_toks"))
+        .withColumn("bucket", lit(0)),
+      s"$root/stats", "bucket")
+    spark.read.parquet(s"$root/manifest")
+      .select("doc_id", "lang", "component", "toks", "cum_before",
+        "first_chunk", "last_chunk", "n_chunks")
+  }
+
+  /** The INCREMENTAL platform build — the operation a daily 100 TB
+    * pipeline actually runs (a full rebuild is the one it can't): an
+    * arriving batch of training candidates (doc_id ≡ 1 mod 10 — the eval
+    * suite is versioned at day 1, so batches carry no eval docs) flows
+    * through the STORED day-1 artifacts and APPENDS its packed chunks,
+    * without re-shingling the corpus or re-training the tokenizer:
+    *
+    *  1. EDGES: the batch shingles ONCE; its band keys probe the stored
+    *     banded index (batch↔corpus) and self-join (batch↔batch) —
+    *     [[graft.operators.DedupOps.batchIndexAndEdges]].
+    *  2. INDEX MAINTENANCE: the batch merges into the stored index,
+    *     touching only its own buckets
+    *     ([[graft.operators.IndexOps.updateDedupIndex]]).
+    *  3. COMPONENTS, incrementally: corpus edge-endpoints map through the
+    *     stored day-1 labels (one broadcast join over the metadata-scale
+    *     label table), and the closure runs over the CONTRACTED graph —
+    *     batch ids and touched day-1 labels only. Because every day-1
+    *     label IS the min id of its component, min over the contracted
+    *     group equals min over the merged members, so the incremental
+    *     labels match a full-graph closure EXACTLY (the oracle replays
+    *     the full closure — a hash match proves the consistency).
+    *  4. GATES for the batch docs only: Gopher (per-doc), decontamination
+    *     against the stored `evalsh/` probe set (the frozen suite), DSIR
+    *     against the stored day-1 llr model (retraining would re-key
+    *     every existing verdict).
+    *  5. APPEND PACK: batch survivors tokenize under the FROZEN day-1
+    *     merge table and pack after the stored token total — chunk ids
+    *     continue the existing stream.
+    *
+    * Consistency is exact, including REVOCATION: a day-1 survivor whose
+    * component merged with a smaller-id batch doc loses survivorship; its
+    * manifest row stays with `state = 'revoked'` (the chunk range becomes
+    * a tombstoned hole — an append store never repacks), and the stored
+    * labels/manifest/stats artifacts are upserted touched-buckets-only so
+    * tomorrow's delta reads today's state. Output rows carry
+    * `state ∈ {base, appended, revoked}`; non-revoked rows equal a full
+    * rebuild under the frozen day-1 models (PlatformDeltaSpec pins this;
+    * the oracle replays the full-graph closure + day-1 closure + gates +
+    * frozen-vocab encode + both pack algebras).
+    *
+    * Scale shape: every frame in steps 1-5 is BATCH-proportional except
+    * two metadata-table passes (the label broadcast-join scan and the
+    * manifest relabel join — doc-id-scale, not text-scale); the corpus
+    * text is never touched. The day-1 build inside this query is the
+    * fixture stand-in for "yesterday's artifacts already exist".
+    */
+  def platformDelta(spark: SparkSession, dir: String): DataFrame =
+    platformDeltaAt(spark, dir, artifactRootFor("delta", dir))
+
+  private[graft] def platformDeltaAt(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
+    val dedup = graft.operators.DedupOps
+    val text = graft.operators.TextOps
+    val sampling = graft.operators.SamplingOps
+    val sink = graft.ops.MergeSink
+    val isBatch = col("doc_id") % 10 === 1
+    // DAY 1: build + publish on the pre-existing corpus.
+    platformBuildCore(spark, dir, root, !isBatch)
+    val batch = Tables.documents(spark, dir).where(isBatch)
+    // 1: batch edges against the stored index (one batch shingle pass).
+    val storedBanded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
+    val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
+    val (batchSets, edges0) = dedup.batchIndexAndEdges(batch, storedBanded, storedSets)
+    // 3 (before the index update so candidates are batch-vs-DAY-1): map
+    // corpus endpoints to day-1 labels, close the contracted graph.
+    // componentLabelsFromEdges materializes the edge list EAGERLY, so
+    // every read of the pre-update artifacts completes here.
+    val lbl = spark.read.parquet(s"$root/labels").select("doc_id", "component")
+    val corpusSide = lbl.join(broadcast(edges0), lbl("doc_id") === edges0("doc_b"))
+      .select(edges0("doc_a"), lbl("component").as("doc_b"))
+    val deltaPairs = corpusSide.unionByName(edges0.where(col("doc_b") % 10 === 1))
+    val newLabels = dedup.componentLabelsFromEdges(batch.select("doc_id"), deltaPairs)
+    // 2: index maintenance (touched buckets only).
+    graft.operators.IndexOps.updateDedupIndex(batch, root)
+    // Touched day-1 components whose label changes under the merge.
+    val relabel = newLabels.where(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id").as("component"), col("component").as("new_component"))
+      .where(col("new_component") =!= col("component"))
+    // 4: batch survivorship + gates.
+    val bLabels = newLabels.where(col("doc_id") % 10 === 1)
+    val bSurv = bLabels.where(col("doc_id") === col("component"))
+      .where(dedup.splitCol === "train")
+      .where(col("doc_id") % 50 =!= 0) // vacuous for ids ≡ 1 mod 10; the contract
+    val gopherPass = text.gopherProfile(batch).where(col("pass")).select("doc_id")
+    val contam = dedup.contaminationProfile(
+        batchSets.select(col("doc_id"), explode(col("shs")).as("sh")),
+        spark.read.parquet(s"$root/evalsh").select("sh"))
+      .where(col("drop_doc")).select("doc_id")
+    val dsirKeep = sampling.dsirKeepDocs(batch, readLlr(spark, root))
+    val bFin = bSurv.select("doc_id", "component")
+      .join(gopherPass, Seq("doc_id"), "left_semi")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    // 5: frozen tokenizer, append pack after the stored total.
+    val merges = readMerges(spark, root)
+    val baseToks = spark.read.parquet(s"$root/stats")
+      .select("total_toks").head().getLong(0)
+    val packInput = batch.join(bFin.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), text.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache()
+    val appended = graft.operators.PackingOps.packGlobalFrom(packInput, baseToks)
+      .join(bFin, Seq("doc_id"))
+      .select("doc_id", "lang", "component", "toks", "cum_before",
+        "first_chunk", "last_chunk", "n_chunks")
+      .withColumn("state", lit("appended"))
+      .localCheckpoint() // pin before the manifest/labels upserts below
+    // Base rows: the stored manifest relabeled through the touched
+    // components; pinned (localCheckpoint) BEFORE the artifact upserts
+    // so the returned frame cannot observe its own updates.
+    val base = spark.read.parquet(s"$root/manifest")
+      .select("doc_id", "lang", "component", "toks", "cum_before",
+        "first_chunk", "last_chunk", "n_chunks")
+      .join(broadcast(relabel), Seq("component"), "left_outer")
+      .withColumn("fin_comp", coalesce(col("new_component"), col("component")))
+      .select(col("doc_id"), col("lang"), col("fin_comp").as("component"),
+        col("toks"), col("cum_before"), col("first_chunk"), col("last_chunk"),
+        col("n_chunks"),
+        when(col("fin_comp") === col("doc_id"), "base")
+          .otherwise("revoked").as("state"))
+      .localCheckpoint()
+    // Artifact maintenance so tomorrow's delta reads today's state:
+    // labels upsert (touched doc-buckets only), manifest append (touched
+    // lang partitions only), stats refresh (one row).
+    val updLbl = lbl.join(broadcast(relabel), Seq("component"))
+      .select(col("doc_id"), col("new_component").as("component"))
+      .unionByName(bLabels.select("doc_id", "component"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int"))
+    val touched = updLbl.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+    val oldLbl = spark.read.parquet(s"$root/labels")
+      .where(col("bucket").isin(touched: _*))
+      .select(col("doc_id"), col("component"), col("bucket").cast("int"))
+    sink.publishPartitioned(
+      sink.upsert(oldLbl, updLbl, Seq("doc_id")), s"$root/labels", "bucket")
+    val newMan = appended.drop("state")
+    val touchedLangs = newMan.select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val oldMan = spark.read.parquet(s"$root/manifest")
+      .where(col("lang").isin(touchedLangs: _*))
+      .select(newMan.columns.map(col): _*)
+    if (touchedLangs.nonEmpty)
+      sink.publishPartitioned(
+        sink.upsert(oldMan, newMan, Seq("doc_id")), s"$root/manifest", "lang")
+    sink.publishPartitioned(
+      packInput.agg((coalesce(sum("toks"), lit(0L)) + baseToks).as("total_toks"))
+        .withColumn("bucket", lit(0)),
+      s"$root/stats", "bucket")
+    base.unionByName(appended).orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_platform_build" -> (platformBuild _),
+    "pipe_platform_delta" -> (platformDelta _),
     "pipe_tokenizer_eval" -> (tokenizerEval _),
     "pipe_corpus_report" -> (corpusReport _),
     "pipe_corpus_admission" -> (corpusAdmission _),
@@ -893,7 +1124,7 @@ object Pipelines {
       s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
          |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE ${graft.operators.DedupOps.componentLabelCtes},
+    s"""WITH ${graft.operators.DedupOps.componentClosureCtes},
        |spl AS (
        |  SELECT doc_id, component,
        |         ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 AS k
@@ -945,6 +1176,118 @@ object Pipelines {
        |         - (oo2.shard_offset + c2.cum_in_shard) // $chunk + 1 AS n_chunks
        |FROM c2 JOIN oo2 USING (lang)
        |ORDER BY c2.lang, c2.doc_id""".stripMargin
+  }
+
+  /** The incremental-build oracle replays BOTH closures from one
+    * scaffold ([[graft.operators.DedupOps.deltaComponentCtes]]): `pcomp`
+    * (day-1 labels over the prefix corpus — what the stored artifacts
+    * carry) and `comp` (the full-graph labels a CONSISTENT delta must
+    * reproduce, including merges and revocations — so a hash match
+    * proves the contracted incremental closure equals the full one).
+    * Gates are the published per-doc oracles; the DSIR model and the BPE
+    * vocabulary train on the PREFIX predicate (the frozen day-1 models);
+    * the day-1 pack algebra runs over the prefix survivors and the
+    * appended algebra over the batch survivors shifted by the day-1
+    * total.
+    */
+  private def platformDeltaOracle: String = {
+    import graft.operators.SamplingOps.{SampleKeyA, SampleKeyB, SampleKeyP}
+    val text = graft.operators.TextOps
+    val chunk = graft.operators.PackingOps.ChunkTokens
+    val chain = (1 to text.BpeMerges).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graft.operators.DedupOps.deltaComponentCtes(c => s"$c % 10 <> 1")},
+       |pspl AS (
+       |  SELECT doc_id, component,
+       |         ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 AS k
+       |  FROM pcomp),
+       |psurv AS (
+       |  SELECT doc_id, component FROM pspl
+       |  WHERE k < 80 AND doc_id = component AND doc_id % 50 <> 0),
+       |fspl AS (
+       |  SELECT doc_id, component,
+       |         ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 AS k
+       |  FROM comp),
+       |bsurv AS (
+       |  SELECT doc_id, component FROM fspl
+       |  WHERE k < 80 AND doc_id = component AND doc_id % 10 = 1 AND doc_id % 50 <> 0),
+       |g AS MATERIALIZED (SELECT doc_id FROM (${graft.operators.TextOps.oracles("ns_text_gopher")}) gg WHERE pass),
+       |ctm AS MATERIALIZED (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_decontaminate")}) dc
+       |        WHERE drop_doc),
+       |${graft.operators.SamplingOps.dsirCtesModelFrom("doc_id % 10 <> 1")},
+       |dkeep AS MATERIALIZED (SELECT doc_id FROM sd WHERE n_grams > 0 AND llr_u > 0),
+       |pfin AS MATERIALIZED (
+       |  SELECT s.doc_id, s.component FROM psurv s
+       |  JOIN g USING (doc_id)
+       |  JOIN dkeep USING (doc_id)
+       |  LEFT JOIN ctm ON s.doc_id = ctm.doc_id
+       |  WHERE ctm.doc_id IS NULL),
+       |bfin AS MATERIALIZED (
+       |  SELECT s.doc_id, s.component FROM bsurv s
+       |  JOIN g USING (doc_id)
+       |  JOIN dkeep USING (doc_id)
+       |  LEFT JOIN ctm ON s.doc_id = ctm.doc_id
+       |  WHERE ctm.doc_id IS NULL),
+       |fin AS MATERIALIZED (SELECT doc_id FROM pfin UNION ALL SELECT doc_id FROM bfin),
+       |${text.bpeTrainCtesFrom("doc_id % 10 <> 1")},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS wd
+       |  FROM documents ddd JOIN fin USING (doc_id)),
+       |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
+       |$chain,
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS toks
+       |  FROM e${text.BpeMerges} GROUP BY doc_id),
+       |bt AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, tok.toks
+       |  FROM documents d JOIN tok USING (doc_id) JOIN pfin USING (doc_id)
+       |  WHERE tok.toks > 0),
+       |bo AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks FROM bt GROUP BY lang),
+       |boo AS (
+       |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+       |  FROM bo),
+       |bc2 AS (
+       |  SELECT doc_id, lang, toks,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+       |  FROM bt),
+       |btot AS (SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS total FROM bt),
+       |at2 AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, bfin.component, tok.toks
+       |  FROM documents d JOIN tok USING (doc_id) JOIN bfin USING (doc_id)
+       |  WHERE tok.toks > 0),
+       |ao AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks FROM at2 GROUP BY lang),
+       |aoo AS (
+       |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+       |  FROM ao),
+       |ac2 AS (
+       |  SELECT doc_id, lang, component, toks,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+       |  FROM at2)
+       |SELECT * FROM (
+       |SELECT bc2.doc_id, bc2.lang, comp.component, bc2.toks,
+       |       boo.shard_offset + bc2.cum_in_shard AS cum_before,
+       |       (boo.shard_offset + bc2.cum_in_shard) // $chunk AS first_chunk,
+       |       (boo.shard_offset + bc2.cum_in_shard + bc2.toks - 1) // $chunk AS last_chunk,
+       |       (boo.shard_offset + bc2.cum_in_shard + bc2.toks - 1) // $chunk
+       |         - (boo.shard_offset + bc2.cum_in_shard) // $chunk + 1 AS n_chunks,
+       |       CASE WHEN comp.component = bc2.doc_id THEN 'base' ELSE 'revoked' END AS state
+       |FROM bc2 JOIN boo USING (lang) JOIN comp ON comp.doc_id = bc2.doc_id
+       |UNION ALL
+       |SELECT ac2.doc_id, ac2.lang, ac2.component, ac2.toks,
+       |       btot.total + aoo.shard_offset + ac2.cum_in_shard AS cum_before,
+       |       (btot.total + aoo.shard_offset + ac2.cum_in_shard) // $chunk AS first_chunk,
+       |       (btot.total + aoo.shard_offset + ac2.cum_in_shard + ac2.toks - 1) // $chunk AS last_chunk,
+       |       (btot.total + aoo.shard_offset + ac2.cum_in_shard + ac2.toks - 1) // $chunk
+       |         - (btot.total + aoo.shard_offset + ac2.cum_in_shard) // $chunk + 1 AS n_chunks,
+       |       'appended' AS state
+       |FROM ac2 JOIN aoo USING (lang) CROSS JOIN btot
+       |) ORDER BY doc_id""".stripMargin
   }
 
   /** Composes the published gate oracles: Gopher pass bits, a normalized-
@@ -1150,6 +1493,7 @@ object Pipelines {
          |FROM t JOIN elig USING (doc_id) JOIN b USING (doc_id) JOIN u USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     "pipe_platform_build" -> platformBuildOracle,
+    "pipe_platform_delta" -> platformDeltaOracle,
     "pipe_corpus_report" -> corpusReportOracle,
     "pipe_corpus_admission" -> corpusAdmissionOracle,
     "pipe_corpus_build" -> corpusBuildOracle,
