@@ -280,6 +280,165 @@ object SimilarityOps {
       .orderBy("src_id", "rank")
   }
 
+  // ---- Graph ANN: HNSW-lite beam search over the k-NN graph --------------
+
+  /** Beam width (HNSW's ef). Pinned by GraphBeamSpec's tuning table as
+    * the minimal width whose recall@[[TopK]] clears the 0.75 floor the
+    * IVF multi-probe row is tuned against — the same
+    * production-tuning-loop discipline as [[IvfProbesHi]]. Measured on
+    * the refined graph: ef 8 -> 0.727, 16 -> 0.850.
+    */
+  private[operators] val BeamEf = 16
+  private[operators] val BeamHops = 5
+  // Layer-1 stride: vec_id % BeamCoarse == 0 nodes form the coarse entry
+  // layer (HNSW's upper level) — N/32 nodes scanned per query for the
+  // entry point, then the walk is graph-local.
+  private[operators] val BeamCoarse = 32
+  // NN-descent refinement: rounds of 2-hop candidate expansion + exact
+  // rescore, keeping RefineK out-edges per node; the final navigable
+  // graph is symmetrized and degree-capped at BeamMaxDegree (HNSW's
+  // M_max), so walk cost per hop is bounded by construction.
+  private[operators] val NnDescentRounds = 2
+  private[operators] val RefineK = 8
+  private[operators] val BeamMaxDegree = 16
+
+  /** The NAVIGABLE GRAPH artifact the beam searches: the LSH-seeded
+    * k-NN edge list ([[knnRankedEdges]] — the stored `ns_sim_knn_graph`
+    * layer) refined by [[NnDescentRounds]] rounds of NN-DESCENT (Dong et
+    * al. 2011, "Efficient k-nearest neighbor graph construction"):
+    * each round proposes every 2-hop pair over the symmetrized current
+    * graph as a candidate edge, rescores candidates exactly, and keeps
+    * the top [[RefineK]] per node — "a neighbor of my neighbor is
+    * likely my neighbor", the standard cheap path from an approximate
+    * seed graph to a near-exact one. The result is symmetrized (HNSW
+    * links are bidirectional — the directed seed graph strands the walk:
+    * measured recall plateau 0.26) and degree-capped at
+    * [[BeamMaxDegree]] by cosine rank.
+    *
+    * Scale shape: per round, candidates per node are bounded by the
+    * (capped) degree squared — linear in N total, shuffles keyed on node
+    * ids, embeddings re-attached by id only at rescore time. At 100 TB
+    * this is the offline graph-build job whose output is the stored
+    * artifact partitioned by src_id; localCheckpoint is the local-mode
+    * analog of reading it back.
+    */
+  private[operators] def beamGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val embA = emb.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+    val embB = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+        .distinct()
+    def rescoreTop(cand: DataFrame, k: Int): DataFrame =
+      cand.join(embA, "src_id").join(embB, "nbr_id")
+        .withColumn("cos", round(expr("cosine_sim(ea, eb)"), 4))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= k)
+        .select("src_id", "nbr_id")
+    var edges = knnRankedEdges(spark, dir, LshBucketCap)
+      .select("src_id", "nbr_id").localCheckpoint()
+    for (_ <- 1 to NnDescentRounds) {
+      val s = sym(edges).localCheckpoint()
+      val twoHop = s.select(col("src_id"), col("nbr_id").as("mid"))
+        .join(s.select(col("src_id").as("mid"), col("nbr_id")), "mid")
+        .select("src_id", "nbr_id")
+        .where(col("src_id") =!= col("nbr_id"))
+      edges = rescoreTop(s.unionByName(twoHop).distinct(), RefineK)
+        .localCheckpoint()
+    }
+    rescoreTop(sym(edges), BeamMaxDegree).localCheckpoint()
+  }
+
+  /** HNSW-LITE GRAPH ANN — beam search over the persisted navigable
+    * graph ([[beamGraphEdges]]: the `ns_sim_knn_graph` layer refined by
+    * NN-descent; layer 1 = the [[BeamCoarse]]-strided coarse subset,
+    * HNSW's upper level): per query, descend the coarse layer for an
+    * entry point (exact cosine over N/[[BeamCoarse]] nodes), then
+    * [[BeamHops]] beam steps — expand the beam's links, score candidates
+    * exactly, keep the best [[BeamEf]] per query — and return the
+    * top-[[TopK]]. Deterministic end to end: 4dp-rounded cosine with id
+    * tie-breaks at every rank, so the DuckDB oracle replays the
+    * NN-descent rounds AND the walk as chained CTEs and hash-matches.
+    *
+    * This completes the ANN ladder past IVF+PQ with the modern serving
+    * default: once the graph artifact exists, a query scores
+    * ~N/[[BeamCoarse]] + hops·ef·([[BeamMaxDegree]]+1) candidates —
+    * the walk term is INDEPENDENT of N (multi-probe IVF scans nprobe/k
+    * of the corpus per query). GraphBeamSpec re-derives the ef/recall
+    * table every build ([[efForRecall]]) and pins [[BeamEf]] as the
+    * tuner's minimal answer over the 0.75 floor.
+    *
+    * Scale shape: each hop is one id-keyed join against the stored edge
+    * list plus one per-query window over ≤ ef·(maxdeg+1) candidates.
+    * Queries broadcast; no vector ever shuffles — embeddings re-attach
+    * by id at score time.
+    */
+  def nsSimGraphBeam(spark: SparkSession, dir: String): DataFrame =
+    graphBeam(spark, dir, BeamEf, BeamHops)
+
+  private[operators] def graphBeam(
+      spark: SparkSession, dir: String, ef: Int, hops: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val edges = beamGraphEdges(spark, dir)
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node").asc)
+    // Layer-1 descent: one exact pass over the coarse subset per query.
+    val layer1 = emb.where(col("vec_id") % BeamCoarse === 0)
+      .select(col("vec_id").as("node"), col("embedding").as("c_emb"))
+    var beam = layer1.crossJoin(broadcast(queries))
+      .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select("query_id", "node", "cos")
+      .localCheckpoint() // iterative plan: truncate lineage per hop
+    val embN = emb.select(col("vec_id").as("node"), col("embedding").as("c_emb"))
+    for (_ <- 1 to hops) {
+      val cand = beam.select(col("query_id"), col("node"))
+        .join(edges, col("node") === col("src_id"))
+        .select(col("query_id"), col("nbr_id").as("node"))
+        .unionByName(beam.select("query_id", "node"))
+        .distinct()
+      beam = cand
+        .join(embN, "node")
+        .join(broadcast(queries), "query_id")
+        .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= ef)
+        .select("query_id", "node", "cos")
+        .localCheckpoint()
+    }
+    beam.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The beam-width tuning loop — [[probesForRecall]]'s shape applied to
+    * the graph index: recall@[[TopK]] of [[graphBeam]] against brute
+    * force per candidate ef, returning the smallest meeting `target`
+    * plus the (ef, recall) table. Driver state is the NumQueries × TopK
+    * id sets per evaluation — bounded by construction.
+    */
+  def efForRecall(spark: SparkSession, dir: String, target: Double,
+      candidates: Seq[Int] = Seq(4, 8, 16, 32)): (Int, Seq[(Int, Double)]) = {
+    val truth = bruteforceTopk(embeddings(spark, dir))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val table = candidates.sorted.map { ef =>
+      val got = graphBeam(spark, dir, ef, BeamHops)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ef -> truth.count(got.contains).toDouble / truth.size
+    }
+    val chosen = table.collectFirst { case (e, r) if r >= target => e }
+      .getOrElse(table.last._1)
+    (chosen, table)
+  }
+
   private[operators] val PrIters = 3
   private[operators] val PrUnit = 1000000L // micro-unit rank scale
   private[operators] val PrDamp = 850000L // damping 0.85 in micro-units
@@ -1044,6 +1203,7 @@ object SimilarityOps {
     "ns_sim_neardup_lsh" -> (nsSimNeardupLsh _),
     "ns_sim_lsh_topk" -> (nsSimLshTopk _),
     "ns_sim_knn_graph" -> (nsSimKnnGraph _),
+    "ns_sim_graph_beam" -> (nsSimGraphBeam _),
     "ns_sim_pagerank" -> (nsSimPagerank _),
     "ns_sim_diversity_sample" -> (nsSimDiversitySample _),
     "ns_sim_ivf_topk" -> (nsSimIvfTopk _),
@@ -1258,6 +1418,87 @@ object SimilarityOps {
     s"""WITH $knnGraphCtes
        |SELECT src_id, rank, nbr_id, cos, mutual FROM m
        |ORDER BY src_id, rank""".stripMargin
+
+  /** Beam-search oracle: the shared knn-graph CTEs seed the edge list,
+    * [[NnDescentRounds]] NN-descent round CTEs refine it (symmetrize →
+    * 2-hop candidates → exact rescore → top-[[RefineK]]), a final
+    * symmetrize + degree-cap CTE (`gm`) fixes the navigable graph, then
+    * the coarse-layer entry pick and [[BeamHops]] expand/score/keep-ef
+    * hop CTEs — every rank uses the same (cos DESC, id ASC) tie-break as
+    * the Spark windows. Multiply-referenced CTEs are MATERIALIZED (plain
+    * CTEs inline per reference in DuckDB).
+    */
+  private def graphBeamOracle: String = {
+    def rescoreTop(cand: String, k: Int): String =
+      s"""  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id
+         |                ORDER BY cos DESC, nbr_id ASC) AS rn
+         |    FROM (SELECT c.src_id, c.nbr_id,
+         |                 round(list_cosine_similarity(x.v, y.v), 4) AS cos
+         |          FROM $cand c JOIN e x ON c.src_id = x.vec_id
+         |          JOIN e y ON c.nbr_id = y.vec_id))
+         |  WHERE rn <= $k""".stripMargin
+    val roundCtes = (1 to NnDescentRounds).map { i =>
+      s"""sy$i AS MATERIALIZED (
+         |  SELECT DISTINCT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id FROM nd${i - 1}
+         |    UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id FROM nd${i - 1})),
+         |cd$i AS (
+         |  SELECT DISTINCT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id FROM sy$i
+         |    UNION ALL
+         |    SELECT a.src_id, b.nbr_id FROM sy$i a JOIN sy$i b ON a.nbr_id = b.src_id)
+         |  WHERE src_id <> nbr_id),
+         |nd$i AS MATERIALIZED (
+         |${rescoreTop(s"cd$i", RefineK)})""".stripMargin
+    }.mkString(",\n")
+    val hopCtes = (1 to BeamHops).map { i =>
+      s"""h$i AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT v${i - 1}.query_id, gm.nbr_id AS node
+         |    FROM v${i - 1} JOIN gm ON v${i - 1}.node = gm.src_id
+         |    UNION ALL SELECT query_id, node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (
+         |  SELECT query_id, node, cos FROM (
+         |    SELECT query_id, node, cos,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, node ASC) AS rn
+         |    FROM (SELECT h$i.query_id, h$i.node,
+         |                 round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+         |          FROM h$i JOIN e ON h$i.node = e.vec_id
+         |          JOIN q ON h$i.query_id = q.query_id))
+         |  WHERE rn <= $BeamEf)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |nd0 AS MATERIALIZED (SELECT src_id, nbr_id FROM g),
+       |$roundCtes,
+       |fsy AS (
+       |  SELECT DISTINCT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id FROM nd$NnDescentRounds
+       |    UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id FROM nd$NnDescentRounds)),
+       |gm AS MATERIALIZED (
+       |${rescoreTop("fsy", BeamMaxDegree)}),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |l1 AS (SELECT vec_id AS node, v FROM e WHERE vec_id % $BeamCoarse = 0),
+       |v0 AS MATERIALIZED (
+       |  SELECT query_id, node, cos FROM (
+       |    SELECT query_id, node, cos,
+       |           row_number() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, node ASC) AS rn
+       |    FROM (SELECT q.query_id, l1.node,
+       |                 round(list_cosine_similarity(q.qv, l1.v), 4) AS cos
+       |          FROM q CROSS JOIN l1))
+       |  WHERE rn = 1),
+       |$hopCtes
+       |SELECT query_id, rank, node AS neighbor_id, cos FROM (
+       |  SELECT query_id, node, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, node ASC) AS BIGINT) AS rank
+       |  FROM v$BeamHops WHERE node <> query_id)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** PageRank oracle: the shared knn-graph CTEs, then [[PrIters]] exact
     * integer power-iteration CTEs mirroring the Spark loop.
@@ -1518,6 +1759,7 @@ object SimilarityOps {
     "ns_corpus_topics" -> corpusTopicsOracle,
     "ns_sim_lsh_topk" -> lshOracle,
     "ns_sim_knn_graph" -> knnGraphOracle,
+    "ns_sim_graph_beam" -> graphBeamOracle,
     "ns_sim_pagerank" -> pagerankOracle,
     "ns_sim_diversity_sample" -> diversityOracle,
     "ns_sim_quant_topk" -> quantOracle,

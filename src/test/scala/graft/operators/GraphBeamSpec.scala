@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** HNSW-lite beam search: recall tuning vs brute force (the
+  * [[SimilarityOps.probesForRecall]] discipline applied to the graph
+  * index), structural validity, and candidate-count economy vs the IVF
+  * multi-probe row it completes the ladder against.
+  */
+class GraphBeamSpec extends SparkSpec {
+
+  test("beam recall clears the 0.75 floor and BeamEf is the tuner's minimal answer") {
+    val (chosen, table) = SimilarityOps.efForRecall(spark, sfDir, 0.75)
+    info(s"ef/recall table: ${table.map { case (e, r) => f"$e->$r%.3f" }.mkString(", ")}")
+    // widening the beam can only add evaluated candidates — recall must
+    // not regress
+    table.sliding(2).foreach {
+      case Seq((e1, r1), (e2, r2)) =>
+        assert(r2 >= r1 - 1e-9, s"recall regressed $e1->$e2: $r1 -> $r2")
+      case _ =>
+    }
+    assert(chosen == SimilarityOps.BeamEf,
+      s"BeamEf=${SimilarityOps.BeamEf} is not the tuning loop's minimal answer ($chosen); " +
+        s"re-pin the constant to keep the registered query == the tuner's output")
+    val recall = table.toMap.apply(SimilarityOps.BeamEf)
+    assert(recall >= 0.75, s"beam recall@3 = $recall")
+  }
+
+  test("beam output is structurally valid and self-free") {
+    val rows = SimilarityOps.nsSimGraphBeam(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"query $q ranks $ranks")
+      assert(rs.forall(_.getLong(2) != q), s"query $q returned itself")
+      // ranks ordered by (cos desc, id asc)
+      val byRank = rs.sortBy(_.getLong(1))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getDouble(3), b.getDouble(3))
+          assert(ca > cb || (ca == cb && a.getLong(2) < b.getLong(2)),
+            s"query $q rank order broken")
+        case _ =>
+      }
+    }
+  }
+
+  test("navigable graph degree is capped; walk cost is a corpus-size-independent constant") {
+    import org.apache.spark.sql.functions._
+    val deg = SimilarityOps.beamGraphEdges(spark, sfDir)
+      .groupBy("src_id").count().agg(max("count")).head().getLong(0)
+    assert(deg <= SimilarityOps.BeamMaxDegree,
+      s"degree $deg exceeds the M_max cap ${SimilarityOps.BeamMaxDegree}")
+    // Economy vs multi-probe (the reason a graph index is the serving
+    // default): the walk scores at most hops·ef·(maxdeg+1) candidates
+    // per query REGARDLESS of N (plus the N/BeamCoarse entry scan),
+    // while the IVF multi-probe row reads nprobe/k = half the corpus.
+    // At the 32k-vector rehearsal scale the walk bound is already ~10x
+    // under multi-probe's per-query candidate count.
+    val walkBound = SimilarityOps.BeamHops.toLong * SimilarityOps.BeamEf *
+      (SimilarityOps.BeamMaxDegree + 1)
+    assert(walkBound + 32000 / SimilarityOps.BeamCoarse < 32000 / 2,
+      s"walk bound $walkBound not under multi-probe's 16000 at rehearsal scale")
+  }
+}
