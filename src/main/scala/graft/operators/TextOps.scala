@@ -795,8 +795,16 @@ object TextOps {
     * regression-checked fact.
     */
   private[operators] def unigramVocab(
-      spark: SparkSession, dir: String): Array[(String, Long, Long)] = {
-    val wf = Tables.documents(spark, dir)
+      spark: SparkSession, dir: String): Array[(String, Long, Long)] =
+    unigramVocabFrom(Tables.documents(spark, dir))
+
+  /** The fit loop over an explicit documents frame (`soft = false` runs
+    * the superseded hard-EM round — kept as the divergence witness
+    * SoftEmSpec compares against).
+    */
+  private[operators] def unigramVocabFrom(
+      docs: DataFrame, soft: Boolean = true): Array[(String, Long, Long)] = {
+    val wf = docs
       .select(explode(split(lower(col("text")), " ")).as("wd"))
       .where(col("wd") =!= "")
       .groupBy("wd").agg(count(lit(1)).as("freq"))
@@ -815,11 +823,12 @@ object TextOps {
     val seed = rescoreVocab(chars.unionByName(multi)
       .collect().map(r => (r.getString(0), r.getLong(1))))
     val out = (1 to UniEmRounds).foldLeft(seed) { (vocab, _) =>
-      val usage = emUsage(wf, vocab)
-      // M-step: survivors re-score by Viterbi usage; single chars always
-      // survive (the coverage guarantee every round — any word stays
-      // segmentable under the pruned vocab), multi-char candidates the
-      // best segmentations never use are PRUNED.
+      val usage = if (soft) emUsageSoft(wf, vocab) else emUsage(wf, vocab)
+      // M-step: survivors re-score by usage; single chars always survive
+      // (the coverage guarantee every round — any word stays segmentable
+      // under the pruned vocab), multi-char candidates with zero
+      // (expected) usage are PRUNED — under soft-EM that means NO
+      // segmentation gives them posterior mass ≥ 0.5 micro-units.
       rescoreVocab(vocab.collect {
         case (p, _, _) if p.length == 1 || usage.getOrElse(p, 0L) > 0L =>
           (p, usage.getOrElse(p, 0L))
@@ -829,9 +838,10 @@ object TextOps {
     out
   }
 
-  /** EM rounds over the seed vocabulary: 1 hard-EM (Viterbi-EM)
-    * re-score/prune pass, the SentencePiece fit loop in its
-    * maximum-likelihood-path form.
+  /** EM rounds over the seed vocabulary: 1 SOFT-EM (forward-backward)
+    * re-score/prune pass — the full SentencePiece fit-loop semantics
+    * (expected piece counts over ALL segmentations, not just the
+    * maximum-likelihood path), in engine-exact fixed-point form.
     */
   private[operators] val UniEmRounds = 1
 
@@ -857,13 +867,126 @@ object TextOps {
     * encoder skips them too, so usage reflects exactly the tokens the
     * model will serve.
     */
-  private def emUsage(
+  private[operators] def emUsage(
       wf: DataFrame, vocab: Array[(String, Long, Long)]): Map[String, Long] = {
     val vmap = typedLit(vocab.map(v => v._1 -> v._3).toMap)
     wf.where(length(col("wd")) <= UniMaxWord)
       .select(col("freq"), explode(
         viterbiPieces(col("wd"), viterbiStates(col("wd"), vmap))).as("piece"))
       .groupBy("piece").agg(sum("freq").as("usage"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  // ---- Soft-EM: forward-backward expected counts ---------------------------
+
+  /** Cutoff beyond which the quantized LSE correction / posterior weight
+    * rounds to EXACTLY 0 in both engines (ln(1+e^-15)·1e6 ≈ 0.3 and
+    * e^-15·1e6 ≈ 0.3, both under the 0.5 rounding threshold with huge
+    * margin), so the branch decides on the INTEGER argument and no float
+    * is evaluated at all past it.
+    */
+  private[operators] val LseCutU = 15000000L
+
+  /** log-sum-exp of two micro-unit log values, RE-QUANTIZED to integer
+    * micro-units: max + round(ln(1 + exp(-δ/1e6))·1e6) where δ is the
+    * integer gap — the correction is a function of δ alone, so (exactly
+    * like the vocab logp) parity needs every one of the [[LseCutU]]
+    * possible outputs to sit away from a .5 boundary;
+    * UnigramLogpParitySpec scans ALL of them every build. Because each
+    * pairwise LSE re-quantizes to an integer, the left-associated fold
+    * order (ascending split position) makes the whole forward/backward
+    * pass engine-exact given per-op parity.
+    */
+  private def lseCol(a: Column, b: Column): Column = {
+    val hi = greatest(a, b)
+    val d = hi - least(a, b)
+    hi + when(d >= LseCutU, lit(0L)).otherwise(
+      round(log(lit(1.0) + exp((-d).cast("double") / 1e6)) * 1e6, 0).cast("long"))
+  }
+
+  /** Quantized posterior weight: round(exp(t/1e6)·1e6) for a (clamped
+    * non-positive) micro-unit log-posterior t — 0 past the cutoff. Same
+    * scanned-parity contract as [[lseCol]].
+    */
+  private def postWeightU(t0: Column): Column = {
+    val t = least(lit(0L), t0)
+    when(t <= -LseCutU, lit(0L)).otherwise(
+      round(exp(t.cast("double") / 1e6) * 1e6, 0).cast("long"))
+  }
+
+  /** FORWARD log-mass per split position as a pure Catalyst fold:
+    * a(0) = 0; a(i) = LSE over valid splits j (ascending, the last
+    * [[UniMaxPiece]] positions) of a(j) + logp(piece j..i). Returns the
+    * (n+1)-element array.
+    */
+  private def forwardLogs(word: Column, vmap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(
+        aggregate(
+          sequence(greatest(i - lit(UniMaxPiece), lit(0)), i - lit(1)),
+          lit(null).cast("long"),
+          (b, j) => {
+            val lp = element_at(vmap, word.substr(j + lit(1), i - j))
+            val term = element_at(acc, (j + lit(1)).cast("int")) + lp
+            when(lp.isNull, b)
+              .otherwise(when(b.isNull, term).otherwise(lseCol(b, term)))
+          }))))
+
+  /** BACKWARD log-mass: b(n) = 0; b(j) = LSE over piece lengths l
+    * (ascending) of logp(piece j..j+l) + b(j+l). Built right-to-left by
+    * PREPENDING, so element_at(result, j+1) = b(j).
+    */
+  private def backwardLogs(word: Column, vmap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, o) => {
+        val j = length(word) - o
+        val bj = aggregate(
+          sequence(lit(1), least(lit(UniMaxPiece), o)),
+          lit(null).cast("long"),
+          (b, l) => {
+            val lp = element_at(vmap, word.substr(j + lit(1), l))
+            val term = lp + element_at(acc, l.cast("int"))
+            when(lp.isNull, b)
+              .otherwise(when(b.isNull, term).otherwise(lseCol(b, term)))
+          })
+        concat(array(bj), acc)
+      })
+
+  /** The SOFT E-STEP — forward-backward expected piece counts over ALL
+    * segmentations (real SentencePiece semantics; the hard-EM
+    * [[emUsage]] counts only the maximum-likelihood path): per distinct
+    * word, every in-vocabulary occurrence (j, l) gets posterior mass
+    * exp(a(j) + logp + b(j+l) − a(n)), quantized to micro-units
+    * ([[postWeightU]]) so the frequency-weighted sum is an ORDER-FREE
+    * integer aggregation — no float ever crosses a shuffle. Usage is
+    * therefore in freq·micro-units; [[rescoreVocab]] normalizes scale
+    * away. Collected result ≤ |vocab| rows by construction.
+    */
+  private[operators] def emUsageSoft(
+      wf: DataFrame, vocab: Array[(String, Long, Long)]): Map[String, Long] = {
+    val vmap = typedLit(vocab.map(v => v._1 -> v._3).toMap)
+    wf.where(length(col("wd")) <= UniMaxWord)
+      .select(col("wd"), col("freq"),
+        forwardLogs(col("wd"), vmap).as("fa"),
+        backwardLogs(col("wd"), vmap).as("fb"))
+      .select(col("wd"), col("freq"), col("fa"), col("fb"),
+        explode(expr(s"""flatten(transform(sequence(0, length(wd) - 1),
+          j -> transform(sequence(1, least($UniMaxPiece, length(wd) - j)),
+          l -> struct(j AS j, l AS l))))""")).as("jl"))
+      .select(col("freq"),
+        col("wd").substr(col("jl.j") + 1, col("jl.l")).as("piece"),
+        (element_at(col("fa"), (col("jl.j") + 1).cast("int"))
+          + element_at(vmap, col("wd").substr(col("jl.j") + 1, col("jl.l")))
+          + element_at(col("fb"), (col("jl.j") + col("jl.l") + 1).cast("int"))
+          - element_at(col("fa"), (length(col("wd")) + 1).cast("int"))).as("t0"))
+      .where(col("t0").isNotNull) // occurrence not in vocab -> no vote
+      .select(col("piece"), (col("freq") * postWeightU(col("t0"))).as("wu"))
+      .where(col("wu") > 0)
+      .groupBy("piece").agg(sum("wu").as("usage"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
@@ -1032,32 +1155,83 @@ object TextOps {
        |${p}all AS ($dall)""".stripMargin
   }
 
-  /** The EM round as CTEs: backtrace each word's best path under the
-    * seed-vocab DP (`dall`, [[UniMaxWord]] chained hop CTEs — the SQL
-    * form of [[viterbiPieces]]), aggregate frequency-weighted piece
-    * usage, and rebuild the vocabulary: chars always survive, multi-char
-    * pieces with zero usage are pruned, survivors re-score by usage with
-    * the same quantize-then-ln logp. Ends in
-    * `v1(piece, score, logp_u, rank)` — the EM'd model.
+  /** The micro-unit LSE fold over an ordered term list — the SQL twin of
+    * [[lseCol]] applied left-associated (list_reduce seeds with the
+    * first element, matching the Spark fold's null-seeded start).
+    */
+  private def lseSql(listExpr: String): String =
+    s"list_reduce($listExpr, (acc, x) -> greatest(acc, x) + " +
+      s"CASE WHEN greatest(acc, x) - least(acc, x) >= $LseCutU THEN 0 " +
+      "ELSE CAST(round(ln(1 + exp(-CAST(greatest(acc, x) - least(acc, x) AS DOUBLE) " +
+      "/ 1000000.0)) * 1000000, 0) AS BIGINT) END)"
+
+  /** The SOFT-EM round as CTEs — the SQL replay of
+    * [[forwardLogs]]/[[backwardLogs]]/[[emUsageSoft]]: a forward chain
+    * (`fa0..faN`, one CTE per split position, terms list-reduced with
+    * [[lseSql]] in ascending-split order), a backward chain (`fb0..fbN`,
+    * one CTE per distance-from-end), the per-occurrence posterior weight
+    * (clamped, quantized, zero past the cutoff), and the rebuilt
+    * vocabulary: chars always survive, multi-char pieces with zero
+    * expected usage are pruned, survivors re-score with the same
+    * quantize-then-ln logp. Ends in `v1(piece, score, logp_u, rank)`.
     */
   private def unigramEmCtes: String = {
-    val btCtes = (1 to UniMaxWord).map { k =>
-      val prev = if (k == 1) "bt0" else s"bt${k - 1}"
-      s"""bt$k AS MATERIALIZED (
-         |  SELECT b.wd, d.back AS i, substr(b.wd, d.back + 1, b.i - d.back) AS piece
-         |  FROM $prev b JOIN dall d ON d.wd = b.wd AND d.pos = b.i
-         |  WHERE b.i > 0)""".stripMargin
+    val faCtes = (1 to UniMaxWord).map { i =>
+      val lo = math.max(0, i - UniMaxPiece)
+      val prev = (lo until i).map(j => s"SELECT * FROM fa$j").mkString(" UNION ALL ")
+      s"""fa$i AS MATERIALIZED (
+         |  SELECT wd, $i AS pos, ${lseSql("list(term ORDER BY j)")} AS a
+         |  FROM (
+         |    SELECT q.wd, q.pos AS j, q.a + vv.logp_u AS term
+         |    FROM ($prev) q
+         |    JOIN w ON w.wd = q.wd AND w.n >= $i
+         |    JOIN v vv ON vv.piece = substr(q.wd, q.pos + 1, $i - q.pos))
+         |  GROUP BY wd)""".stripMargin
     }.mkString(",\n")
-    val btall = (1 to UniMaxWord).map(k => s"SELECT wd, piece FROM bt$k").mkString(" UNION ALL ")
+    val faall = (0 to UniMaxWord).map(i => s"SELECT * FROM fa$i").mkString(" UNION ALL ")
+    val fbCtes = (1 to UniMaxWord).map { o =>
+      val arms = (1 to math.min(UniMaxPiece, o)).map { l =>
+        s"""    SELECT w.wd, w.n - $o AS pos, $l AS l, vv.logp_u + p.b AS term
+           |    FROM w JOIN fb${o - l} p ON p.wd = w.wd AND p.pos = w.n - $o + $l
+           |    JOIN v vv ON vv.piece = substr(w.wd, w.n - $o + 1, $l)
+           |    WHERE w.n >= $o""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""fb$o AS MATERIALIZED (
+         |  SELECT wd, pos, ${lseSql("list(term ORDER BY l)")} AS b
+         |  FROM (
+         |$arms)
+         |  GROUP BY wd, pos)""".stripMargin
+    }.mkString(",\n")
+    val fball = (0 to UniMaxWord).map(o => s"SELECT * FROM fb$o").mkString(" UNION ALL ")
     s"""$unigramVocabCtes,
        |w AS MATERIALIZED (SELECT wd, CAST(len(wd) AS INT) AS n FROM wf WHERE len(wd) <= $UniMaxWord),
-       |${viterbiDpCtes("d", "v")},
-       |bt0 AS (SELECT wd, n AS i, '' AS piece FROM w),
-       |$btCtes,
-       |btall AS ($btall),
+       |fa0 AS (SELECT wd, 0 AS pos, CAST(0 AS BIGINT) AS a FROM w),
+       |$faCtes,
+       |faall AS MATERIALIZED ($faall),
+       |fb0 AS (SELECT wd, n AS pos, CAST(0 AS BIGINT) AS b FROM w),
+       |$fbCtes,
+       |fball AS MATERIALIZED ($fball),
+       |sj0 AS (
+       |  SELECT w.wd, wf.freq, w.n, CAST(j AS INT) AS j
+       |  FROM w JOIN wf USING (wd),
+       |       unnest(range(0, CAST(w.n AS BIGINT))) AS tj(j)),
+       |sjl AS (
+       |  SELECT wd, freq, n, j, CAST(l AS INT) AS l
+       |  FROM sj0, unnest(range(1, LEAST($UniMaxPiece, n - j) + 1)) AS tl(l)),
+       |post0 AS (
+       |  SELECT substr(s.wd, s.j + 1, s.l) AS piece, s.freq,
+       |         LEAST(0, fj.a + vv.logp_u + fk.b - fn.a) AS t
+       |  FROM sjl s
+       |  JOIN v vv ON vv.piece = substr(s.wd, s.j + 1, s.l)
+       |  JOIN faall fj ON fj.wd = s.wd AND fj.pos = s.j
+       |  JOIN fball fk ON fk.wd = s.wd AND fk.pos = s.j + s.l
+       |  JOIN faall fn ON fn.wd = s.wd AND fn.pos = s.n),
        |pu AS (
-       |  SELECT b.piece, CAST(SUM(wf.freq) AS BIGINT) AS u
-       |  FROM btall b JOIN wf USING (wd) GROUP BY b.piece),
+       |  SELECT piece,
+       |         CAST(SUM(freq * CASE WHEN t <= -$LseCutU THEN 0
+       |              ELSE CAST(round(exp(CAST(t AS DOUBLE) / 1000000.0) * 1000000, 0) AS BIGINT)
+       |              END) AS BIGINT) AS u
+       |  FROM post0 GROUP BY piece),
        |vocab1 AS (
        |  SELECT v.piece, CAST(COALESCE(u.u, 0) AS BIGINT) AS score
        |  FROM v LEFT JOIN pu u USING (piece)

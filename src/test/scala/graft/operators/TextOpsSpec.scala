@@ -71,7 +71,7 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("unigram EM round: usage re-score + zero-usage pruning, independently replayed") {
+  test("unigram soft-EM round: quantized expected counts + re-score, independently replayed") {
     // Brute-force the SEED fit (pre-EM): char scores over all positions,
     // multi scores floored at word freq >= 2, top-256 by (-score, piece).
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -93,26 +93,53 @@ class TextOpsSpec extends SparkSpec {
       .toSeq.sortBy { case (p, s) => (-s, p) }.take(256)
     val seedRows = charScore.toSeq ++ multiScore
     val seedLogp = quantLn(seedRows)
-    // Viterbi with backtrace under an arbitrary logp model (tie-break:
-    // smallest split point, matching the operator and the oracle).
-    def segment(w: String, lp: Map[String, Long]): Seq[String] = {
-      val dp = Array.fill(w.length + 1)((Long.MinValue, -1))
-      dp(0) = (0L, 0)
-      for (i <- 1 to w.length; j <- math.max(0, i - 6) until i)
-        lp.get(w.substring(j, i)).foreach { p =>
-          if (dp(j)._1 + p > dp(i)._1) dp(i) = (dp(j)._1 + p, j)
-        }
-      var i = w.length
-      val out = Seq.newBuilder[String]
-      while (i > 0) { val j = dp(i)._2; out += w.substring(j, i); i = j }
-      out.result()
+    // SOFT E-step replay: integer micro-unit forward/backward with the
+    // SAME quantized LSE and posterior rounding as the operator — an
+    // independent plain-Scala reimplementation, asserted EXACTLY equal.
+    def lse(a: Long, b: Long): Long = {
+      val hi = math.max(a, b); val d = hi - math.min(a, b)
+      hi + (if (d >= TextOps.LseCutU) 0L
+            else Math.round(Math.log(1 + Math.exp(-d / 1e6)) * 1e6))
     }
-    // E-step usage: frequency-weighted piece counts over encodable words.
+    def softUsage(w: String, lp: Map[String, Long]): Map[String, Long] = {
+      val n = w.length
+      val a = new Array[Long](n + 1)
+      for (i <- 1 to n) {
+        var acc = Option.empty[Long]
+        for (j <- math.max(0, i - 6) until i)
+          lp.get(w.substring(j, i)).foreach { p =>
+            val t = a(j) + p
+            acc = Some(acc.fold(t)(lse(_, t)))
+          }
+        a(i) = acc.get // chars always in vocab -> always defined
+      }
+      val b = new Array[Long](n + 1)
+      for (j <- n - 1 to 0 by -1) {
+        var acc = Option.empty[Long]
+        for (l <- 1 to math.min(6, n - j))
+          lp.get(w.substring(j, j + l)).foreach { p =>
+            val t = p + b(j + l)
+            acc = Some(acc.fold(t)(lse(_, t)))
+          }
+        b(j) = acc.get
+      }
+      val out = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (j <- 0 until n; l <- 1 to math.min(6, n - j)) {
+        val p = w.substring(j, j + l)
+        lp.get(p).foreach { plp =>
+          val t = math.min(0L, a(j) + plp + b(j + l) - a(n))
+          val cu = if (t <= -TextOps.LseCutU) 0L
+                   else Math.round(Math.exp(t / 1e6) * 1e6)
+          if (cu > 0) out(p) += cu
+        }
+      }
+      out.toMap
+    }
     val usage = collection.mutable.Map[String, Long]().withDefaultValue(0L)
     wordFreq.filter(_._1.length <= 20).foreach { case (w, f) =>
-      segment(w, seedLogp).foreach(p => usage(p) += f)
+      softUsage(w, seedLogp).foreach { case (p, u) => usage(p) += f * u }
     }
-    // The trained table must BE the M-step over this usage.
+    // The trained table must BE the M-step over this expected usage.
     val em = TextOps.nsTextUnigramTrain(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
     val emScores = em.map(v => v._1 -> v._2).toMap
@@ -120,26 +147,19 @@ class TextOpsSpec extends SparkSpec {
       case (p, _) if p.length == 1 || usage(p) > 0L => (p, usage(p))
     }
     assert(emScores == wantKept.toMap,
-      s"EM usage scores diverge: ${(emScores.toSet -- wantKept.toSet).take(3)}")
+      s"soft-EM usage scores diverge: ${(emScores.toSet -- wantKept.toSet).take(3)}")
     val wantLogp = quantLn(wantKept)
     em.foreach { case (p, _, l) => assert(l == wantLogp(p), s"logp($p)") }
-    // pruning is REAL on the fixture: some seed multi piece had no usage
-    val pruned = multiScore.map(_._1).filterNot(emScores.contains)
-    assert(pruned.nonEmpty, "EM pruned nothing — fixture degenerate?")
-    // On THIS fixture the re-fit flips no argmax (hard-EM reinforces the
-    // winning paths — measured fact, also true at sf0.01): every word
-    // segments identically under seed and EM'd models.
-    val emLogp = em.map(v => v._1 -> v._3).toMap
-    val changed = wordFreq.keys.filter(_.length <= 20)
-      .count(w => segment(w, seedLogp) != segment(w, emLogp))
-    assert(changed == 0, s"fixture flip count moved: $changed (doc says 0)")
+    // Soft pruning fires only when NO segmentation leaves >= 0.5
+    // micro-units of posterior on a piece — report rather than require.
+    info(s"soft-pruned multi pieces on the fixture: " +
+      s"${multiScore.map(_._1).count(p => !emScores.contains(p))}")
   }
 
   test("unigram EM round flips a near-tied segmentation (operator end to end on a crafted corpus)") {
-    // Corpus found by search: one EM round re-scores 'ccc' above the
-    // 'cc|cb' path, so 'cccbb' flips [cc,cb,b] -> [ccc,b,b] — piece count
-    // stays 3 but total logp changes; doc 1 (5x 'cccbb') must show the
-    // EM'd path's logp, proving the ENCODER serves the re-fit model.
+    // Crafted near-tie: under the SEED scores the argmax for 'cccbb' is
+    // [cc,cb,b] (asserted below); the EM round re-scores 'ccc' above the
+    // 'cc|cb' path, so the encoder must serve the re-fit model's path.
     val dir = graft.ops.ProcessTmp.dir("graft_unigram_em") + "/fixture"
     val docs = Seq(
       (0L, Seq.fill(5)("ccc").mkString(" ")),
@@ -153,19 +173,22 @@ class TextOpsSpec extends SparkSpec {
     val em = TextOps.nsTextUnigramTrain(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
     val emLogp = em.map(v => v._1 -> v._3).toMap
-    // 'ccc' survives EM with usage > 0; the seed-only runner-up path
-    // piece 'cb' is NOT in every... (cb is used by cbcaac) — the flip is
-    // visible through the encoded logp of doc 1:
     assert(emLogp.contains("ccc"))
-    val enc = TextOps.nsTextUnigramEncode(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val wantDoc1 = (1L, 3L, emLogp("ccc") + 2 * emLogp("b"))
-    assert(enc(1L) == wantDoc1,
-      s"doc 1 not encoded on the EM'd [ccc,b,b] path: ${enc(1L)} != $wantDoc1")
-    // and the seed path really was different: under pre-EM scores the
-    // argmax for 'cccbb' is [cc,cb,b] (re-derived brute force from the
-    // crafted corpus's seed fit) — kept as a literal here because the
-    // corpus is fixed: seed logp(cc)+logp(cb) > logp(ccc)+logp(b).
+    // Brute Viterbi (same smallest-split tie-break) under a logp model,
+    // returning (logp, pieces list).
+    def seg(w: String, lp: Map[String, Long]): (Long, List[String]) = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, -1))
+      dp(0) = (0L, 0)
+      for (i <- 1 to w.length; j <- math.max(0, i - 6) until i)
+        lp.get(w.substring(j, i)).foreach { p =>
+          if (dp(j)._1 + p > dp(i)._1) dp(i) = (dp(j)._1 + p, j)
+        }
+      var i = w.length
+      var out = List.empty[String]
+      while (i > 0) { val j = dp(i)._2; out = w.substring(j, i) :: out; i = j }
+      (dp(w.length)._1, out)
+    }
+    // the seed fit, brute-forced from the crafted corpus
     val wf = Map("ccc" -> 5L, "cccbb" -> 1L, "cbcaac" -> 5L, "aacaa" -> 9L)
     val chars = wf.toSeq.flatMap { case (w, f) => w.map(c => (c.toString, f)) }
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
@@ -177,9 +200,19 @@ class TextOpsSpec extends SparkSpec {
     val seedTotal = chars.values.sum + multi.map(_._2).sum
     def lp(s: Long): Long =
       Math.round(Math.log(math.max(s * 1000000L / seedTotal, 1L) / 1e6) * 1e6)
-    val seedMap = (chars.toSeq ++ multi).toMap
-    assert(lp(seedMap("cc")) + lp(seedMap("cb")) > lp(seedMap("ccc")) + lp(seedMap("b")),
-      "crafted corpus no longer near-tied — regenerate it")
+    val seedLogp = (chars.toSeq ++ multi).map { case (p, s) => p -> lp(s) }.toMap
+    val (_, seedPath) = seg("cccbb", seedLogp)
+    val (emDp, emPath) = seg("cccbb", emLogp)
+    assert(seedPath == List("cc", "cb", "b"),
+      s"crafted corpus no longer near-tied (seed path $seedPath) — regenerate it")
+    assert(emPath != seedPath,
+      s"EM round flipped nothing: both paths $seedPath")
+    assert(emPath == List("ccc", "b", "b"), s"unexpected EM path $emPath")
+    // and the ENCODER serves the re-fit model: doc 1 reports the EM path
+    val enc = TextOps.nsTextUnigramEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(enc(1L) == ((1L, emPath.length.toLong, emDp)),
+      s"doc 1 not encoded on the EM'd path: ${enc(1L)} != (1, ${emPath.length}, $emDp)")
   }
 
   test("hot ngrams: top-k by df matches a brute-force fold; top-k is TakeOrdered, not a global sort") {
