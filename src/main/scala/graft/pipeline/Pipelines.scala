@@ -906,14 +906,26 @@ object Pipelines {
 
   private[graft] def platformDeltaAt(
       spark: SparkSession, dir: String, root: String): DataFrame = {
+    val isBatch = (c: Column) => c % 10 === 1
+    // DAY 1: build + publish on the pre-existing corpus.
+    platformBuildCore(spark, dir, root, !isBatch(col("doc_id")))
+    platformDeltaStage(spark, dir, root, isBatch)
+  }
+
+  /** The DELTA stage alone, over already-published day-1 artifacts at
+    * `root` — separated so the scale rehearsal can time it apart from
+    * the day-1 build (the claim under test: delta wall ∝ batch, not
+    * corpus), and parameterized by the batch predicate so the rehearsal
+    * can hold the batch size FIXED while the corpus grows.
+    */
+  private[graft] def platformDeltaStage(
+      spark: SparkSession, dir: String, root: String,
+      isBatch: Column => Column): DataFrame = {
     val dedup = graft.operators.DedupOps
     val text = graft.operators.TextOps
     val sampling = graft.operators.SamplingOps
     val sink = graft.ops.MergeSink
-    val isBatch = col("doc_id") % 10 === 1
-    // DAY 1: build + publish on the pre-existing corpus.
-    platformBuildCore(spark, dir, root, !isBatch)
-    val batch = Tables.documents(spark, dir).where(isBatch)
+    val batch = Tables.documents(spark, dir).where(isBatch(col("doc_id")))
     // 1: batch edges against the stored index (one batch shingle pass).
     val storedBanded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
     val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
@@ -925,16 +937,16 @@ object Pipelines {
     val lbl = spark.read.parquet(s"$root/labels").select("doc_id", "component")
     val corpusSide = lbl.join(broadcast(edges0), lbl("doc_id") === edges0("doc_b"))
       .select(edges0("doc_a"), lbl("component").as("doc_b"))
-    val deltaPairs = corpusSide.unionByName(edges0.where(col("doc_b") % 10 === 1))
+    val deltaPairs = corpusSide.unionByName(edges0.where(isBatch(col("doc_b"))))
     val newLabels = dedup.componentLabelsFromEdges(batch.select("doc_id"), deltaPairs)
     // 2: index maintenance (touched buckets only).
     graft.operators.IndexOps.updateDedupIndex(batch, root)
     // Touched day-1 components whose label changes under the merge.
-    val relabel = newLabels.where(col("doc_id") % 10 =!= 1)
+    val relabel = newLabels.where(!isBatch(col("doc_id")))
       .select(col("doc_id").as("component"), col("component").as("new_component"))
       .where(col("new_component") =!= col("component"))
     // 4: batch survivorship + gates.
-    val bLabels = newLabels.where(col("doc_id") % 10 === 1)
+    val bLabels = newLabels.where(isBatch(col("doc_id")))
     val bSurv = bLabels.where(col("doc_id") === col("component"))
       .where(dedup.splitCol === "train")
       .where(col("doc_id") % 50 =!= 0) // vacuous for ids ≡ 1 mod 10; the contract
