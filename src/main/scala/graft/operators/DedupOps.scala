@@ -448,7 +448,17 @@ object DedupOps {
       .distinct()
     val bc = setIntersectVerify(cands, sets, corpusSets, "batch_doc", "corpus_doc", threshold)
       .select(col("batch_doc").as("doc_a"), col("corpus_doc").as("doc_b"))
-    (sets, bb.unionByName(bc))
+    // Materialize the edge list EAGERLY (localCheckpoint) so (a) every
+    // read of the caller's pre-update stored artifacts completes HERE,
+    // before any index maintenance rewrites them, and (b) the signature
+    // cache can be dropped immediately — `sig` feeds nothing past this
+    // point, and leaving it pinned would hold executor memory for the
+    // rest of a long Verify/Bench session. The returned `sets` stays
+    // cached (the caller's decontamination gate explodes it); callers
+    // unpersist it once their gates are materialized.
+    val edges = bb.unionByName(bc).localCheckpoint()
+    sig.unpersist()
+    (sets, edges)
   }
 
   /** Oracle CTEs for the INCREMENTAL platform path: the full-corpus
@@ -490,10 +500,10 @@ object DedupOps {
     // hits an internal assertion ("Failed to cast physical operator")
     // when a MATERIALIZED outer CTE is shadowed by an inner one of the
     // same name.
-    s"""${shingleCte
-          .replace("card AS (", "card AS MATERIALIZED (")},
+    s"""${SqlRewrite.replaceStrict(shingleCte,
+          "card AS (", "card AS MATERIALIZED (")},
        |$minhashCandCtes,
-       |${jaccCte.replace("jacc AS (", "jacc AS MATERIALIZED (")},
+       |${SqlRewrite.replaceStrict(jaccCte, "jacc AS (", "jacc AS MATERIALIZED (")},
        |comp AS MATERIALIZED (
        |${reachClosureSql("", "")})""".stripMargin
 

@@ -289,6 +289,39 @@ object IndexOps {
     SimilarityOps.ivfPqAdcSearch(cands, probes, books)
   }
 
+  private val GraphBuckets = 8
+
+  /** Build + publish the NAVIGABLE GRAPH artifact the HNSW-lite beam
+    * search walks ([[SimilarityOps.beamGraphEdges]]: LSH-seeded k-NN
+    * refined by NN-descent, symmetrized, degree-capped at M_max) —
+    * the expensive offline job, stored once like the IVF/BM25 indexes
+    * instead of being rebuilt inside every serving query. Edge rows
+    * (src_id, nbr_id) are bucketed by src_id: a node's whole adjacency
+    * list lives in one bucket, reads parallelize across buckets, and the
+    * incremental posture matches the dedup index (a future insert path
+    * touches only the buckets its node ids hash into).
+    */
+  def buildGraphIndex(spark: SparkSession, dir: String, root: String): Unit = {
+    val edges = SimilarityOps.beamGraphEdges(spark, dir)
+    MergeSink.publishPartitioned(
+      edges.withColumn("bucket", pmod(col("src_id"), lit(GraphBuckets.toLong)).cast("int")),
+      s"$root/edges", "bucket")
+  }
+
+  /** Beam-search top-k FROM the stored graph artifact: reads the edge
+    * list and runs ONLY the walk ([[SimilarityOps.graphBeam]] — coarse
+    * entry scan + [[SimilarityOps.BeamHops]] hops at
+    * [[SimilarityOps.BeamEf]]); NN-descent never re-runs. This is the
+    * serving cost the graph index exists for: per query,
+    * ~N/[[SimilarityOps.BeamCoarse]] + hops·ef·(M_max+1) candidates —
+    * the walk term independent of N — against the stored files.
+    */
+  def queryGraphIndex(spark: SparkSession, root: String, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+    SimilarityOps.graphBeam(spark, dir,
+      SimilarityOps.BeamEf, SimilarityOps.BeamHops, edges)
+  }
+
   private val DedupBuckets = 8
 
   /** Build + publish the near-dup (MinHash) index — the stored form of
@@ -400,6 +433,17 @@ object IndexOps {
         .select("vec_id", "embedding"))
   }
 
+  /** Build-then-serve for the navigable beam graph: publish the
+    * NN-descent artifact, then answer the beam walk from the files just
+    * written — row-identical to [[SimilarityOps.nsSimGraphBeam]] (shared
+    * oracle), with the build/serve split the bench can time apart.
+    */
+  def nsSimGraphIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("graph", dir)
+    buildGraphIndex(spark, dir, root)
+    queryGraphIndex(spark, root, dir)
+  }
+
   /** Build the index from the 80% corpus, then answer the 20% batch's
     * near-dup probes from the stored files — semantics shared with
     * [[DedupOps.nsDedupIncremental]] (same oracle).
@@ -416,6 +460,7 @@ object IndexOps {
     "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
     "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _),
     "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _),
+    "ns_sim_graph_indexed" -> (nsSimGraphIndexed _),
     "ns_dedup_minhash_indexed" -> (nsDedupMinhashIndexed _))
 
   /** The stored-index queries answer the SAME question as their in-session
@@ -425,5 +470,6 @@ object IndexOps {
     "ns_text_bm25_indexed" -> TextOps.oracles("ns_text_bm25"),
     "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
     "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"),
+    "ns_sim_graph_indexed" -> SimilarityOps.oracles("ns_sim_graph_beam"),
     "ns_dedup_minhash_indexed" -> DedupOps.oracles("ns_dedup_incremental"))
 }

@@ -314,17 +314,21 @@ object SamplingOps {
     * `sd` still scores EVERY document against it. `pred` is a SQL
     * predicate over `doc_id`.
     */
-  private[graft] def dsirCtesModelFrom(pred: String): String =
-    dsirCtes
-      .replace("FROM hb WHERE doc_id % 10 = 0",
-        s"FROM hb WHERE doc_id % 10 = 0 AND ($pred)")
-      .replace("FROM hb WHERE doc_id % 10 <> 0",
-        s"FROM hb WHERE doc_id % 10 <> 0 AND ($pred)")
-      // DuckDB inlines plain CTEs per reference — `docs` is read twice
-      // (uni, bi) and `hb` five times (tc/sc/tt/st/sd); materialize both
-      // or the corpus re-splits per reference.
-      .replace("docs AS (", "docs AS MATERIALIZED (")
-      .replace("hb AS (", "hb AS MATERIALIZED (")
+  private[graft] def dsirCtesModelFrom(pred: String): String = {
+    import SqlRewrite.replaceStrict
+    val patched = replaceStrict(
+      replaceStrict(dsirCtes,
+        "FROM hb WHERE doc_id % 10 = 0",
+        s"FROM hb WHERE doc_id % 10 = 0 AND ($pred)"),
+      "FROM hb WHERE doc_id % 10 <> 0",
+      s"FROM hb WHERE doc_id % 10 <> 0 AND ($pred)")
+    // DuckDB inlines plain CTEs per reference — `docs` is read twice
+    // (uni, bi) and `hb` five times (tc/sc/tt/st/sd); materialize both
+    // or the corpus re-splits per reference.
+    replaceStrict(
+      replaceStrict(patched, "docs AS (", "docs AS MATERIALIZED ("),
+      "hb AS (", "hb AS MATERIALIZED (")
+  }
 
   private def dsirOracle: String =
     s"""WITH $dsirCtes

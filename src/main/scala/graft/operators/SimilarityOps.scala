@@ -318,9 +318,11 @@ object SimilarityOps {
     * Scale shape: per round, candidates per node are bounded by the
     * (capped) degree squared — linear in N total, shuffles keyed on node
     * ids, embeddings re-attached by id only at rescore time. At 100 TB
-    * this is the offline graph-build job whose output is the stored
-    * artifact partitioned by src_id; localCheckpoint is the local-mode
-    * analog of reading it back.
+    * this is the offline graph-build job whose output is the STORED
+    * artifact ([[IndexOps.buildGraphIndex]] publishes exactly this frame,
+    * bucketed by src_id, and `ns_sim_graph_indexed` serves the walk from
+    * the files); the in-session localCheckpoint form remains for the
+    * build-and-walk query.
     */
   private[operators] def beamGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -375,12 +377,18 @@ object SimilarityOps {
     * by id at score time.
     */
   def nsSimGraphBeam(spark: SparkSession, dir: String): DataFrame =
-    graphBeam(spark, dir, BeamEf, BeamHops)
+    graphBeam(spark, dir, BeamEf, BeamHops, beamGraphEdges(spark, dir))
 
-  private[operators] def graphBeam(
-      spark: SparkSession, dir: String, ef: Int, hops: Int): DataFrame = {
+  /** The beam WALK alone over a supplied navigable-graph edge list —
+    * shared by the build-and-walk query ([[nsSimGraphBeam]]), the stored-
+    * artifact serve path ([[IndexOps.queryGraphIndex]]) and the ef tuner
+    * ([[efForRecall]] builds the graph ONCE and re-walks it per candidate
+    * ef instead of re-running NN-descent per evaluation).
+    */
+  private[graft] def graphBeam(
+      spark: SparkSession, dir: String, ef: Int, hops: Int,
+      edges: DataFrame): DataFrame = {
     val emb = embeddings(spark, dir)
-    val edges = beamGraphEdges(spark, dir)
     val queries = emb.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id")
@@ -428,8 +436,13 @@ object SimilarityOps {
     val truth = bruteforceTopk(embeddings(spark, dir))
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONE graph build for the whole tuning sweep: the navigable graph is
+    // identical across candidate efs (ef only widens the walk), so
+    // re-running NN-descent per evaluation would be ~|candidates| wasted
+    // full graph constructions.
+    val edges = beamGraphEdges(spark, dir)
     val table = candidates.sorted.map { ef =>
-      val got = graphBeam(spark, dir, ef, BeamHops)
+      val got = graphBeam(spark, dir, ef, BeamHops, edges)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       ef -> truth.count(got.contains).toDouble / truth.size

@@ -930,7 +930,12 @@ object TextOps {
           (b, j) => {
             val lp = element_at(vmap, word.substr(j + lit(1), i - j))
             val term = element_at(acc, (j + lit(1)).cast("int")) + lp
-            when(lp.isNull, b)
+            // Guard on the WHOLE term, not just lp: a(j) is null when
+            // position j is unreachable (possible under a char-incomplete
+            // vocab), and lseCol must never see a null side — Spark's
+            // greatest/least SKIP nulls, so lseCol(b, null) would return
+            // b + ln(2) (silent mass inflation) instead of b.
+            when(term.isNull, b)
               .otherwise(when(b.isNull, term).otherwise(lseCol(b, term)))
           }))))
 
@@ -950,7 +955,10 @@ object TextOps {
           (b, l) => {
             val lp = element_at(vmap, word.substr(j + lit(1), l))
             val term = lp + element_at(acc, l.cast("int"))
-            when(lp.isNull, b)
+            // Same whole-term null guard as the forward fold: b(j+l) can
+            // be null under a char-incomplete vocab, and lseCol must not
+            // see a null side (greatest/least skip nulls — silent +ln(2)).
+            when(term.isNull, b)
               .otherwise(when(b.isNull, term).otherwise(lseCol(b, term)))
           })
         concat(array(bj), acc)

@@ -932,8 +932,8 @@ object Pipelines {
     val (batchSets, edges0) = dedup.batchIndexAndEdges(batch, storedBanded, storedSets)
     // 3 (before the index update so candidates are batch-vs-DAY-1): map
     // corpus endpoints to day-1 labels, close the contracted graph.
-    // componentLabelsFromEdges materializes the edge list EAGERLY, so
-    // every read of the pre-update artifacts completes here.
+    // batchIndexAndEdges materialized edges0 EAGERLY, so every read of
+    // the pre-update artifacts has already completed.
     val lbl = spark.read.parquet(s"$root/labels").select("doc_id", "component")
     val corpusSide = lbl.join(broadcast(edges0), lbl("doc_id") === edges0("doc_b"))
       .select(edges0("doc_a"), lbl("component").as("doc_b"))
@@ -974,6 +974,10 @@ object Pipelines {
         "first_chunk", "last_chunk", "n_chunks")
       .withColumn("state", lit("appended"))
       .localCheckpoint() // pin before the manifest/labels upserts below
+    // The batch shingle cache has now served both its consumers (the
+    // contamination gate above and, transitively, the pinned `appended`);
+    // drop it so a long Verify/Bench session doesn't carry it.
+    batchSets.unpersist()
     // Base rows: the stored manifest relabeled through the touched
     // components; pinned (localCheckpoint) BEFORE the artifact upserts
     // so the returned frame cannot observe its own updates.

@@ -45,6 +45,18 @@ class GraphBeamSpec extends SparkSpec {
     }
   }
 
+  test("stored-graph serve path is row-identical to the in-session build-and-walk") {
+    val fromIndex = IndexOps.nsSimGraphIndexed(spark, sfDir).collect().toSeq
+    val inSession = SimilarityOps.nsSimGraphBeam(spark, sfDir).collect().toSeq
+    assert(fromIndex == inSession,
+      s"stored-graph walk diverged: index=${fromIndex.take(3)} session=${inSession.take(3)}")
+    // ...and the artifact actually exists on disk as the bucketed layout
+    // the serve path reads (the build/serve split is real, not a cache).
+    val root = new java.io.File(s"${graft.ops.ProcessTmp.dir("graft_index")}")
+    assert(root.listFiles != null && root.listFiles.exists(_.getName.startsWith("graph_")),
+      "graph artifact root missing")
+  }
+
   test("navigable graph degree is capped; walk cost is a corpus-size-independent constant") {
     import org.apache.spark.sql.functions._
     val deg = SimilarityOps.beamGraphEdges(spark, sfDir)
