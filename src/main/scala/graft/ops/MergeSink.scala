@@ -100,7 +100,24 @@ object MergeSink {
       path: String,
       partitionCol: String,
       audit: DataFrame => Unit = _ => (),
+      lockTimeoutMs: Long = 60000L): Unit =
+    publishPartitionedCols(df, path, Seq(partitionCol), audit, lockTimeoutMs)
+
+  /** [[publishPartitioned]] with a NESTED partition layout
+    * (`cols.head=a/cols(1)=b/...`): the swap unit is still a TOP-LEVEL
+    * `cols.head=` directory (renamed atomically with its whole subtree),
+    * so a batch that stages only its own top-level partitions — e.g. an
+    * append-friendly log writing `day=N/lang=*` — never touches sibling
+    * top-level partitions on publish.
+    */
+  def publishPartitionedCols(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      audit: DataFrame => Unit = _ => (),
       lockTimeoutMs: Long = 60000L): Unit = {
+    require(cols.nonEmpty, "publishPartitionedCols needs >= 1 partition column")
+    val partitionCol = cols.head
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,10 +126,19 @@ object MergeSink {
     val stage = new org.apache.hadoop.fs.Path(root, s"_staging/$id")
     var publishOk = false
     try {
-      df.write.mode("overwrite").partitionBy(partitionCol).parquet(stage.toString)
+      df.write.mode("overwrite").partitionBy(cols: _*).parquet(stage.toString)
+      // A zero-row batch stages no partition directories (and its parquet
+      // dir has no readable schema) — nothing to publish, the live table
+      // is untouched. Callers appending a possibly-empty day's rows rely
+      // on this being a clean no-op rather than a schema-inference throw.
+      if (!fs.listStatus(stage).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))) {
+        publishOk = true
+        return
+      }
       val staged = spark.read.parquet(stage.toString)
-      require(staged.columns.contains(partitionCol),
-        s"staged data lost partition column $partitionCol")
+      cols.foreach(c => require(staged.columns.contains(c),
+        s"staged data lost partition column $c"))
       audit(staged)
       val lock = new org.apache.hadoop.fs.Path(root, "_publish.lock")
       acquireLock(fs, lock, lockTimeoutMs)
@@ -169,6 +195,44 @@ object MergeSink {
       if (publishOk)
         fs.delete(new org.apache.hadoop.fs.Path(root, s"_trash/$id"), true)
     }
+  }
+
+  /** Compact an APPEND-FRIENDLY LOG table — the layout where each batch
+    * writes its rows (upserts AND tombstones) under its own top-level
+    * `seqCol=N` partition and never rewrites prior batches' files: resolve
+    * last-writer-wins per `keys` (highest `seqCol` wins), republish the
+    * resolved view as `seqCol=0`, then delete the superseded `seqCol>0`
+    * partitions. Run periodically so the log's read amplification (one
+    * stale row per superseded write) stays bounded; between compactions,
+    * readers resolve with the same max-seq window this uses.
+    *
+    * Single-compactor contract (like [[writePartitioned]]): don't run
+    * concurrently with a writer appending a new seq partition — the
+    * resolved view is pinned (localCheckpoint) before any delete, so a
+    * crash mid-delete loses no data, but a concurrent append between the
+    * read and the delete would be dropped.
+    */
+  def compactLog(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keys: Seq[String],
+      seqCol: String,
+      subCols: Seq[String] = Nil): Unit = {
+    val all = spark.read.parquet(path)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    // Pin BEFORE any delete: the resolved view must stop depending on the
+    // files about to be removed.
+    val resolved = all.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+      .withColumn(seqCol, lit(0))
+      .localCheckpoint()
+    publishPartitionedCols(resolved, path, seqCol +: subCols)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(seqCol + "=")
+        && s.getPath.getName != s"$seqCol=0")
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   private def acquireLock(

@@ -845,14 +845,39 @@ object Pipelines {
       .join(fin, Seq("doc_id"))
       .select("doc_id", "lang", "component", "toks", "cum_before",
         "first_chunk", "last_chunk", "n_chunks")
-    sink.publishPartitioned(manifest, s"$root/manifest", "lang")
+    // APPEND-FRIENDLY LOG LAYOUT (day=N/lang=*): the build is day 0; each
+    // delta appends ONLY its own day partition (new rows + revocation
+    // tombstones) instead of rewriting whole lang partitions — at 100 TB
+    // with a handful of langs, a lang-partitioned upsert would rewrite the
+    // entire doc-count-scale manifest every day. Readers resolve
+    // last-writer-wins by day ([[manifestSnapshot]]);
+    // [[graft.ops.MergeSink.compactLog]] periodically folds the log back
+    // to day 0.
+    sink.publishPartitionedCols(
+      manifest.withColumn("state", lit("base")).withColumn("day", lit(0)),
+      s"$root/manifest", Seq("day", "lang"))
     sink.publishPartitioned(
       packInput.agg(coalesce(sum("toks"), lit(0L)).as("total_toks"))
+        .withColumn("commit", lit("build"))
         .withColumn("bucket", lit(0)),
       s"$root/stats", "bucket")
     spark.read.parquet(s"$root/manifest")
       .select("doc_id", "lang", "component", "toks", "cum_before",
         "first_chunk", "last_chunk", "n_chunks")
+  }
+
+  /** Current view of the append-friendly manifest log at `root`: one row
+    * per doc, the highest-day writer wins — a delta writes its appended
+    * rows and the rows it re-stated (fresh revocation tombstones,
+    * component moves) under its own `day=N` partition and never rewrites
+    * prior days' files. Carries `state` (base/appended/revoked as of the
+    * last writer) and `day`.
+    */
+  private def manifestSnapshot(spark: SparkSession, root: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("day").desc)
+    spark.read.parquet(s"$root/manifest")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
   }
 
   /** The INCREMENTAL platform build — the operation a daily 100 TB
@@ -888,8 +913,12 @@ object Pipelines {
     * component merged with a smaller-id batch doc loses survivorship; its
     * manifest row stays with `state = 'revoked'` (the chunk range becomes
     * a tombstoned hole — an append store never repacks), and the stored
-    * labels/manifest/stats artifacts are upserted touched-buckets-only so
-    * tomorrow's delta reads today's state. Output rows carry
+    * artifacts are maintained batch-proportionally so tomorrow's delta
+    * reads today's state: labels upsert touched doc-buckets, the manifest
+    * APPENDS this delta's rows + fresh tombstones under its own `day=N`
+    * partition (prior days' files are never rewritten — the LWW day log
+    * [[manifestSnapshot]] resolves; [[graft.ops.MergeSink.compactLog]]
+    * folds it back periodically). Output rows carry
     * `state ∈ {base, appended, revoked}`; non-revoked rows equal a full
     * rebuild under the frozen day-1 models (PlatformDeltaSpec pins this;
     * the oracle replays the full-graph closure + day-1 closure + gates +
@@ -920,16 +949,39 @@ object Pipelines {
     */
   private[graft] def platformDeltaStage(
       spark: SparkSession, dir: String, root: String,
-      isBatch: Column => Column): DataFrame = {
+      isBatch: Column => Column,
+      edgeProbe: DataFrame => Unit = _ => ()): DataFrame =
+    platformDeltaBatch(spark,
+      Tables.documents(spark, dir).where(isBatch(col("doc_id"))),
+      root, edgeProbe)
+
+  /** [[platformDeltaStage]] over an ARRIVING BATCH FRAME — the form a
+    * streaming micro-batch hands in
+    * ([[graft.streaming.StreamingPlatformDelta]]): batch membership is
+    * decided by semi/anti-joins against the batch's own (broadcast-tiny)
+    * id set instead of a doc_id predicate, so any frame whose ids are
+    * disjoint from the indexed corpus can be a batch. `commitTag`, when
+    * set, is recorded in the stats artifact's `commit` column as the
+    * delta's COMMIT RECORD: stats is the LAST publish, so a crash-replay
+    * that finds its own tag already committed knows every artifact
+    * mutation landed (the streaming twin's exactly-once guard); a replay
+    * that does NOT find it recomputes byte-identical artifact rows
+    * (packing reads the pre-delta total until that final publish).
+    */
+  private[graft] def platformDeltaBatch(
+      spark: SparkSession, batch: DataFrame, root: String,
+      edgeProbe: DataFrame => Unit = _ => (),
+      commitTag: Option[String] = None): DataFrame = {
     val dedup = graft.operators.DedupOps
     val text = graft.operators.TextOps
     val sampling = graft.operators.SamplingOps
     val sink = graft.ops.MergeSink
-    val batch = Tables.documents(spark, dir).where(isBatch(col("doc_id")))
+    val batchIds = batch.select("doc_id")
     // 1: batch edges against the stored index (one batch shingle pass).
     val storedBanded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
     val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
     val (batchSets, edges0) = dedup.batchIndexAndEdges(batch, storedBanded, storedSets)
+    edgeProbe(edges0) // rehearsal hook: observe the (checkpointed) edge list
     // 3 (before the index update so candidates are batch-vs-DAY-1): map
     // corpus endpoints to day-1 labels, close the contracted graph.
     // batchIndexAndEdges materialized edges0 EAGERLY, so every read of
@@ -937,16 +989,19 @@ object Pipelines {
     val lbl = spark.read.parquet(s"$root/labels").select("doc_id", "component")
     val corpusSide = lbl.join(broadcast(edges0), lbl("doc_id") === edges0("doc_b"))
       .select(edges0("doc_a"), lbl("component").as("doc_b"))
-    val deltaPairs = corpusSide.unionByName(edges0.where(isBatch(col("doc_b"))))
-    val newLabels = dedup.componentLabelsFromEdges(batch.select("doc_id"), deltaPairs)
+    val deltaPairs = corpusSide.unionByName(
+      edges0.join(broadcast(batchIds.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
+    val newLabels = dedup.componentLabelsFromEdges(batchIds, deltaPairs)
     // 2: index maintenance (touched buckets only).
     graft.operators.IndexOps.updateDedupIndex(batch, root)
     // Touched day-1 components whose label changes under the merge.
-    val relabel = newLabels.where(!isBatch(col("doc_id")))
+    val relabel = newLabels
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("component"), col("component").as("new_component"))
       .where(col("new_component") =!= col("component"))
     // 4: batch survivorship + gates.
-    val bLabels = newLabels.where(isBatch(col("doc_id")))
+    val bLabels = newLabels.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
     val bSurv = bLabels.where(col("doc_id") === col("component"))
       .where(dedup.splitCol === "train")
       .where(col("doc_id") % 50 =!= 0) // vacuous for ids ≡ 1 mod 10; the contract
@@ -978,23 +1033,36 @@ object Pipelines {
     // contamination gate above and, transitively, the pinned `appended`);
     // drop it so a long Verify/Bench session doesn't carry it.
     batchSets.unpersist()
-    // Base rows: the stored manifest relabeled through the touched
-    // components; pinned (localCheckpoint) BEFORE the artifact upserts
-    // so the returned frame cannot observe its own updates.
-    val base = spark.read.parquet(s"$root/manifest")
-      .select("doc_id", "lang", "component", "toks", "cum_before",
-        "first_chunk", "last_chunk", "n_chunks")
+    // Base rows: the stored manifest SNAPSHOT (last-writer-wins over the
+    // day log) RE-STATED through the touched components; pinned
+    // (localCheckpoint) BEFORE the artifact appends so the returned frame
+    // cannot observe its own updates. Revocation is STICKY: a row a prior
+    // delta tombstoned stays revoked (its chunk range is a permanent hole
+    // in the append-only stream), though its component keeps tracking
+    // further merges; a prior delta's 'appended' rows restate as plain
+    // base (they are part of the packed stream now).
+    val stored = manifestSnapshot(spark, root)
+    val day = stored.agg(coalesce(max("day"), lit(0)).as("d"))
+      .head().getInt(0) + 1
+    val baseRel = stored
       .join(broadcast(relabel), Seq("component"), "left_outer")
       .withColumn("fin_comp", coalesce(col("new_component"), col("component")))
-      .select(col("doc_id"), col("lang"), col("fin_comp").as("component"),
+      .withColumn("new_state",
+        when(col("state") === "revoked", lit("revoked"))
+          .when(col("fin_comp") =!= col("doc_id"), lit("revoked"))
+          .otherwise(lit("base")))
+    def restated(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"), col("fin_comp").as("component"),
         col("toks"), col("cum_before"), col("first_chunk"), col("last_chunk"),
-        col("n_chunks"),
-        when(col("fin_comp") === col("doc_id"), "base")
-          .otherwise("revoked").as("state"))
-      .localCheckpoint()
+        col("n_chunks"), col("new_state").as("state"))
+    val base = restated(baseRel).localCheckpoint()
     // Artifact maintenance so tomorrow's delta reads today's state:
-    // labels upsert (touched doc-buckets only), manifest append (touched
-    // lang partitions only), stats refresh (one row).
+    // labels upsert (touched doc-buckets only), manifest APPEND — this
+    // delta's new rows plus ONLY the rows it re-stated (fresh revocation
+    // tombstones / component moves, i.e. the relabel-joined slice) land
+    // under their own day=N partition; prior days' files are never opened
+    // or rewritten ([[graft.ops.MergeSink.compactLog]] folds the log back
+    // to day 0 periodically) — and the 1-row stats refresh.
     val updLbl = lbl.join(broadcast(relabel), Seq("component"))
       .select(col("doc_id"), col("new_component").as("component"))
       .unionByName(bLabels.select("doc_id", "component"))
@@ -1006,17 +1074,15 @@ object Pipelines {
       .select(col("doc_id"), col("component"), col("bucket").cast("int"))
     sink.publishPartitioned(
       sink.upsert(oldLbl, updLbl, Seq("doc_id")), s"$root/labels", "bucket")
-    val newMan = appended.drop("state")
-    val touchedLangs = newMan.select("lang").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val oldMan = spark.read.parquet(s"$root/manifest")
-      .where(col("lang").isin(touchedLangs: _*))
-      .select(newMan.columns.map(col): _*)
-    if (touchedLangs.nonEmpty)
-      sink.publishPartitioned(
-        sink.upsert(oldMan, newMan, Seq("doc_id")), s"$root/manifest", "lang")
+    val changed = restated(baseRel.where(col("new_component").isNotNull))
+    sink.publishPartitionedCols(
+      changed.unionByName(appended).withColumn("day", lit(day)),
+      s"$root/manifest", Seq("day", "lang"))
+    // Stats is the LAST publish — the delta's commit record: once the
+    // commit tag is visible here, every artifact mutation above landed.
     sink.publishPartitioned(
       packInput.agg((coalesce(sum("toks"), lit(0L)) + baseToks).as("total_toks"))
+        .withColumn("commit", lit(commitTag.getOrElse("delta")))
         .withColumn("bucket", lit(0)),
       s"$root/stats", "bucket")
     base.unionByName(appended).orderBy("doc_id")

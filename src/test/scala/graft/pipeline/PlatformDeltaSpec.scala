@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The incremental platform build's consistency contract: the delta over
@@ -74,5 +76,78 @@ class PlatformDeltaSpec extends SparkSpec {
     val stored = spark.read.parquet(s"$day1Root/stats")
       .select("total_toks").head().getLong(0)
     assert(stored == cum, s"stats artifact $stored != appended end $cum")
+  }
+
+  test("two consecutive deltas == frozen full rebuild; day-2 writes touch only day=2; compaction preserves the view") {
+    val r2 = s"$root/chain"
+    val isB1 = (c: Column) => c % 10 === 1
+    val isB2 = (c: Column) => c % 10 === 3
+    // Day 1: corpus excludes BOTH future batches.
+    Pipelines.platformBuildCore(spark, sfDir, r2,
+      !isB1(col("doc_id")) && !isB2(col("doc_id")))
+    Pipelines.platformDeltaStage(spark, sfDir, r2, isB1).count()
+    // File inventory of the manifest log before the second delta.
+    def manFiles: Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$r2/manifest"))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getPath -> ((f.length, f.lastModified))).toMap
+    }
+    val before = manFiles
+    val d2 = Pipelines.platformDeltaStage(spark, sfDir, r2, isB2).collect()
+    val after = manFiles
+    // Append-only: every prior-day file untouched; every new file under
+    // day=2 (the second delta's own partition).
+    before.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"prior-day manifest file rewritten: $p")
+    }
+    (after.keySet -- before.keySet).foreach { p =>
+      assert(p.contains("day=2"), s"day-2 delta wrote outside day=2: $p")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty, "day-2 delta wrote nothing")
+    // Chained consistency: live rows after delta₂ == a full rebuild over
+    // day-1 ∪ batch₁ ∪ batch₂ under the frozen day-1 models ("tomorrow's
+    // delta reads today's state", now actually exercised for tomorrow).
+    val full = Pipelines.platformBuildCore(spark, sfDir, s"$root/chainfull",
+        lit(true), frozenFrom = Some(r2))
+      .select("doc_id", "component", "toks").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val live = d2.filter(_.getAs[String]("state") != "revoked")
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("component"), r.getAs[Long]("toks")))).toMap
+    assert(live == full,
+      s"chained delta != frozen full rebuild: " +
+        s"only-delta=${(live.keySet -- full.keySet).toSeq.sorted.take(5)} " +
+        s"only-full=${(full.keySet -- live.keySet).toSeq.sorted.take(5)} " +
+        s"diff=${live.collect { case (k, v) if full.get(k).exists(_ != v) => k }.take(5)}")
+    // Append continuity across BOTH deltas: batch₂ packs after the
+    // stored post-delta₁ total.
+    val d2Appended = d2.filter(_.getAs[String]("state") == "appended")
+    assert(d2Appended.forall(r => r.getAs[Long]("doc_id") % 10 == 3))
+    val preTotal = d2.filter(_.getAs[String]("state") != "appended")
+      .map(_.getAs[Long]("toks")).sum
+    if (d2Appended.nonEmpty)
+      assert(d2Appended.map(_.getAs[Long]("cum_before")).min == preTotal,
+        "batch-2 append does not start at the stored total")
+    // Compaction folds the day log to a single day=0 with an identical
+    // resolved view (tombstones survive the fold).
+    def snapshot(): Set[(Long, Long, Long, Long, String)] = {
+      val w = Window.partitionBy("doc_id").orderBy(col("day").desc)
+      spark.read.parquet(s"$r2/manifest")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("doc_id", "component", "toks", "cum_before", "state")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    }
+    val viewBefore = snapshot()
+    graft.ops.MergeSink.compactLog(spark, s"$r2/manifest",
+      Seq("doc_id"), "day", Seq("lang"))
+    val dayDirs = new java.io.File(s"$r2/manifest").listFiles.toSeq
+      .map(_.getName).filter(_.startsWith("day="))
+    assert(dayDirs == Seq("day=0"), s"compaction left $dayDirs")
+    assert(snapshot() == viewBefore, "compaction changed the resolved view")
   }
 }
