@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal for the dedup family: generates deterministic
@@ -266,6 +266,64 @@ object ScaleRehearsal {
       }
       (name, dir)
     }
+    // Round-9: THE DELTA MEASUREMENT. Batch held FIXED at 500 docs
+    // (doc_id % 10 == 1 && doc_id < 5000 — present identically at every
+    // scale) while the day-1 corpus grows ~4.5k -> ~99.5k docs: the claim
+    // under test is "delta wall ∝ batch, not corpus" (flat), with the
+    // day-1 build rows as the linear-growth contrast. Each point gets a
+    // FRESH day-1 root (the delta MUTATES its artifacts; roots are
+    // per-process and removed on exit). A second, HIGH-DUP arm
+    // (doc_id % 10 == 9 && doc_id < 5000 — every batch doc a planted
+    // near-dup of a corpus doc) stresses the broadcast(edges0) verified
+    // edge list; the edge count is recorded per point. Select with
+    // trailing arg `platform_delta`.
+    lazy val deltaRoot = graft.ops.ProcessTmp.dir("graft_deltasweep")
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def measureDelta(arm: String, isBatch: Column => Column,
+        sfName: String, dir: String): Unit = {
+      if (only.nonEmpty && !only("platform_delta")) return
+      val root = s"$deltaRoot/${arm}_$sfName"
+      readB.reset(); writeB.reset()
+      val tb = System.nanoTime()
+      graft.pipeline.Pipelines
+        .platformBuildCore(spark, dir, root, !isBatch(col("doc_id"))).count()
+      val buildSec = math.round((System.nanoTime() - tb) / 1e7) / 100.0
+      val bw = math.round(writeB.sum / 1e5) / 10.0
+      val br = math.round(readB.sum / 1e5) / 10.0
+      cleanup()
+      println(s"""{"query":"platform_day1_build","arm":"$arm","sf":"$sfName","sec":$buildSec,"shuffle_write_mb":$bw,"shuffle_read_mb":$br}""")
+      var edges = -1L
+      readB.reset(); writeB.reset()
+      val td = System.nanoTime()
+      val rows = graft.pipeline.Pipelines
+        .platformDeltaStage(spark, dir, root, isBatch, e => edges = e.count())
+        .count()
+      val deltaSec = math.round((System.nanoTime() - td) / 1e7) / 100.0
+      val dw = math.round(writeB.sum / 1e5) / 10.0
+      val dr = math.round(readB.sum / 1e5) / 10.0
+      cleanup()
+      println(s"""{"query":"platform_delta_stage","arm":"$arm","sf":"$sfName","rows":$rows,"edges":$edges,"sec":$deltaSec,"shuffle_write_mb":$dw,"shuffle_read_mb":$dr}""")
+    }
+    for ((sfName, dir) <- scales) {
+      measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
+      measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+    }
+
+    // Round-9: the 1M-doc ceiling for the two heaviest corpus jobs (r7
+    // item 5 — previous ceiling 100k). Same generator, one more 10x/2.5x
+    // column; wall + shuffle should keep tracking the linear regime.
+    val bigQs = Seq("pipe_platform_build", "pipe_corpus_report")
+    if (only.isEmpty || bigQs.exists(only)) {
+      val dir = sys.props("java.io.tmpdir") + "/graft_synth1m"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) {
+        generate(spark, dir, 1000000L)
+      }
+      for (q <- bigQs) measure(q, "synth1m", dir)
+    }
+
     for ((sfName, dir) <- sessScales) measure("ns_session_agg", sfName, dir)
     // Filters over the document corpora: packing (per-lang window),
     // decontamination (probe-set broadcast semi-join — the probe is the

@@ -85,23 +85,26 @@ object ImageCodecs {
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
-  /** Real PNG (8-bit; color types 2 RGB, 3 palette, 6 RGBA): signature,
+  /** Real PNG (color types 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha,
+    * 6 RGBA; bit depth 8, or 16 for the non-palette types): signature,
     * chunk walk with CRC32 verification, multi-IDAT zlib stream inflated
     * via the JDK's `java.util.zip.Inflater` (zero external dependencies),
     * and scanline UN-FILTERING — each row carries a filter byte (0 none /
-    * 1 sub / 2 up / 3 average / 4 paeth) whose prediction must be
-    * reversed byte-wise mod 256 at the color type's pixel stride (3 for
-    * RGB, 4 for RGBA, 1 for palette indices). Palette images expand
-    * through the PLTE chunk to 3-channel RGB — a real corpus's PNGs are
-    * majority palette/alpha, so both paths matter. The fixture generator
-    * cycles ALL FIVE filter types across rows, so a reader that skips
-    * un-filtering (summing the raw inflated bytes) diverges from the
-    * oracle — the compressed-format analog of the BMP row-padding trap.
+    * 1 sub / 2 up / 3 average / 4 paeth) whose prediction is reversed
+    * byte-wise mod 256 at the color type's pixel stride in BYTES
+    * (channels·depth/8 — per the spec, 16-bit samples filter as byte
+    * pairs). Palette images expand through the PLTE chunk to 3-channel
+    * RGB — a real corpus's PNGs are majority palette/alpha, so both
+    * paths matter. The fixture generator cycles ALL FIVE filter types
+    * across rows, so a reader that skips un-filtering (summing the raw
+    * inflated bytes) diverges from the oracle — the compressed-format
+    * analog of the BMP row-padding trap.
     *
     * Fail-loud contract like the other codecs: bad signature, CRC
-    * mismatch, unsupported IHDR variant (16-bit, grayscale 0/4,
-    * interlaced), missing/short PLTE, out-of-range palette index,
-    * truncated or oversized inflate all throw.
+    * mismatch, unsupported IHDR variant (color type outside 0/2/3/4/6,
+    * depth outside 8/16, 16-bit palette, interlaced), missing/short
+    * PLTE, out-of-range palette index, truncated or oversized inflate
+    * all throw.
     */
   def decodePng(bytes: Array[Byte]): Decoded = {
     val (w, h, c, px) = pngPixels(bytes)
@@ -111,6 +114,19 @@ object ImageCodecs {
     (w, h, c, sum)
   }
 
+  /** Channel count of PNG color type `ct` (palette counts its 1 index
+    * byte pre-expansion; decode expands it to 3).
+    */
+  def pngChannels(ct: Int): Int = ct match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor RGB
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // truecolor + alpha
+    case _ => throw new IllegalArgumentException(
+      s"PNG: unsupported color type $ct")
+  }
+
   /** Number of IDAT chunks in a PNG payload — the multi-chunk layout
     * statistic the registered query reports (a single zlib stream may
     * legally split across any number of IDATs).
@@ -118,8 +134,10 @@ object ImageCodecs {
   def pngIdatCount(bytes: Array[Byte]): Long =
     pngChunks(bytes).count(_._1 == "IDAT").toLong
 
-  /** Full PNG decode: (width, height, channels, channels·w·h pixel bytes
-    * row-major, un-filtered; palette images arrive EXPANDED to RGB).
+  /** Full PNG decode: (width, height, channels,
+    * channels·(depth/8)·w·h pixel bytes row-major, un-filtered; 16-bit
+    * samples stay as big-endian byte pairs; palette images arrive
+    * EXPANDED to RGB).
     */
   def pngPixels(bytes: Array[Byte]): (Long, Long, Long, Array[Byte]) = {
     val chunks = pngChunks(bytes)
@@ -133,15 +151,13 @@ object ImageCodecs {
     val (depth, color) = (ihdr(8) & 0xff, ihdr(9) & 0xff)
     val (comp, filt, interlace) = (ihdr(10) & 0xff, ihdr(11) & 0xff, ihdr(12) & 0xff)
     require(w > 0 && h > 0, s"PNG: bad dimensions ${w}x$h")
-    // bytes per pixel in the FILTERED stream (the predictor stride)
-    val bpp = color match {
-      case 2 => 3 // truecolor RGB
-      case 6 => 4 // truecolor + alpha
-      case 3 => 1 // palette index
-      case _ => throw new IllegalArgumentException(
-        s"PNG: unsupported color type $color (RGB/RGBA/palette only)")
-    }
-    require(depth == 8, s"PNG: unsupported bit depth $depth (8-bit only)")
+    val channels = pngChannels(color) // throws on color types outside 0/2/3/4/6
+    require(depth == 8 || (color != 3 && depth == 16),
+      s"PNG: unsupported bit depth $depth for color type $color")
+    // bytes per pixel in the FILTERED stream (the predictor stride —
+    // per the spec, filtering operates on BYTES at this stride even for
+    // 16-bit samples)
+    val bpp = channels * (depth / 8)
     require(comp == 0 && filt == 0 && interlace == 0,
       s"PNG: unsupported comp/filter/interlace $comp/$filt/$interlace")
     require(bpp.toLong * w * h + h <= Int.MaxValue && 4L * w * h <= Int.MaxValue,
@@ -221,7 +237,7 @@ object ImageCodecs {
         i += 1
       }
       (w, h, 3L, rgb)
-    } else (w, h, bpp.toLong, out)
+    } else (w, h, channels.toLong, out)
   }
 
   /** PNG chunk walk: verifies the 8-byte signature and EVERY chunk's
@@ -321,11 +337,20 @@ object ImageFixtures {
   }
 
   /** Color type of fixture PNG `id`: ids cycle 2 (RGB) / 6 (RGBA) /
-    * 3 (palette) by id%3 — a corpus's PNGs are majority palette/alpha,
-    * so the decoder must handle all three.
+    * 3 (palette) / 0 (grayscale) / 4 (gray+alpha) by id%5 — a real
+    * corpus's PNGs span all five, so the decoder must handle them all.
     */
   def pngColorType(id: Long): Int =
-    (id % 3).toInt match { case 0 => 2; case 1 => 6; case _ => 3 }
+    (id % 5).toInt match {
+      case 0 => 2; case 1 => 6; case 2 => 3; case 3 => 0; case _ => 4
+    }
+
+  /** Bit depth of fixture PNG `id`: every 7th non-palette id is 16-bit
+    * (big-endian sample pairs; palette is 8-bit by the spec for sub-256
+    * palettes and stays 8 here).
+    */
+  def pngBitDepth(id: Long): Int =
+    if (pngColorType(id) != 3 && id % 7 == 0) 16 else 8
 
   /** PLTE entry byte (entry e, component c) of fixture PNG `id`. */
   def paletteByte(id: Long, e: Int, c: Int): Byte =
@@ -336,13 +361,16 @@ object ImageFixtures {
   /** Palette index of pixel i for a palette fixture: (id·31 + i) % 16. */
   def paletteIdx(id: Long, i: Long): Byte = ((id * 31 + i) % PaletteEntries).toByte
 
-  /** Real 8-bit PNG, (id%11+1) × (id%5+4), color type by [[pngColorType]]
-    * (RGB / RGBA / palette cycling with id%3): raw pixel byte i is
-    * [[pxByte]] (RGB/RGBA) or palette index [[paletteIdx]] with PLTE
+  /** Real PNG, (id%11+1) × (id%5+4), color type by [[pngColorType]]
+    * (RGB / RGBA / palette / grayscale / gray+alpha cycling with id%5),
+    * bit depth by [[pngBitDepth]] (every 7th non-palette id is 16-bit):
+    * raw stream byte i is [[pxByte]] (for 16-bit images the big-endian
+    * sample pairs are simply consecutive [[pxByte]] bytes — the oracle
+    * sums bytes, not samples) or palette index [[paletteIdx]] with PLTE
     * entries [[paletteByte]]; row r is FILTERED with type r % 5 at the
-    * color type's pixel stride (so every image with h >= 5 exercises
-    * none/sub/up/average/paeth — the decoder must reverse all four
-    * non-trivial predictors to recover the pixels), the filtered
+    * color type's pixel stride in BYTES (so every image with h >= 5
+    * exercises none/sub/up/average/paeth — the decoder must reverse all
+    * four non-trivial predictors to recover the pixels), the filtered
     * scanlines deflate into ONE zlib stream split across TWO IDAT chunks
     * (multi-IDAT concatenation is part of the format), and every chunk
     * carries a real CRC32. h >= 4 guarantees sub/up/average appear even
@@ -354,7 +382,8 @@ object ImageFixtures {
     val w = (id % 11 + 1).toInt
     val h = (id % 5 + 4).toInt
     val colorType = pngColorType(id)
-    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val depth = pngBitDepth(id)
+    val bpp = ImageCodecs.pngChannels(colorType) * (depth / 8)
     val stride = bpp * w
     // raw -> filtered scanlines
     val raw = Array.tabulate(h * stride) { i =>
@@ -397,7 +426,7 @@ object ImageFixtures {
     val z = java.util.Arrays.copyOf(zbuf, zlen)
     val chunk = pngChunk _
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
-      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val plte =
       if (colorType == 3)

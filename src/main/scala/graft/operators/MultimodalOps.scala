@@ -262,21 +262,23 @@ object MultimodalOps {
     */
   case class PngFeatures(
       doc_id: Long, mime: String, width: Long, height: Long,
-      color_type: Long, channels: Long, px_sum: Long, n_idat: Long)
+      color_type: Long, bit_depth: Long, channels: Long, px_sum: Long,
+      n_idat: Long)
 
   /** PNG corpus: every doc_id ≡ 3 mod 4 carries a REAL generated PNG —
     * the first COMPRESSED format in the modality set (the others are
-    * uncompressed containers), cycling all three supported COLOR TYPES
-    * (2 RGB / 6 RGBA / 3 palette by id%3 — a real corpus's PNGs are
-    * majority palette/alpha): decode walks the chunk tree with CRC32
+    * uncompressed containers), cycling ALL FIVE COLOR TYPES
+    * (2 RGB / 6 RGBA / 3 palette / 0 grayscale / 4 gray+alpha by id%5,
+    * with every 7th non-palette id at 16-bit depth — a real corpus's
+    * PNGs span all of these): decode walks the chunk tree with CRC32
     * verification, inflates the multi-IDAT zlib stream with the JDK
     * Inflater, reverses the per-row scanline filters at the color type's
-    * pixel stride (none/sub/up/average/paeth — the generator cycles all
+    * byte stride (none/sub/up/average/paeth — the generator cycles all
     * five, so an unfiltered read diverges from the oracle), and expands
-    * palette indices through the PLTE chunk. color_type is read from the
-    * actual IHDR byte; channels from the decoded pixel layout. Same
-    * per-partition batched shape as the other modalities; payloads never
-    * cross a shuffle.
+    * palette indices through the PLTE chunk. color_type and bit_depth
+    * are read from the actual IHDR bytes; channels from the decoded
+    * pixel layout. Same per-partition batched shape as the other
+    * modalities; payloads never cross a shuffle.
     */
   def nsMultimodalPng(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -286,15 +288,17 @@ object MultimodalOps {
       .map(id => MediaRecord(id, ImageFixtures.PngMime, ImageFixtures.png(id)))
       .mapPartitions(_.map { r =>
         val (w, h, c, s) = ImageCodecs.decodePng(r.payload)
-        // IHDR color-type byte, re-read from the payload (not the
-        // generator's parameter): sig 8 + len/type 8 + w/h/depth 9.
+        // IHDR depth/color-type bytes, re-read from the payload (not the
+        // generator's parameters): sig 8 + len/type 8 + w/h 8, then
+        // depth, then color.
+        val bitDepth = (r.payload(8 + 8 + 8) & 0xff).toLong
         val colorType = (r.payload(8 + 8 + 9) & 0xff).toLong
-        PngFeatures(r.doc_id, r.mime, w, h, colorType, c, s,
+        PngFeatures(r.doc_id, r.mime, w, h, colorType, bitDepth, c, s,
           ImageCodecs.pngIdatCount(r.payload))
       })
       .toDF()
-      .select("doc_id", "mime", "width", "height", "color_type", "channels",
-        "px_sum", "n_idat")
+      .select("doc_id", "mime", "width", "height", "color_type", "bit_depth",
+        "channels", "px_sum", "n_idat")
       .orderBy("doc_id")
   }
 
@@ -345,29 +349,35 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     // Replays the PngFixtures formulas symbolically: w = id%11+1,
-    // h = id%5+4, color type cycles 2/6/3 by id%3. px_sum over the
-    // UN-FILTERED decoded bytes: RGB/RGBA sum (id·31 + i) % 256 over
-    // ch·w·h bytes; palette images sum the PLTE entry bytes
-    // (id·13 + idx·3 + c) % 256 for idx = (id·31 + i) % 16 over the w·h
-    // indices — so a hash-match proves the Spark side inflated the real
-    // zlib stream, reversed every scanline filter at the right pixel
-    // stride (the generator cycles all five types per image), and
-    // expanded the palette through the actual PLTE chunk.
+    // h = id%5+4, color type cycles 2/6/3/0/4 by id%5, bit depth 16 for
+    // every 7th non-palette id (bpc = bytes per component). px_sum over
+    // the UN-FILTERED decoded bytes: non-palette types sum
+    // (id·31 + i) % 256 over chRaw·bpc·w·h raw stream bytes (16-bit
+    // sample pairs are consecutive raw bytes by construction); palette
+    // images sum the PLTE entry bytes (id·13 + idx·3 + c) % 256 for
+    // idx = (id·31 + i) % 16 over the w·h indices — so a hash-match
+    // proves the Spark side inflated the real zlib stream, reversed
+    // every scanline filter at the right BYTE stride (the generator
+    // cycles all five filter types per image), and expanded the palette
+    // through the actual PLTE chunk.
     "ns_multimodal_png" ->
       """WITH a AS (
         |  SELECT doc_id,
         |         CAST(doc_id % 11 + 1 AS BIGINT) AS w,
         |         CAST(doc_id % 5 + 4 AS BIGINT) AS h,
-        |         doc_id % 3 AS t
+        |         doc_id % 5 AS t,
+        |         CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 = 0
+        |              THEN 2 ELSE 1 END AS bpc
         |  FROM documents WHERE doc_id % 4 = 3),
         |u AS (
         |  SELECT doc_id, t,
         |         unnest(generate_series(0,
-        |           (CASE t WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END)*w*h - 1)) AS i
+        |           (CASE t WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 3 THEN 1
+        |                   WHEN 4 THEN 2 ELSE 1 END)*bpc*w*h - 1)) AS i
         |  FROM a),
         |px AS (
         |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN t <= 1 THEN (doc_id*31 + i) % 256
+        |         CAST(SUM(CASE WHEN t <> 2 THEN (doc_id*31 + i) % 256
         |              ELSE (doc_id*13 + ((doc_id*31 + i) % 16)*3    ) % 256
         |                 + (doc_id*13 + ((doc_id*31 + i) % 16)*3 + 1) % 256
         |                 + (doc_id*13 + ((doc_id*31 + i) % 16)*3 + 2) % 256
@@ -376,8 +386,11 @@ object MultimodalOps {
         |SELECT a.doc_id,
         |       'image/png' AS mime,
         |       a.w AS width, a.h AS height,
-        |       CAST(CASE a.t WHEN 0 THEN 2 WHEN 1 THEN 6 ELSE 3 END AS BIGINT) AS color_type,
-        |       CAST(CASE a.t WHEN 1 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+        |       CAST(CASE a.t WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3
+        |                     WHEN 3 THEN 0 ELSE 4 END AS BIGINT) AS color_type,
+        |       CAST(a.bpc * 8 AS BIGINT) AS bit_depth,
+        |       CAST(CASE a.t WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 3
+        |                     WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
         |       px.px_sum,
         |       CAST(2 AS BIGINT) AS n_idat
         |FROM a JOIN px USING (doc_id)

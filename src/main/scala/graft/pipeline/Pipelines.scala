@@ -861,10 +861,24 @@ object Pipelines {
         .withColumn("commit", lit("build"))
         .withColumn("bucket", lit(0)),
       s"$root/stats", "bucket")
-    spark.read.parquet(s"$root/manifest")
+    readManifestLog(spark, root)
       .select("doc_id", "lang", "component", "toks", "cum_before",
         "first_chunk", "last_chunk", "n_chunks")
   }
+
+  /** The manifest log's schema, declared for reads: a corpus whose gates
+    * reject EVERY document (the scale-rehearsal synthetic vocabulary
+    * does exactly this) publishes an empty manifest — zero partition
+    * directories, nothing for schema inference — and the platform must
+    * read that as an empty frame, not throw UNABLE_TO_INFER_SCHEMA.
+    */
+  private val manifestLogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, component BIGINT, toks BIGINT, " +
+      "cum_before BIGINT, first_chunk BIGINT, last_chunk BIGINT, " +
+      "n_chunks BIGINT, state STRING, day INT")
+
+  private def readManifestLog(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(manifestLogSchema).parquet(s"$root/manifest")
 
   /** Current view of the append-friendly manifest log at `root`: one row
     * per doc, the highest-day writer wins — a delta writes its appended
@@ -875,7 +889,7 @@ object Pipelines {
     */
   private def manifestSnapshot(spark: SparkSession, root: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("day").desc)
-    spark.read.parquet(s"$root/manifest")
+    readManifestLog(spark, root)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
   }

@@ -91,18 +91,23 @@ class MultimodalSpec extends SparkSpec {
       case _ => ImageFixtures.pxByte(id, i)
     }
 
-  test("PNG codec round-trips all three color types (RGB / RGBA / palette)") {
-    // ids cover color types 2 (id%3=0), 6 (=1) and 3 (=2)
-    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 19L, 43L, 1000L)) {
+  test("PNG codec round-trips all five color types and both bit depths") {
+    // id%5 cycles RGB/RGBA/palette/gray/gray+alpha; 0, 14, 21, 28 are
+    // 16-bit (id%7 == 0, non-palette)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 14L, 19L, 21L, 28L, 43L, 1000L)) {
       val bytes = ImageFixtures.png(id)
       val ct = ImageFixtures.pngColorType(id)
-      val ch = if (ct == 6) 4L else 3L
+      val bpc = ImageFixtures.pngBitDepth(id) / 8
+      val chOut = if (ct == 3) 3L else ImageCodecs.pngChannels(ct).toLong
       val (w, h, c, s) = ImageCodecs.decodePng(bytes)
-      assert((w, h, c) == (id % 11 + 1, id % 5 + 4, ch), s"id=$id header")
+      assert((w, h, c) == (id % 11 + 1, id % 5 + 4, chOut), s"id=$id header")
       assert(ImageCodecs.pngIdatCount(bytes) == 2L, s"id=$id idat count")
-      // byte-exact reconstruction, not just the sum
+      // byte-exact reconstruction, not just the sum (16-bit images carry
+      // twice the bytes per channel)
       val (_, _, _, px) = ImageCodecs.pngPixels(bytes)
-      assert(px.length == ch * w * h, s"id=$id pixel count")
+      val nOut = if (ct == 3) 3 * w * h
+                 else ImageCodecs.pngChannels(ct) * bpc * w * h
+      assert(px.length == nOut, s"id=$id pixel count")
       px.zipWithIndex.foreach { case (b, i) =>
         assert(b == pngExpectedByte(id, i), s"id=$id ct=$ct pixel $i")
       }
@@ -114,11 +119,13 @@ class MultimodalSpec extends SparkSpec {
     // h >= 4 guarantees sub/up/average rows in every image, h >= 5 adds
     // paeth. Summing the raw inflated bytes (minus filter bytes) must NOT
     // equal the true pixel sum — the trap the un-filter step exists for.
-    // One id per color type: 9 RGB, 7 RGBA, 5 palette (the palette naive
-    // sum additionally skips the PLTE expansion, diverging twice over).
+    // One id per stride class: 9 gray+alpha, 7 palette, 5 RGB (the
+    // palette naive sum additionally skips the PLTE expansion, diverging
+    // twice over).
     for (id <- Seq(9L, 7L, 5L)) {
       val bytes = ImageFixtures.png(id)
-      val bpp = ImageFixtures.pngColorType(id) match { case 2 => 3; case 6 => 4; case _ => 1 }
+      val bpp = ImageCodecs.pngChannels(ImageFixtures.pngColorType(id)) *
+        (ImageFixtures.pngBitDepth(id) / 8)
       val (w, h, _, trueSum) = ImageCodecs.decodePng(bytes)
       // naive read: inflate and sum everything except the filter bytes
       val chunks = collection.mutable.ArrayBuffer[Byte]()
@@ -157,48 +164,61 @@ class MultimodalSpec extends SparkSpec {
     // bad signature
     intercept[IllegalArgumentException](
       ImageCodecs.decodePng("not a png at all".getBytes("US-ASCII")))
-    // unsupported color type (grayscale 0): rebuild the IHDR chunk with a
-    // RECOMPUTED CRC so the reject provably happens at the variant check,
-    // not the CRC guard
+    // unsupported color type (7 does not exist): rebuild the IHDR chunk
+    // with a RECOMPUTED CRC so the reject provably happens at the variant
+    // check, not the CRC guard
     val ihdrData = good.slice(16, 29)
-    ihdrData(9) = 0.toByte // color type byte
-    val gray = good.take(8) ++ ImageFixtures.pngChunk("IHDR", ihdrData) ++ good.drop(33)
-    val grayErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(gray))
-    assert(grayErr.getMessage.contains("color type"), s"wrong reject: $grayErr")
-    // 16-bit depth, same CRC-valid discipline
+    ihdrData(9) = 7.toByte // color type byte
+    val badType = good.take(8) ++ ImageFixtures.pngChunk("IHDR", ihdrData) ++ good.drop(33)
+    val typeErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(badType))
+    assert(typeErr.getMessage.contains("color type"), s"wrong reject: $typeErr")
+    // 16-bit PALETTE (spec-invalid; 16-bit is supported only for the
+    // non-palette types), same CRC-valid discipline — good is id 7,
+    // a palette fixture under the id%5 cycle
     val deep = good.slice(16, 29); deep(8) = 16.toByte
     val deepErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(
       good.take(8) ++ ImageFixtures.pngChunk("IHDR", deep) ++ good.drop(33)))
     assert(deepErr.getMessage.contains("bit depth"), s"wrong reject: $deepErr")
+    // ...and a depth that exists in no PNG variant
+    val d4 = good.slice(16, 29); d4(8) = 4.toByte
+    val d4Err = intercept[IllegalArgumentException](ImageCodecs.decodePng(
+      good.take(8) ++ ImageFixtures.pngChunk("IHDR", d4) ++ good.drop(33)))
+    assert(d4Err.getMessage.contains("bit depth"), s"wrong reject: $d4Err")
     // palette image with the PLTE chunk spliced out
-    val pal = ImageFixtures.png(5L) // id%3=2 -> color type 3
+    val pal = ImageFixtures.png(7L) // id%5=2 -> color type 3
     val plteAt = pal.indexOfSlice("PLTE".getBytes("US-ASCII")) - 4
-    assert(plteAt >= 0, "fixture 5 must carry a PLTE chunk")
+    assert(plteAt >= 0, "fixture 7 must carry a PLTE chunk")
     val plteLen = java.nio.ByteBuffer.wrap(pal).getInt(plteAt)
     val noPlte = pal.take(plteAt) ++ pal.drop(plteAt + 12 + plteLen)
     val plteErr = intercept[IllegalArgumentException](ImageCodecs.decodePng(noPlte))
     assert(plteErr.getMessage.contains("PLTE"), s"wrong reject: $plteErr")
   }
 
-  test("png query decodes real PNGs of all three color types batch-wide") {
+  test("png query decodes real PNGs of all five color types and both depths batch-wide") {
     val rows = MultimodalOps.nsMultimodalPng(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val seenTypes = collection.mutable.Set[Long]()
+    val seenDepths = collection.mutable.Set[Long]()
     rows.foreach { r =>
-      val (id, w, h, ct, ch, px, ni) =
+      val (id, w, h, ct, bd, ch, px, ni) =
         (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7))
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
       assert(id % 4 == 3)
       assert((w, h) == (id % 11 + 1, id % 5 + 4))
       assert(ct == ImageFixtures.pngColorType(id))
-      assert(ch == (if (ct == 6) 4L else 3L))
-      val n = (ch * w * h).toInt
+      assert(bd == ImageFixtures.pngBitDepth(id))
+      val chRaw = ImageCodecs.pngChannels(ct.toInt)
+      assert(ch == (if (ct == 3) 3L else chRaw.toLong))
+      val n = (if (ct == 3) 3 * w * h else chRaw * (bd / 8) * w * h).toInt
       assert(px == (0 until n).map(i => (pngExpectedByte(id, i) & 0xff).toLong).sum,
         s"id=$id px_sum")
       assert(ni == 2L)
       seenTypes += ct
+      seenDepths += bd
     }
-    assert(seenTypes == Set(2L, 3L, 6L), "corpus must exercise RGB, palette and RGBA")
+    assert(seenTypes == Set(0L, 2L, 3L, 4L, 6L),
+      "corpus must exercise all five color types")
+    assert(seenDepths == Set(8L, 16L), "corpus must exercise both bit depths")
   }
 
   test("WAV codec round-trips generated chunk lists and samples") {
