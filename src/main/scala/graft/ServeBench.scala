@@ -59,6 +59,21 @@ object ServeBench {
           n != "pipe_platform_build" && n != "pipe_platform_delta" }
       .sortBy(_._1)
 
+    // Contention sentinel (the Bench probe, r7 follow-up): a ~1 ms
+    // constant-work 1-task probe timed OUTSIDE the concurrent window —
+    // once before the warm and once after the workers join. On a quiet
+    // box both sit at Bench's ~30-50 ms scheduling floor; an inflated
+    // PRE or POST value means another process shared the box and the
+    // latency percentiles are contaminated (during the run the box is
+    // busy BY DESIGN, so only the bracketing probes are meaningful).
+    def sentinelMs(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1000, 1, 1).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    sentinelMs() // compile/JIT the probe once
+    val sentinelPre = sentinelMs()
+
     // Warm once single-threaded: codegen/footers are per-JVM costs a
     // long-lived serving session has long since paid.
     pipes.foreach { case (_, fn) => fn(spark, sfDir).count() }
@@ -106,6 +121,7 @@ object ServeBench {
     workers.foreach(_.start())
     workers.foreach(_.join())
     val wallSec = (System.nanoTime() - t0) / 1e9
+    val sentinelPost = sentinelMs()
 
     import scala.jdk.CollectionConverters._
     val all = lat.asScala.toSeq
@@ -121,7 +137,7 @@ object ServeBench {
       s"\"" + n + "\":" + ms(xs.map(_._2).sum / xs.size)
     }.mkString("{", ",", "}")
     val qps = math.round(good.size / wallSec * 100) / 100.0
-    println(s"""{"metric":"serving_p95_ms","value":${ms(pct(0.95))},"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"failures":$failures,"wall_sec":${math.round(wallSec * 100) / 100.0},"qps":$qps,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
+    println(s"""{"metric":"serving_p95_ms","value":${ms(pct(0.95))},"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"failures":$failures,"wall_sec":${math.round(wallSec * 100) / 100.0},"qps":$qps,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"sentinel_pre_ms":${ms(sentinelPre)},"sentinel_post_ms":${ms(sentinelPost)},"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
