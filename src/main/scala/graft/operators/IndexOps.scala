@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.model.Tables
 import graft.ops.{MergeSink, ProcessTmp}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED index artifacts — the missing half of the retrieval families:
@@ -301,11 +301,76 @@ object IndexOps {
     * incremental posture matches the dedup index (a future insert path
     * touches only the buckets its node ids hash into).
     */
-  def buildGraphIndex(spark: SparkSession, dir: String, root: String): Unit = {
-    val edges = SimilarityOps.beamGraphEdges(spark, dir)
+  def buildGraphIndex(spark: SparkSession, dir: String, root: String,
+      nodeFilter: Column = lit(true)): Unit = {
+    val edges = SimilarityOps.beamGraphEdgesFrom(
+      SimilarityOps.embeddings(spark, dir).where(nodeFilter))
     MergeSink.publishPartitioned(
       edges.withColumn("bucket", pmod(col("src_id"), lit(GraphBuckets.toLong)).cast("int")),
       s"$root/edges", "bucket")
+  }
+
+  /** HNSW-style INSERT of newly-arrived vectors into the stored
+    * navigable graph — the graph's member of the incremental-maintenance
+    * family (BM25/IVF/IVF+PQ/dedup updates above): for each batch vector,
+    * a beam search over the STORED graph (scored against the indexed
+    * subset only — the batch is not in the graph yet) finds its
+    * [[SimilarityOps.RefineK]] nearest indexed nodes; links are added in
+    * BOTH directions; every touched node's adjacency (batch nodes + the
+    * indexed nodes they linked) is re-ranked by exact cosine and
+    * degree-capped at [[SimilarityOps.BeamMaxDegree]] (HNSW's M_max —
+    * the walk-cost bound survives inserts); and only the buckets owning
+    * touched src ids are republished, with the untouched adjacency rows
+    * inside those buckets carried over verbatim.
+    *
+    * Per-batch cost: batch × (entry scan + walk bound) for the search,
+    * touched × M_max for the re-rank, touched-bucket I/O for the
+    * publish — batch-proportional except the bucket-size read term
+    * (bounded by the bucket-count-scales-with-corpus layout rule). The
+    * NN-descent build never re-runs. Approximation contract: an inserted
+    * graph is not byte-identical to a from-scratch rebuild (true of HNSW
+    * insertion generally); GraphBeamSpec pins structure (degree cap,
+    * bidirectional reachability of every inserted node) and recall
+    * parity with the scratch-built graph on the standard query suite.
+    */
+  def updateGraphIndex(spark: SparkSession, dir: String, root: String,
+      isBatch: Column): Unit = {
+    val emb = SimilarityOps.embeddings(spark, dir)
+    val batchQ = emb.where(isBatch)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val old = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+    val links = SimilarityOps.graphBeamFor(spark, dir,
+        SimilarityOps.BeamEf, SimilarityOps.BeamHops, old, batchQ,
+        !isBatch, SimilarityOps.RefineK)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("nbr_id"))
+    val newEdges = links.unionByName(
+      links.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+    val touchedSrc = newEdges.select("src_id").distinct()
+    val embA = emb.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+    val embB = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    val rebuilt = old.join(touchedSrc, Seq("src_id"), "left_semi")
+      .unionByName(newEdges).distinct()
+      .join(embA, "src_id").join(embB, "nbr_id")
+      .withColumn("cos", round(expr("cosine_sim(ea, eb)"), 4))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= SimilarityOps.BeamMaxDegree)
+      .select("src_id", "nbr_id")
+    val newRows = rebuilt
+      .withColumn("bucket", pmod(col("src_id"), lit(GraphBuckets.toLong)).cast("int"))
+      .localCheckpoint() // one beam-search execution; pin before republish
+    val touched = newRows.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+    // Anti-join against the CHECKPOINTED rows' src set (identical to
+    // touchedSrc — every touched src keeps >= 1 edge through the cap),
+    // so the publish never re-executes the beam search.
+    val oldRows = spark.read.parquet(s"$root/edges")
+      .where(col("bucket").isin(touched: _*))
+      .join(newRows.select("src_id").distinct(), Seq("src_id"), "left_anti")
+      .select(col("src_id"), col("nbr_id"), col("bucket").cast("int"))
+    MergeSink.publishPartitioned(
+      oldRows.unionByName(newRows), s"$root/edges", "bucket")
   }
 
   /** Beam-search top-k FROM the stored graph artifact: reads the edge

@@ -238,8 +238,11 @@ object SimilarityOps {
     * build on.
     */
   private[operators] def knnRankedEdges(
-      spark: SparkSession, dir: String, cap: Int): DataFrame = {
-    val emb = embeddings(spark, dir)
+      spark: SparkSession, dir: String, cap: Int): DataFrame =
+    knnRankedEdgesFrom(embeddings(spark, dir), cap)
+
+  private[operators] def knnRankedEdgesFrom(
+      emb: DataFrame, cap: Int): DataFrame = {
     val uncapped = lshBuckets(emb).select("vec_id", "band", "bucket")
     // The cap window shuffles on the same (band, bucket) key the candidate
     // join hashes on — no extra exchange family, and the truncated cells
@@ -324,8 +327,10 @@ object SimilarityOps {
     * the files); the in-session localCheckpoint form remains for the
     * build-and-walk query.
     */
-  private[operators] def beamGraphEdges(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+  private[operators] def beamGraphEdges(spark: SparkSession, dir: String): DataFrame =
+    beamGraphEdgesFrom(embeddings(spark, dir))
+
+  private[graft] def beamGraphEdgesFrom(emb: DataFrame): DataFrame = {
     val embA = emb.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
     val embB = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
     val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id").asc)
@@ -338,7 +343,7 @@ object SimilarityOps {
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") <= k)
         .select("src_id", "nbr_id")
-    var edges = knnRankedEdges(spark, dir, LshBucketCap)
+    var edges = knnRankedEdgesFrom(emb, LshBucketCap)
       .select("src_id", "nbr_id").localCheckpoint()
     for (_ <- 1 to NnDescentRounds) {
       val s = sym(edges).localCheckpoint()
@@ -389,12 +394,29 @@ object SimilarityOps {
       spark: SparkSession, dir: String, ef: Int, hops: Int,
       edges: DataFrame): DataFrame = {
     val emb = embeddings(spark, dir)
-    val queries = emb.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    graphBeamFor(spark, dir, ef, hops, edges,
+      emb.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      lit(true), TopK)
+  }
+
+  /** The walk with an ARBITRARY query frame (query_id, q_emb), a node
+    * filter restricting the scored/entry universe to the INDEXED subset
+    * (the insert path searches the stored graph for vectors not yet in
+    * it), and a per-query result width `k` — shared by the serve query
+    * (first [[NumQueries]] ids, k = [[TopK]]) and
+    * [[IndexOps.updateGraphIndex]] (batch vectors as queries,
+    * k = [[RefineK]] link candidates).
+    */
+  private[graft] def graphBeamFor(
+      spark: SparkSession, dir: String, ef: Int, hops: Int,
+      edges: DataFrame, queries: DataFrame, nodeFilter: Column,
+      k: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("node").asc)
     // Layer-1 descent: one exact pass over the coarse subset per query.
-    val layer1 = emb.where(col("vec_id") % BeamCoarse === 0)
+    val layer1 = emb.where(nodeFilter && col("vec_id") % BeamCoarse === 0)
       .select(col("vec_id").as("node"), col("embedding").as("c_emb"))
     var beam = layer1.crossJoin(broadcast(queries))
       .withColumn("cos", round(expr("cosine_sim(q_emb, c_emb)"), 4))
@@ -402,7 +424,8 @@ object SimilarityOps {
       .where(col("_rn") === 1)
       .select("query_id", "node", "cos")
       .localCheckpoint() // iterative plan: truncate lineage per hop
-    val embN = emb.select(col("vec_id").as("node"), col("embedding").as("c_emb"))
+    val embN = emb.where(nodeFilter)
+      .select(col("vec_id").as("node"), col("embedding").as("c_emb"))
     for (_ <- 1 to hops) {
       val cand = beam.select(col("query_id"), col("node"))
         .join(edges, col("node") === col("src_id"))
@@ -420,7 +443,7 @@ object SimilarityOps {
     }
     beam.where(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
+      .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "rank")
   }

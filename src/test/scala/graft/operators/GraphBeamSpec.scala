@@ -57,6 +57,48 @@ class GraphBeamSpec extends SparkSpec {
       "graph artifact root missing")
   }
 
+  test("HNSW insert: batch vectors merge into the stored graph — degree cap, reachability, recall parity") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ginsert").toString
+    val isBatch = col("vec_id") % 10 === 7
+    IndexOps.buildGraphIndex(spark, sfDir, root, !isBatch)
+    IndexOps.updateGraphIndex(spark, sfDir, root, isBatch)
+    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+      .localCheckpoint()
+    val batchIds = SimilarityOps.embeddings(spark, sfDir).where(isBatch)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty)
+    // the M_max walk-cost bound survives insertion
+    val maxDeg = edges.groupBy("src_id").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= SimilarityOps.BeamMaxDegree,
+      s"insert broke the degree cap: $maxDeg")
+    // every inserted node owns an adjacency list (in-links additionally
+    // exist unless ALL its linked nodes capped them away — not asserted;
+    // real HNSW gives the same no-guarantee)
+    val srcs = edges.select("src_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    batchIds.foreach(id => assert(srcs(id), s"inserted $id has no adjacency"))
+    // recall parity: the incrementally-maintained graph serves the
+    // standard query suite as well as a scratch rebuild over the full
+    // corpus (insertion is approximate, so parity-with-slack, not
+    // byte-equality)
+    val truth = SimilarityOps.nsSimBruteforceTopk(spark, sfDir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(e: org.apache.spark.sql.DataFrame): Double = {
+      val got = SimilarityOps.graphBeam(spark, sfDir,
+          SimilarityOps.BeamEf, SimilarityOps.BeamHops, e)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val insertRecall = recall(edges)
+    val scratchRecall = recall(SimilarityOps.beamGraphEdges(spark, sfDir))
+    info(f"insert recall $insertRecall%.3f vs scratch $scratchRecall%.3f")
+    assert(insertRecall >= scratchRecall - 0.05,
+      s"inserted graph lost recall: $insertRecall vs scratch $scratchRecall")
+  }
+
   test("navigable graph degree is capped; walk cost is a corpus-size-independent constant") {
     import org.apache.spark.sql.functions._
     val deg = SimilarityOps.beamGraphEdges(spark, sfDir)
