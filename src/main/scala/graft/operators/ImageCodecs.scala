@@ -100,9 +100,13 @@ object ImageCodecs {
     * inflated bytes) diverges from the oracle — the compressed-format
     * analog of the BMP row-padding trap.
     *
+    * Adam7 INTERLACED images decode too: the seven passes un-filter
+    * independently and scatter onto the output grid, so decoded pixels
+    * are layout-identical to the sequential form.
+    *
     * Fail-loud contract like the other codecs: bad signature, CRC
     * mismatch, unsupported IHDR variant (color type outside 0/2/3/4/6,
-    * depth outside 8/16, 16-bit palette, interlaced), missing/short
+    * depth outside 8/16, 16-bit palette, interlace > 1), missing/short
     * PLTE, out-of-range palette index, truncated or oversized inflate
     * all throw.
     */
@@ -158,7 +162,7 @@ object ImageCodecs {
     // per the spec, filtering operates on BYTES at this stride even for
     // 16-bit samples)
     val bpp = channels * (depth / 8)
-    require(comp == 0 && filt == 0 && interlace == 0,
+    require(comp == 0 && filt == 0 && interlace <= 1,
       s"PNG: unsupported comp/filter/interlace $comp/$filt/$interlace")
     require(bpp.toLong * w * h + h <= Int.MaxValue && 4L * w * h <= Int.MaxValue,
       s"PNG: ${w}x$h overflows the buffer")
@@ -166,13 +170,23 @@ object ImageCodecs {
     require(idat.nonEmpty, "PNG: no IDAT chunk")
     val stream = new Array[Byte](idat.map(_.length).sum)
     idat.foldLeft(0) { (off, c) => System.arraycopy(c, 0, stream, off, c.length); off + c.length }
-    // One zlib stream across all IDATs; the raw image is h scanlines of
-    // (1 filter byte + bpp·w pixel bytes). Drain loop: Inflater.inflate
-    // may legally return fewer bytes than available per call, and a
-    // stream decoding to MORE than the image must fail loud, so loop to
-    // finished() and check both directions.
-    val stride = bpp * w
-    val raw = new Array[Byte](h * (1 + stride))
+    // One zlib stream across all IDATs. Sequential layout: h scanlines of
+    // (1 filter byte + bpp·w pixel bytes). Adam7 interlace: seven passes,
+    // each a sub-image of every (xStep, yStep)-th pixel, INDEPENDENTLY
+    // filtered (an empty pass contributes no scanlines at all).
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7Passes
+    val passDims = passes.map { case (x0, y0, xs, ys) =>
+      (math.max(0, (w - x0 + xs - 1) / xs), math.max(0, (h - y0 + ys - 1) / ys))
+    }
+    val rawLen = passes.indices.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0 else hp * (1 + bpp * wp)
+    }.sum
+    // Drain loop: Inflater.inflate may legally return fewer bytes than
+    // available per call, and a stream decoding to MORE than the image
+    // must fail loud, so loop to finished() and check both directions.
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     val got = try {
       inf.setInput(stream)
@@ -188,32 +202,27 @@ object ImageCodecs {
       n
     } finally inf.end()
     require(got == raw.length, s"PNG: inflated $got of ${raw.length} bytes")
-    val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      val f = raw(rowIn - 1) & 0xff
-      require(f <= 4, s"PNG: unknown filter type $f in row $y")
-      var x = 0
-      while (x < stride) {
-        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0 // left
-        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
-        val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    // Un-filter each pass independently, then scatter its pixels onto the
+    // output grid (for the sequential layout the single pass IS the grid).
+    val out = new Array[Byte](h * bpp * w)
+    var off = 0
+    passes.indices.foreach { p =>
+      val (x0, y0, xs, ys) = passes(p)
+      val (wp, hp) = passDims(p)
+      if (wp > 0 && hp > 0) {
+        val sub = unfilterPass(raw, off, wp, hp, bpp)
+        off += hp * (1 + bpp * wp)
+        var py = 0
+        while (py < hp) {
+          var px = 0
+          while (px < wp) {
+            System.arraycopy(sub, (py * wp + px) * bpp,
+              out, ((y0 + py * ys) * w + (x0 + px * xs)) * bpp, bpp)
+            px += 1
+          }
+          py += 1
         }
-        out(rowOut + x) = ((raw(rowIn + x) & 0xff) + pred).toByte
-        x += 1
       }
-      y += 1
     }
     if (color == 3) {
       // Palette expansion: every index byte looks up its 3-byte PLTE
@@ -238,6 +247,53 @@ object ImageCodecs {
       }
       (w, h, 3L, rgb)
     } else (w, h, channels.toLong, out)
+  }
+
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass — the
+    * spec's interlace order (pass k carries every (xStep, yStep)-th
+    * pixel offset by (xStart, yStart)).
+    */
+  private[operators] val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Reverse the scanline filters of ONE pass: `hPx` rows of
+    * (1 filter byte + bpp·wPx pixel bytes) starting at `raw(off)`,
+    * predictors byte-wise mod 256 at stride `bpp`, previous-row
+    * references resolving WITHIN the pass (each Adam7 pass filters
+    * independently). Returns the bpp·wPx·hPx un-filtered pixel bytes.
+    */
+  private def unfilterPass(
+      raw: Array[Byte], off: Int, wPx: Int, hPx: Int, bpp: Int): Array[Byte] = {
+    val stride = bpp * wPx
+    val out = new Array[Byte](hPx * stride)
+    var y = 0
+    while (y < hPx) {
+      val rowIn = off + y * (1 + stride) + 1
+      val rowOut = y * stride
+      val f = raw(rowIn - 1) & 0xff
+      require(f <= 4, s"PNG: unknown filter type $f in row $y")
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0 // left
+        val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
+        val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(rowOut + x) = ((raw(rowIn + x) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** PNG chunk walk: verifies the 8-byte signature and EVERY chunk's
@@ -352,6 +408,13 @@ object ImageFixtures {
   def pngBitDepth(id: Long): Int =
     if (pngColorType(id) != 3 && id % 7 == 0) 16 else 8
 
+  /** Every 13th-ish fixture id (id % 13 == 11) stores its scanlines in
+    * the Adam7 INTERLACED layout — same decoded pixels, different
+    * storage order, so the oracle is layout-blind and a decoder that
+    * ignores the interlace flag diverges.
+    */
+  def pngInterlaced(id: Long): Boolean = id % 13 == 11
+
   /** PLTE entry byte (entry e, component c) of fixture PNG `id`. */
   def paletteByte(id: Long, e: Int, c: Int): Byte =
     ((id * 13 + e * 3 + c) % 256).toByte
@@ -385,36 +448,70 @@ object ImageFixtures {
     val depth = pngBitDepth(id)
     val bpp = ImageCodecs.pngChannels(colorType) * (depth / 8)
     val stride = bpp * w
-    // raw -> filtered scanlines
+    // raw image bytes in row-major grid order — IDENTICAL for the
+    // sequential and interlaced layouts, so the oracle's pixel formulas
+    // never mention interlacing (only the STORAGE order differs; a
+    // decoder that ignores the interlace flag scatters pixels wrongly
+    // and diverges).
     val raw = Array.tabulate(h * stride) { i =>
       if (colorType == 3) paletteIdx(id, i) else pxByte(id, i)
     }
-    val filtered = new Array[Byte](h * (1 + stride))
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      filtered(y * (1 + stride)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = raw(y * stride + x) & 0xff
-        val a = if (x >= bpp) raw(y * stride + x - bpp) & 0xff else 0
-        val b = if (y > 0) raw((y - 1) * stride + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) raw((y - 1) * stride + x - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    // Filter rows of one (sub-)image; previous-row references resolve
+    // within the sub-image (each Adam7 pass filters independently).
+    def filterRows(sub: Array[Byte], wPx: Int, hPx: Int, fOf: Int => Int): Array[Byte] = {
+      val st = bpp * wPx
+      val out = new Array[Byte](hPx * (1 + st))
+      var y = 0
+      while (y < hPx) {
+        val f = fOf(y)
+        out(y * (1 + st)) = f.toByte
+        var x = 0
+        while (x < st) {
+          val cur = sub(y * st + x) & 0xff
+          val a = if (x >= bpp) sub(y * st + x - bpp) & 0xff else 0
+          val b = if (y > 0) sub((y - 1) * st + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) sub((y - 1) * st + x - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          out(y * (1 + st) + 1 + x) = (cur - pred).toByte
+          x += 1
         }
-        filtered(y * (1 + stride) + 1 + x) = (cur - pred).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      out
     }
+    val filtered: Array[Byte] =
+      if (!pngInterlaced(id)) filterRows(raw, w, h, y => y % 5)
+      else {
+        // Adam7: gather each pass's sub-image from the grid, filter it
+        // independently, concatenate in pass order. The filter-type
+        // cycle runs over the GLOBAL scanline counter so all five
+        // types still appear.
+        var rowCounter = 0
+        val parts = ImageCodecs.Adam7Passes.map { case (x0, y0, xs, ys) =>
+          val wp = math.max(0, (w - x0 + xs - 1) / xs)
+          val hp = math.max(0, (h - y0 + ys - 1) / ys)
+          if (wp == 0 || hp == 0) Array.emptyByteArray
+          else {
+            val sub = new Array[Byte](hp * bpp * wp)
+            for (py <- 0 until hp; px <- 0 until wp)
+              System.arraycopy(raw, ((y0 + py * ys) * w + (x0 + px * xs)) * bpp,
+                sub, (py * wp + px) * bpp, bpp)
+            val base = rowCounter
+            rowCounter += hp
+            filterRows(sub, wp, hp, y => (base + y) % 5)
+          }
+        }
+        parts.flatten.toArray
+      }
     val defl = new java.util.zip.Deflater()
     defl.setInput(filtered)
     defl.finish()
@@ -427,7 +524,8 @@ object ImageFixtures {
     val chunk = pngChunk _
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
       .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put((if (pngInterlaced(id)) 1 else 0).toByte).array()
     val plte =
       if (colorType == 3)
         chunk("PLTE", Array.tabulate(3 * PaletteEntries)(j => paletteByte(id, j / 3, j % 3)))

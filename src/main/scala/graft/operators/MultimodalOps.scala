@@ -262,8 +262,8 @@ object MultimodalOps {
     */
   case class PngFeatures(
       doc_id: Long, mime: String, width: Long, height: Long,
-      color_type: Long, bit_depth: Long, channels: Long, px_sum: Long,
-      n_idat: Long)
+      color_type: Long, bit_depth: Long, interlace: Long, channels: Long,
+      px_sum: Long, n_idat: Long)
 
   /** PNG corpus: every doc_id ≡ 3 mod 4 carries a REAL generated PNG —
     * the first COMPRESSED format in the modality set (the others are
@@ -293,12 +293,13 @@ object MultimodalOps {
         // depth, then color.
         val bitDepth = (r.payload(8 + 8 + 8) & 0xff).toLong
         val colorType = (r.payload(8 + 8 + 9) & 0xff).toLong
-        PngFeatures(r.doc_id, r.mime, w, h, colorType, bitDepth, c, s,
-          ImageCodecs.pngIdatCount(r.payload))
+        val interlace = (r.payload(8 + 8 + 12) & 0xff).toLong
+        PngFeatures(r.doc_id, r.mime, w, h, colorType, bitDepth, interlace,
+          c, s, ImageCodecs.pngIdatCount(r.payload))
       })
       .toDF()
       .select("doc_id", "mime", "width", "height", "color_type", "bit_depth",
-        "channels", "px_sum", "n_idat")
+        "interlace", "channels", "px_sum", "n_idat")
       .orderBy("doc_id")
   }
 
@@ -389,6 +390,7 @@ object MultimodalOps {
         |       CAST(CASE a.t WHEN 0 THEN 2 WHEN 1 THEN 6 WHEN 2 THEN 3
         |                     WHEN 3 THEN 0 ELSE 4 END AS BIGINT) AS color_type,
         |       CAST(a.bpc * 8 AS BIGINT) AS bit_depth,
+        |       CAST(CASE WHEN a.doc_id % 13 = 11 THEN 1 ELSE 0 END AS BIGINT) AS interlace,
         |       CAST(CASE a.t WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 3
         |                     WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
         |       px.px_sum,

@@ -115,6 +115,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Adam7 interlaced fixtures decode to the same pixels as the sequential layout") {
+    // id % 13 == 11 stores Adam7 passes: 24 gray+alpha, 37 palette,
+    // 50 RGB, 63 gray 16-bit — decoded pixels must be byte-identical to
+    // the row-major grid (the oracle is layout-blind; a decoder that
+    // ignores the interlace flag scatters pixels wrongly and diverges)
+    for (id <- Seq(24L, 37L, 50L, 63L)) {
+      assert(ImageFixtures.pngInterlaced(id), s"id=$id not an interlaced fixture")
+      val (w, h, _, px) = ImageCodecs.pngPixels(ImageFixtures.png(id))
+      assert((w, h) == (id % 11 + 1, id % 5 + 4))
+      px.zipWithIndex.foreach { case (b, i) =>
+        assert(b == pngExpectedByte(id, i), s"id=$id pixel $i")
+      }
+    }
+    // the interlace flag round-trips through the real IHDR byte
+    assert((ImageFixtures.png(24L)(28) & 0xff) == 1)
+    assert((ImageFixtures.png(23L)(28) & 0xff) == 0)
+  }
+
   test("PNG filters really change the stored bytes (an unfiltered reader diverges)") {
     // h >= 4 guarantees sub/up/average rows in every image, h >= 5 adds
     // paeth. Summing the raw inflated bytes (minus filter bytes) must NOT
@@ -200,13 +218,15 @@ class MultimodalSpec extends SparkSpec {
     val seenTypes = collection.mutable.Set[Long]()
     val seenDepths = collection.mutable.Set[Long]()
     rows.foreach { r =>
-      val (id, w, h, ct, bd, ch, px, ni) =
+      val (id, w, h, ct, bd, il, ch, px, ni) =
         (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9))
       assert(id % 4 == 3)
       assert((w, h) == (id % 11 + 1, id % 5 + 4))
       assert(ct == ImageFixtures.pngColorType(id))
       assert(bd == ImageFixtures.pngBitDepth(id))
+      assert(il == (if (ImageFixtures.pngInterlaced(id)) 1L else 0L))
       val chRaw = ImageCodecs.pngChannels(ct.toInt)
       assert(ch == (if (ct == 3) 3L else chRaw.toLong))
       val n = (if (ct == 3) 3 * w * h else chRaw * (bd / 8) * w * h).toInt
@@ -219,6 +239,7 @@ class MultimodalSpec extends SparkSpec {
     assert(seenTypes == Set(0L, 2L, 3L, 4L, 6L),
       "corpus must exercise all five color types")
     assert(seenDepths == Set(8L, 16L), "corpus must exercise both bit depths")
+    assert(rows.exists(_.getLong(6) == 1L), "corpus must exercise Adam7 interlacing")
   }
 
   test("WAV codec round-trips generated chunk lists and samples") {
