@@ -34,9 +34,10 @@ object MultimodalOps {
     * PPM/BMP/PGM/PNG — width/height/channels read from the actual header
     * bytes, the pixel statistic from walking the actual (for PNG:
     * inflated + un-filtered) pixel array — and the clearly-marked
-    * deterministic stub only for mimes with no offline codec (JPEG/MP3
-    * entropy coding needs libs this container doesn't have; a real
-    * deployment adds `case`s here, nothing else changes).
+    * deterministic stub only for mimes with no offline codec (MP3 — its
+    * psychoacoustic synthesis filterbank is out of scope; JPEG decode is
+    * REAL, see [[JpegCodecs]]/[[nsMultimodalJpeg]]; a real deployment
+    * adds `case`s here, nothing else changes).
     */
   object Decoder {
     def decode(r: MediaRecord): MediaFeatures = r.mime match {
@@ -303,7 +304,48 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded JPEG features — all BIGINT for exact replay; no payload-size
+    * column (entropy-coded byte counts are a property of the encoder's
+    * code assignment, not of the image).
+    */
+  case class JpegFeatures(
+      doc_id: Long, mime: String, width: Long, height: Long,
+      n_components: Long, restart_interval: Long, n_restarts: Long,
+      px_sum: Long)
+
+  /** JPEG corpus: every doc_id ≡ 5 mod 6 carries a REAL generated
+    * baseline JPEG — the first ENTROPY-CODED format in the modality set
+    * (PNG is compressed but its pixels survive exactly; JPEG pixels only
+    * exist through Huffman decode + dequantize + IDCT). The fixtures
+    * author quantized coefficients restricted to DCT frequencies whose
+    * basis values are exactly ±1/8 ([[JpegFixtures]]), so the decoded
+    * pixels — and hence px_sum over the w×h grid — are exact integer
+    * formulas the oracle replays, while the byte stream exercises the
+    * full baseline profile: custom (non-Annex-K) Huffman tables read from
+    * DHT, DC prediction chains with restart-marker resets (interval 1-3
+    * by id), AC run-length with ZRL, byte stuffing, 4:2:0 subsampling
+    * with partial edge MCUs, and the fixed-point YCbCr→RGB conversion.
+    * Same per-partition batched shape; payloads never cross a shuffle.
+    */
+  def nsMultimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 6 === 5)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, JpegFixtures.JpegMime, JpegFixtures.jpeg(id)))
+      .mapPartitions(_.map { r =>
+        val d = JpegCodecs.decodeJpeg(r.payload)
+        JpegFeatures(r.doc_id, r.mime, d.width, d.height, d.nComponents,
+          d.restartInterval, d.nRestarts, d.pxSum)
+      })
+      .toDF()
+      .select("doc_id", "mime", "width", "height", "n_components",
+        "restart_interval", "n_restarts", "px_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_jpeg" -> (nsMultimodalJpeg _),
     "ns_multimodal_png" -> (nsMultimodalPng _),
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
     "ns_multimodal_frames" -> (nsMultimodalFrames _),
@@ -349,6 +391,84 @@ object MultimodalOps {
       |         ELSE 'text/plain' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the JpegFixtures coefficient formulas symbolically. The
+    // fixtures restrict coefficients to DCT frequencies (0,0)/(4,0)/
+    // (0,4)/(4,4), whose 8×8 basis values are exactly ±1/8 with the sign
+    // + at within-block coordinate c when c%4 ∈ {0,3} — so pixel values
+    // are exact integers: luma = 128 + 2·F00 + sx·F40 + sy·F04 +
+    // sx·sy·F44 (dequant 16/8), chroma = 128 + 3·G00 + 2·(signed ACs)
+    // (dequant 24/16), RGB via the fixed-point floor formulas. Block
+    // indexes follow MCU encode order (4 luma blocks per 4:2:0 MCU, 1
+    // per grayscale MCU); chroma samples replicate 2×2 (nearest). A
+    // hash-match therefore proves the Spark side Huffman-decoded the
+    // real entropy stream (custom DHT tables, DC prediction with
+    // restart resets, ZRL runs, byte stuffing), dequantized, ran the
+    // IDCT, upsampled and color-converted exactly.
+    "ns_multimodal_jpeg" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 23 + 9 AS BIGINT) AS w,
+        |         CAST(doc_id % 19 + 9 AS BIGINT) AS h,
+        |         (doc_id % 4 = 1) AS gray,
+        |         CAST((doc_id // 6) % 3 + 1 AS BIGINT) AS dri
+        |  FROM documents WHERE doc_id % 6 = 5),
+        |ux AS (
+        |  SELECT doc_id, w, h, gray, dri,
+        |         unnest(generate_series(0, w - 1)) AS x
+        |  FROM a),
+        |u AS (
+        |  SELECT doc_id, w, gray, x,
+        |         unnest(generate_series(0, h - 1)) AS y
+        |  FROM ux),
+        |c1 AS (
+        |  SELECT doc_id, gray,
+        |         CASE WHEN gray THEN (y//8)*((w+7)//8) + (x//8)
+        |              ELSE ((y//16)*((w+15)//16) + (x//16))*4
+        |                   + ((y%16)//8)*2 + ((x%16)//8) END AS lb,
+        |         (y//16)*((w+15)//16) + (x//16) AS cbk,
+        |         CASE WHEN (x%8)%4 IN (0,3) THEN 1 ELSE -1 END AS sx,
+        |         CASE WHEN (y%8)%4 IN (0,3) THEN 1 ELSE -1 END AS sy,
+        |         CASE WHEN ((x%16)//2)%4 IN (0,3) THEN 1 ELSE -1 END AS scx,
+        |         CASE WHEN ((y%16)//2)%4 IN (0,3) THEN 1 ELSE -1 END AS scy
+        |  FROM u),
+        |c2 AS (
+        |  SELECT doc_id, gray,
+        |         128 + 2*((doc_id*7 + lb*5) % 41 - 20)
+        |             + sx*((doc_id*11 + lb*3) % 11 - 5)
+        |             + sy*((doc_id*5 + lb*7) % 11 - 5)
+        |             + sx*sy*((doc_id*3 + lb*11) % 11 - 5) AS yv,
+        |         128 + 3*((doc_id*7 + cbk*5 + 17) % 21 - 10)
+        |             + 2*(scx*((doc_id*11 + cbk*3 + 17) % 7 - 3)
+        |                + scy*((doc_id*5 + cbk*7 + 17) % 7 - 3)
+        |                + scx*scy*((doc_id*3 + cbk*11 + 17) % 7 - 3)) AS cb,
+        |         128 + 3*((doc_id*7 + cbk*5 + 34) % 21 - 10)
+        |             + 2*(scx*((doc_id*11 + cbk*3 + 34) % 7 - 3)
+        |                + scy*((doc_id*5 + cbk*7 + 34) % 7 - 3)
+        |                + scx*scy*((doc_id*3 + cbk*11 + 34) % 7 - 3)) AS cr
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN gray THEN yv
+        |              ELSE GREATEST(0, LEAST(255, yv + CAST(floor(
+        |                     (91881*(cr-128)+32768)/65536.0) AS BIGINT)))
+        |                 + GREATEST(0, LEAST(255, yv - CAST(floor(
+        |                     (22554*(cb-128)+46802*(cr-128)+32768)/65536.0) AS BIGINT)))
+        |                 + GREATEST(0, LEAST(255, yv + CAST(floor(
+        |                     (116130*(cb-128)+32768)/65536.0) AS BIGINT)))
+        |         END AS v
+        |  FROM c2),
+        |px AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum FROM c3 GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       'image/jpeg' AS mime,
+        |       a.w AS width, a.h AS height,
+        |       CAST(CASE WHEN a.gray THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+        |       a.dri AS restart_interval,
+        |       CAST(((CASE WHEN a.gray THEN ((a.w+7)//8)*((a.h+7)//8)
+        |                   ELSE ((a.w+15)//16)*((a.h+15)//16) END) - 1) // a.dri
+        |            AS BIGINT) AS n_restarts,
+        |       px.px_sum
+        |FROM a JOIN px USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // Replays the PngFixtures formulas symbolically: w = id%11+1,
     // h = id%5+4, color type cycles 2/6/3/0/4 by id%5, bit depth 16 for
     // every 7th non-palette id (bpc = bytes per component). px_sum over
