@@ -238,8 +238,11 @@ object ScaleRehearsal {
     // (linear in pixel bytes, no shuffle but the output sort); unigram
     // train adds the hard-EM E-step (one distinct-word DP pass + a
     // vocab-bounded piece aggregation) to the seed fit.
+    // Round-9: JPEG decode is one generate + Huffman-decode + IDCT pass
+    // (linear in coefficient count, no shuffle but the output sort) —
+    // same regime as PNG, heavier per-pixel arithmetic.
     for (q <- Seq("pipe_corpus_report", "pipe_platform_build",
-           "ns_multimodal_png", "ns_text_unigram_train");
+           "ns_multimodal_png", "ns_multimodal_jpeg", "ns_text_unigram_train");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // Multi-probe IVF: same assign/rerank plan as ivf_topk with 4x the
     // probed lists — the subject is cost ∝ probes, not corpus size.
