@@ -249,6 +249,38 @@ object ScaleRehearsal {
     for (q <- Seq("ns_sim_ivf_multiprobe");
          (sfName, dir) <- simScales) measure(q, sfName, dir)
 
+    // Round-9: the navigable-graph BUILD/SERVE SPLIT (the stored-artifact
+    // posture the verdict asked to measure apart): the NN-descent build
+    // grows with N, the beam-walk serve term must not (entry stride N/32
+    // aside — the walk scores hops·ef·(M_max+1) candidates regardless of
+    // corpus size). One isolated timing per stage per scale.
+    if (only.isEmpty || only("graph_split")) {
+      for ((sfName, dir) <- simScales) {
+        val root = sys.props("java.io.tmpdir") +
+          s"/graft_graphsplit_${sfName}_${ProcessHandle.current().pid()}"
+        readB.reset(); writeB.reset()
+        val t0 = System.nanoTime()
+        graft.operators.IndexOps.buildGraphIndex(spark, dir, root)
+        val buildSec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+        val bw = math.round(writeB.sum / 1e5) / 10.0
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        readB.reset(); writeB.reset()
+        val t1 = System.nanoTime()
+        val served = graft.operators.IndexOps.queryGraphIndex(spark, root, dir)
+        val acc = spark.sparkContext.longAccumulator(s"rows_graph_$sfName")
+        served.queryExecution.toRdd.foreachPartition { it =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; acc.add(n)
+        }
+        val serveSec = math.round((System.nanoTime() - t1) / 1e7) / 100.0
+        val sw = math.round(writeB.sum / 1e5) / 10.0
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        println(s"""{"query":"graph_index_build","sf":"$sfName","rows":0,"sec":$buildSec,"shuffle_write_mb":$bw}""")
+        println(s"""{"query":"graph_index_serve","sf":"$sfName","rows":${acc.value},"sec":$serveSec,"shuffle_write_mb":$sw}""")
+      }
+    }
+
     // Topic curation: map-side assign + k-row stats + ONE topic-keyed
     // rank exchange — the subject is that wall tracks N while shuffle
     // stays ~rows-kept. PageRank adds two exchanges per iteration over
