@@ -344,7 +344,39 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded ADPCM features — all BIGINT for exact replay. */
+  case class AdpcmFeatures(
+      doc_id: Long, mime: String, sample_rate: Long, n_blocks: Long,
+      n_samples: Long, abs_sum: Long, peak: Long)
+
+  /** Compressed-audio corpus: every doc_id ≡ 2 mod 7 carries a REAL
+    * IMA-ADPCM WAV ([[AdpcmFixtures]] — extended fmt with
+    * wSamplesPerBlock, fact chunk, the junk-LIST trap, per-block
+    * headers). Decode runs the exact integer adaptation state machine
+    * ([[AdpcmCodecs.decodeAdpcmWav]]); the oracle replays every step as
+    * a recursive CTE over the nibble formulas, so a hash match proves
+    * the 4-bit delta decode itself, not just the container walk. Same
+    * per-partition batched shape; payloads never cross a shuffle.
+    */
+  def nsMultimodalAdpcm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 7 === 2)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, AdpcmFixtures.AdpcmMime, AdpcmFixtures.adpcm(id)))
+      .mapPartitions(_.map { r =>
+        val d = AdpcmCodecs.decodeAdpcmWav(r.payload)
+        AdpcmFeatures(r.doc_id, r.mime, d.sampleRate, d.nBlocks, d.nSamples,
+          d.absSum, d.peak)
+      })
+      .toDF()
+      .select("doc_id", "mime", "sample_rate", "n_blocks", "n_samples",
+        "abs_sum", "peak")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_adpcm" -> (nsMultimodalAdpcm _),
     "ns_multimodal_jpeg" -> (nsMultimodalJpeg _),
     "ns_multimodal_png" -> (nsMultimodalPng _),
     "ns_multimodal_features" -> (nsMultimodalFeatures _),
@@ -391,6 +423,62 @@ object MultimodalOps {
       |         ELSE 'text/plain' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the ENTIRE IMA adaptation state machine as a recursive
+    // CTE: per (doc, block), 64 recursion steps advance (pred, idx)
+    // through the spec step/index tables (inlined literals) over the
+    // fixture's nibble formula, clamping exactly as the decoder does.
+    // The header predictor is output sample 0. A hash match proves the
+    // Spark side unpacked low-nibble-first and ran the exact integer
+    // adaptation — any table/clamp/order slip diverges within a few
+    // samples.
+    "ns_multimodal_adpcm" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |blk AS (
+        |  SELECT doc_id, unnest(generate_series(0, nb - 1)) AS b FROM a),
+        |r AS (
+        |  SELECT doc_id, b, 0 AS j,
+        |         (doc_id*31 + b*97) % 8192 - 4096 AS pred,
+        |         (doc_id*7 + b*13) % 89 AS idx,
+        |         ABS((doc_id*31 + b*97) % 8192 - 4096) AS acc,
+        |         ABS((doc_id*31 + b*97) % 8192 - 4096) AS pk
+        |  FROM blk
+        |  UNION ALL
+        |  SELECT doc_id, b, j + 1, np, ni, acc + ABS(np), GREATEST(pk, ABS(np))
+        |  FROM (
+        |    SELECT doc_id, b, j, acc, pk,
+        |           GREATEST(-32768, LEAST(32767,
+        |             pred + CASE WHEN n >= 8 THEN -d ELSE d END)) AS np,
+        |           GREATEST(0, LEAST(88, idx + list_extract(
+        |             [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8], n + 1))) AS ni
+        |    FROM (
+        |      SELECT doc_id, b, j, pred, idx, acc, pk, n,
+        |             s//8 + (n%2)*(s//4) + ((n//2)%2)*(s//2) + ((n//4)%2)*s AS d
+        |      FROM (
+        |        SELECT doc_id, b, j, pred, idx, acc, pk,
+        |               (doc_id*31 + b*5 + j*11) % 16 AS n,
+        |               list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,
+        |                 28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,
+        |                 130,143,157,173,190,209,230,253,279,307,337,371,408,
+        |                 449,494,544,598,658,724,796,876,963,1060,1166,1282,
+        |                 1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,
+        |                 3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,
+        |                 9493,10442,11487,12635,13899,15289,16818,18500,
+        |                 20350,22385,24623,27086,29794,32767], idx + 1) AS s
+        |        FROM r WHERE j < 64) q1) q2) q3),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(acc) AS BIGINT) AS abs_sum,
+        |         CAST(MAX(pk) AS BIGINT) AS peak
+        |  FROM r WHERE j = 64 GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       'audio/adpcm' AS mime,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       a.nb AS n_blocks,
+        |       CAST(a.nb * 65 AS BIGINT) AS n_samples,
+        |       agg.abs_sum, agg.peak
+        |FROM a JOIN agg USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // Replays the JpegFixtures coefficient formulas symbolically. The
     // fixtures restrict coefficients to DCT frequencies (0,0)/(4,0)/
     // (0,4)/(4,4), whose 8×8 basis values are exactly ±1/8 with the sign
