@@ -240,9 +240,11 @@ object ScaleRehearsal {
     // vocab-bounded piece aggregation) to the seed fit.
     // Round-9: JPEG decode is one generate + Huffman-decode + IDCT pass
     // (linear in coefficient count, no shuffle but the output sort) —
-    // same regime as PNG, heavier per-pixel arithmetic.
+    // same regime as PNG, heavier per-pixel arithmetic; ADPCM decode is
+    // the same shape over the 4-bit adaptation state machine.
     for (q <- Seq("pipe_corpus_report", "pipe_platform_build",
-           "ns_multimodal_png", "ns_multimodal_jpeg", "ns_text_unigram_train");
+           "ns_multimodal_png", "ns_multimodal_jpeg", "ns_multimodal_adpcm",
+           "ns_text_unigram_train");
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // Multi-probe IVF: same assign/rerank plan as ivf_topk with 4x the
     // probed lists — the subject is cost ∝ probes, not corpus size.

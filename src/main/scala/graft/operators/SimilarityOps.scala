@@ -24,7 +24,7 @@ object SimilarityOps {
   private[operators] val TopK = 3
   private[operators] val NumQueries = 100
 
-  private[operators] def embeddings(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddings(spark: SparkSession, dir: String): DataFrame = {
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
     Tables.embeddings(spark, dir)
@@ -303,7 +303,7 @@ object SimilarityOps {
   // M_max), so walk cost per hop is bounded by construction.
   private[operators] val NnDescentRounds = 2
   private[operators] val RefineK = 8
-  private[operators] val BeamMaxDegree = 16
+  private[graft] val BeamMaxDegree = 16
 
   /** The NAVIGABLE GRAPH artifact the beam searches: the LSH-seeded
     * k-NN edge list ([[knnRankedEdges]] — the stored `ns_sim_knn_graph`

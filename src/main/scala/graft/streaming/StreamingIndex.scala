@@ -42,4 +42,49 @@ object StreamingIndex {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Streaming navigable-graph maintenance — the ingest-time form of
+    * [[IndexOps.updateGraphIndex]] (round-9): each micro-batch of newly
+    * arrived vector ids is HNSW-inserted into the stored beam graph, so
+    * ANN serving trails ingest by one trigger interval while NN-descent
+    * never re-runs. Per-batch work: batch × (entry scan + walk bound)
+    * beam searches + touched-bucket republish — batch-proportional.
+    *
+    * The driver-side id collect is bounded by the trigger's batch size
+    * (the same bounded-collect contract as the decontamination bloom
+    * probe); ids become the insert predicate against the embeddings
+    * table the graph indexes.
+    *
+    * Replay contract (weaker than the LWW twins, honestly): graph
+    * insertion is approximate by nature (HNSW — an inserted graph is
+    * not byte-identical to a rebuild), so a crash-replayed batch
+    * re-inserts nodes that are already in the graph. The result is
+    * STRUCTURALLY convergent, not byte-stable: every replay yields a
+    * valid degree-capped graph still containing the batch bidirection-
+    * ally (spec-pinned), because insertion only ever re-ranks the
+    * touched adjacency by exact cosine. Byte-exact once-only delivery
+    * would need a batch-tag commit record as in StreamingPlatformDelta;
+    * the serving contract (recall at the tuned ef) does not.
+    */
+  def graphMaintenanceStream(
+      vecIdStream: DataFrame,
+      dir: String,
+      indexRoot: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecIdStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select("vec_id").distinct()
+            .collect().map(_.getLong(0)).toSeq // bounded by the trigger batch
+          IndexOps.updateGraphIndex(batch.sparkSession, dir, indexRoot,
+            org.apache.spark.sql.functions.col("vec_id").isin(ids: _*))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

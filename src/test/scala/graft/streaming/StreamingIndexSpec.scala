@@ -48,4 +48,57 @@ class StreamingIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(after == postings, "replayed micro-batch mutated the index")
   }
+
+  test("streamed vector batches HNSW-insert into the stored graph like sequential inserts") {
+    import graft.operators.SimilarityOps
+    val emb = SimilarityOps.embeddings(spark, sfDir)
+    val isHistory = col("vec_id") % 10 >= 2
+    val batch1 = col("vec_id") % 20 < 2   // arriving day 1
+    val batch2 = col("vec_id") % 20 >= 10 // arriving day 2
+
+    // Sequential reference: day-1 build on history, then two inserts.
+    val seqRoot = java.nio.file.Files.createTempDirectory("graft_sgraph_seq").toString
+    IndexOps.buildGraphIndex(spark, sfDir, seqRoot, isHistory)
+    IndexOps.updateGraphIndex(spark, sfDir, seqRoot, batch1)
+    IndexOps.updateGraphIndex(spark, sfDir, seqRoot, batch2)
+    val want = spark.read.parquet(s"$seqRoot/edges")
+      .select("src_id", "nbr_id").collect().map(_.toSeq).toSet
+
+    // Streamed: same splits as two micro-batches through foreachBatch.
+    val root = java.nio.file.Files.createTempDirectory("graft_sgraph").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sgraph_cp").toString
+    IndexOps.buildGraphIndex(spark, sfDir, root, isHistory)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sgraph_src")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sgraph_split").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part, srcDir.resolve(name))
+    }
+    val idsOnly = emb.select("vec_id")
+    land(idsOnly.where(batch1), "a.parquet")
+    land(idsOnly.where(batch2), "b.parquet")
+    val stream = spark.readStream.schema(idsOnly.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    StreamingIndex.graphMaintenanceStream(stream, sfDir, root, cp).awaitTermination()
+    val got = spark.read.parquet(s"$root/edges")
+      .select("src_id", "nbr_id").collect().map(_.toSeq).toSet
+    assert(got == want, "streamed inserts diverge from sequential inserts")
+
+    // Structural invariants survive a replayed (crash-redelivered) batch:
+    // still degree-capped, inserted nodes still bidirectionally present.
+    IndexOps.updateGraphIndex(spark, sfDir, root, batch2)
+    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+    val overCap = edges.groupBy("src_id")
+      .count().where(col("count") > SimilarityOps.BeamMaxDegree).count()
+    assert(overCap == 0, "replayed insert broke the degree cap")
+    val inserted = emb.where(batch1 || batch2).select("vec_id")
+    val missingSrc = inserted.join(
+      edges.select(col("src_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti").count()
+    val missingNbr = inserted.join(
+      edges.select(col("nbr_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti").count()
+    assert(missingSrc == 0 && missingNbr == 0,
+      "replayed insert dropped an inserted node from the graph")
+  }
 }
