@@ -947,12 +947,44 @@ object Pipelines {
   def platformDelta(spark: SparkSession, dir: String): DataFrame =
     platformDeltaAt(spark, dir, artifactRootFor("delta", dir))
 
+  /** Runs the day-1 build + one delta at `root`, gated by the COMMIT
+    * RECORD (the stats artifact's `commit` column — the LAST publish of
+    * both stages, so its value proves every prior artifact mutation
+    * landed):
+    *
+    *   - `"delta"` committed → this query's delta already ran here (the
+    *     bench evaluates every query twice in one JVM; a crash-replay of
+    *     a nightly job re-submits the same day). The committed output IS
+    *     the manifest log's resolved view — REPLAY it. A blind re-run
+    *     would re-append the batch after its own stored tokens and
+    *     restate its prior day-log rows as base, emitting every batch
+    *     survivor twice (pinned by the replay test in PlatformDeltaSpec).
+    *   - `"build"` committed → day-1 artifacts are complete but the delta
+    *     never committed (torn first run): skip the rebuild, run the
+    *     delta — packing still reads the pre-delta total, so the re-run
+    *     publishes byte-identical artifact rows.
+    *   - anything else → fresh (or torn-build) root: build day 1, then
+    *     run the delta.
+    */
   private[graft] def platformDeltaAt(
       spark: SparkSession, dir: String, root: String): DataFrame = {
     val isBatch = (c: Column) => c % 10 === 1
-    // DAY 1: build + publish on the pre-existing corpus.
-    platformBuildCore(spark, dir, root, !isBatch(col("doc_id")))
-    platformDeltaStage(spark, dir, root, isBatch)
+    val committed =
+      try spark.read.parquet(s"$root/stats").select("commit").head().getString(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => "" }
+    committed match {
+      case "delta" =>
+        manifestSnapshot(spark, root)
+          .select("doc_id", "lang", "component", "toks", "cum_before",
+            "first_chunk", "last_chunk", "n_chunks", "state")
+          .orderBy("doc_id")
+      case "build" =>
+        platformDeltaStage(spark, dir, root, isBatch)
+      case _ =>
+        // DAY 1: build + publish on the pre-existing corpus.
+        platformBuildCore(spark, dir, root, !isBatch(col("doc_id")))
+        platformDeltaStage(spark, dir, root, isBatch)
+    }
   }
 
   /** The DELTA stage alone, over already-published day-1 artifacts at

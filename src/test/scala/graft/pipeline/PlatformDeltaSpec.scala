@@ -78,6 +78,40 @@ class PlatformDeltaSpec extends SparkSpec {
     assert(stored == cum, s"stats artifact $stored != appended end $cum")
   }
 
+  test("re-invoking the committed delta replays its output byte-identically without touching artifacts") {
+    val r3 = s"$root/replay"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("component"), r.getAs[Long]("toks"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("first_chunk"),
+        r.getAs[Long]("last_chunk"), r.getAs[Long]("n_chunks"),
+        r.getAs[String]("state"))
+    def inventory: Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(r3))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getPath -> ((f.length, f.lastModified))).toMap
+    }
+    val first = Pipelines.platformDeltaAt(spark, sfDir, r3).collect().map(key)
+    val before = inventory
+    // Second invocation in the same JVM (exactly what Bench's two timing
+    // passes do): the commit record says the delta landed, so this must
+    // REPLAY the committed output — not re-run the batch over the
+    // post-delta artifacts (which would re-append the batch after its own
+    // tokens and resurrect its prior day-log rows as duplicates).
+    val second = Pipelines.platformDeltaAt(spark, sfDir, r3).collect().map(key)
+    assert(second.map(_._1).distinct.length == second.length,
+      s"replay emitted duplicate doc_ids: " +
+        second.groupBy(_._1).filter(_._2.length > 1).keys.toSeq.sorted.take(5).toString)
+    assert(second.sorted.toSeq == first.sorted.toSeq,
+      s"replay != first invocation: first=${first.length} second=${second.length} " +
+        s"onlySecond=${(second.toSet -- first.toSet).toSeq.sortBy(_._1).take(3)}")
+    assert(inventory == before, "replay rewrote stored artifacts: " +
+      (inventory.toSet -- before.toSet).map(_._1).toSeq.sorted.take(5).toString)
+  }
+
   test("two consecutive deltas == frozen full rebuild; day-2 writes touch only day=2; compaction preserves the view") {
     val r2 = s"$root/chain"
     val isB1 = (c: Column) => c % 10 === 1
