@@ -246,6 +246,17 @@ object ScaleRehearsal {
            "ns_multimodal_png", "ns_multimodal_jpeg", "ns_multimodal_adpcm",
            "ns_text_unigram_train");
          (sfName, dir) <- scales) measure(q, sfName, dir)
+    // Round-9b: classifier training is ClsIters in-row margin/error
+    // passes over the cached per-doc feature maps + a 116-key map-side-
+    // combined gradient agg each — wall must track N with near-constant
+    // shuffle (the gradient rows are dimension-, not corpus-, scale).
+    // The synthetic vocabulary fails the gopher gate for every doc (the
+    // platform-build note above), so labels are uniformly 0 here: the
+    // mechanical cost is the subject; LEARNING is exercised by the
+    // fixture-corpus spec and oracle.
+    for (q <- Seq("ns_text_classify_trained");
+         (sfName, dir) <- scales) measure(q, sfName, dir)
+
     // Multi-probe IVF: same assign/rerank plan as ivf_topk with 4x the
     // probed lists — the subject is cost ∝ probes, not corpus size.
     for (q <- Seq("ns_sim_ivf_multiprobe");

@@ -1276,7 +1276,7 @@ object TextOps {
 
   // ---- Hashed linear quality classifier -----------------------------------
 
-  private val ClsBuckets = 64
+  private[operators] val ClsBuckets = 64
   // -0.20 in micro-units: centers the decision boundary on the fixture
   // vocabulary's mean per-word weight (~+0.197), so `keep` splits the
   // corpus rather than rubber-stamping it.
@@ -1332,6 +1332,257 @@ object TextOps {
           .as("logit"),
         (col("z_u") > 0L).as("keep"))
       .orderBy("doc_id")
+  }
+
+  // ---- TRAINED hashed classifier (integer GD distilling the Gopher gate) --
+
+  private[operators] val ClsIters = 6
+  private[operators] val ClsLrNum = 1L
+
+  /** Binned one-hot STAT features alongside the hashed words: each
+    * Gopher profile statistic maps to a one-hot bucket (`least(stat
+    * OP k, cap)`), because a LINEAR model over raw stats cannot express
+    * the rule battery's two-sided bands (20 <= n_words <= 90) while
+    * one-hot bins make any step function of a stat learnable — the
+    * standard trick a fastText-grade quality classifier pairs with its
+    * hashed n-grams. Templates hold `OP` for the engine's integer
+    * division (all operands nonnegative, so Spark `DIV` truncation and
+    * DuckDB `//` flooring agree); widths fix each bin block's offset.
+    */
+  private val ClsBins: Seq[(String, Int)] = Seq(
+    ("least(n_words OP 10, 12)", 13),
+    ("least(mwl_u OP 1000000, 11)", 12),
+    ("least(n_stop_distinct, 4)", 5),
+    ("least(sym_u OP 50000, 4)", 5),
+    ("least(alpha_u OP 100000, 10)", 11),
+    ("least(dup3_u OP 15000, 4)", 5))
+  private[operators] val ClsDim = ClsBuckets + ClsBins.map(_._2).sum + 1
+  private[operators] val ClsBias = ClsDim - 1
+
+  /** The per-doc active bin buckets as ONE generated array/list
+    * expression over the profile stat columns (identical names in both
+    * engines), plus the bias bucket — `elems` wraps for the engine's
+    * array literal syntax.
+    */
+  private def clsBinBuckets(op: String, open: String, close: String): String = {
+    var base = ClsBuckets
+    val parts = ClsBins.map { case (tpl, n) =>
+      val s = s"($base + (${tpl.replace("OP", op)}))"
+      base += n
+      s
+    } :+ ClsBias.toString
+    parts.mkString(open, ", ", close)
+  }
+
+  /** Sign-safe integer division (truncation toward zero) as one SQL text
+    * per engine: Spark spells integer division `DIV` (which truncates),
+    * DuckDB `//` (which FLOORS — identical only for nonnegative
+    * operands), so the sign is peeled off explicitly and the division
+    * always runs on a nonnegative numerator in BOTH engines. The Scala
+    * driver-side update uses `Long./` — also truncation toward zero.
+    */
+  private def sdivSql(a: String, q: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($q) ELSE -((-($a)) $op ($q)) END)"
+
+  /** The word hash shared with [[nsTextClassify]] (same Rabin-Karp
+    * polynomial as the rollhash/spans families), over an exploded word
+    * column instead of a nested lambda.
+    */
+  private def clsWordHashOn(c: String): String =
+    s"aggregate(transform(split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, ch) -> (acc * $RollBase + ch) % $RollMod)"
+
+  /** Per-doc classifier inputs, one row per gopher-labeled doc:
+    * `(doc_id, y_u, xm)` where `y_u` is the Gopher verdict in micro-units
+    * (1e6 pass / 0 fail) and `xm: MAP<INT, BIGINT>` maps each active
+    * feature bucket to its value — hashed word buckets at their
+    * length-normalized count in micro-units (`(cnt * 1e6) div n_tokens`,
+    * so Σ over word buckets ≈ 1e6 regardless of doc length), the
+    * [[ClsBins]] one-hot stat buckets and the BIAS bucket [[ClsBias]] at
+    * exactly 1e6. The word convention matches [[nsTextClassify]]
+    * (unfiltered lowercase whitespace split); the label domain is
+    * [[gopherProfile]]'s (zero-word docs excluded).
+    */
+  private def classifierInputs(docs: DataFrame): DataFrame = {
+    val labels = gopherProfile(docs)
+      .select(col("doc_id"), when(col("pass"), 1000000L).otherwise(0L).as("y_u"),
+        expr(clsBinBuckets("DIV", "array(", ")")).as("bins"))
+    val feats = docs
+      .withColumn("n", expr("CAST(size(split(lower(text), ' ')) AS BIGINT)"))
+      .select(col("doc_id"), col("n"),
+        explode(split(lower(col("text")), " ")).as("wd"))
+      .withColumn("bucket", expr(s"CAST((${clsWordHashOn("wd")}) % $ClsBuckets AS INT)"))
+      .groupBy(col("doc_id"), col("n"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("bucket"), expr("(cnt * 1000000) DIV n").as("xn_u"))
+    feats.join(labels.select("doc_id", "y_u"), Seq("doc_id"))
+      .unionByName(labels.select(col("doc_id"),
+        explode(col("bins")).as("bin"),
+        lit(1000000L).as("xn_u"), col("y_u"))
+        .select(col("doc_id"), col("bin").cast("int").as("bucket"),
+          col("xn_u"), col("y_u")))
+      .groupBy("doc_id", "y_u")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("xn_u")))).as("xm"))
+  }
+
+  /** The document margin under weights `w` (micro-units, index
+    * [[ClsBuckets]] = bias): `sdiv(Σ_b w[b] * xm[b], 1e6)` — exact Long
+    * arithmetic over the in-row feature map, a pure projection.
+    */
+  private def clsMarginCol(w: Array[Long]): Column = {
+    val wlit = w.mkString("array(", "L, ", "L)")
+    expr(sdivSql(
+      s"aggregate(map_entries(xm), CAST(0 AS BIGINT), " +
+        s"(acc, e) -> acc + element_at($wlit, CAST(e.key AS INT) + 1) * e.value)",
+      "1000000", "DIV"))
+  }
+
+  /** Elliott fast-sigmoid in micro-units —
+    * `p = 1/2 + m / (2 * (1 + |m|))` — the squashing link chosen so the
+    * whole training loop is EXACT integer arithmetic: no exp/ln enters
+    * any decision, so per-doc error terms are engine-deterministic and
+    * the micro-unit gradient sums are order-free across shuffles (the
+    * quantize-then-integer-sum discipline of the soft-EM round, with the
+    * transcendental eliminated rather than boundary-scanned).
+    */
+  private def clsProbSql(op: String): String =
+    s"(500000 + ${sdivSql("500000 * m_u", "1000000 + abs(m_u)", op)})"
+
+  /** Batch gradient descent distilling the Gopher rule gate into the
+    * hashed linear model ([[nsTextClassify]]'s shape, weights LEARNED):
+    * [[ClsIters]] full-gradient rounds, error `e = y - p(m)` against the
+    * fast-sigmoid link, per-(doc, bucket) contribution
+    * `sdiv(e * xm[b], 1e6)` quantized to micro-units BEFORE the sum so
+    * the per-bucket reduction is an order-free Long sum, update
+    * `w[b] += sdiv(G_b * lr, N)`.
+    *
+    * Scale shape: the feature build is one explode + two keyed
+    * aggregations; each iteration is ONE pass over the cached per-doc
+    * rows — margin and error are in-row projections, the only exchange
+    * is the 65-key gradient aggregation (map-side combined). Driver
+    * state is the 65-entry weight vector (the readLlr pattern). At
+    * trillion-doc scale the Long gradient sum holds because each doc
+    * contributes at most ±1e6 per bucket.
+    */
+  private[operators] def trainClassifier(docs: DataFrame): (Array[Long], DataFrame) = {
+    val inputs = classifierInputs(docs).cache()
+    val n = inputs.count()
+    val w = Array.fill(ClsDim)(0L)
+    for (_ <- 1 to ClsIters) {
+      val grads = inputs
+        .withColumn("m_u", clsMarginCol(w))
+        .withColumn("e_u", col("y_u") - expr(clsProbSql("DIV")))
+        .select(col("e_u"), explode(col("xm")).as(Seq("bucket", "xn_u")))
+        .groupBy("bucket")
+        .agg(sum(expr(sdivSql("e_u * xn_u", "1000000", "DIV"))).as("g"))
+        .collect()
+      grads.foreach { r =>
+        w(r.getInt(0)) += r.getLong(1) * ClsLrNum / n
+      }
+    }
+    (w, inputs)
+  }
+
+  /** The trained model itself: [[ClsDim]] rows of (bucket, weight_u) —
+    * hashed word buckets, then the one-hot stat bins, bias last — the
+    * learned counterpart of [[clsWeightsU]]'s fixed stand-in; the
+    * oracle replays all [[ClsIters]] gradient rounds as CTEs.
+    */
+  def nsTextClassifyTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, inputs) = trainClassifier(Tables.documents(spark, dir))
+    inputs.unpersist()
+    w.zipWithIndex.map { case (wu, b) => (b.toLong, wu) }.toSeq
+      .toDF("bucket", "weight_u").orderBy("bucket")
+  }
+
+  /** Train, then score the corpus under the learned weights: the
+    * model-based quality filter with its model actually fit to this
+    * corpus ([[nsTextClassify]] is the frozen stand-in). `keep` compares
+    * the exact integer margin to zero; `label` is the Gopher verdict the
+    * model distills, so keep vs label reads as the distillation
+    * confusion table.
+    */
+  def nsTextClassifyTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (w, inputs) = trainClassifier(Tables.documents(spark, dir))
+    val out = inputs
+      .withColumn("m_u", clsMarginCol(w))
+      .select(col("doc_id"),
+        expr("round(CAST(m_u AS DOUBLE) / 1000000.0, 6)").as("logit"),
+        (col("m_u") > 0L).as("keep"),
+        (col("y_u") === 1000000L).as("label"))
+      .orderBy("doc_id")
+      .localCheckpoint() // pin before dropping the shared feature cache
+    inputs.unpersist()
+    out
+  }
+
+  /** Score a corpus under a FIXED weight vector — the serving half of the
+    * trained classifier: one feature build + one in-row margin projection,
+    * NO training pass. Output shape (and therefore oracle) identical to
+    * [[nsTextClassifyTrained]]; [[graft.operators.IndexOps]] pairs it with
+    * the stored model artifact for the build/serve split.
+    */
+  private[operators] def scoreClassifier(docs: DataFrame, w: Array[Long]): DataFrame =
+    classifierInputs(docs)
+      .withColumn("m_u", clsMarginCol(w))
+      .select(col("doc_id"),
+        expr("round(CAST(m_u AS DOUBLE) / 1000000.0, 6)").as("logit"),
+        (col("m_u") > 0L).as("keep"),
+        (col("y_u") === 1000000L).as("label"))
+      .orderBy("doc_id")
+
+  /** The full training replay as a DuckDB CTE chain ending in
+    * `w[ClsIters](bucket, wu)` (+`cfeat`/`clab` for scoring consumers) —
+    * generated from the SAME constants as the Spark loop (the
+    * bpeTrainCtes pattern), every step exact integer arithmetic.
+    */
+  private def classifierTrainCtes: String = {
+    def sdiv(a: String, q: String) = sdivSql(a, q, "//")
+    val wordHash = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(wd, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(acc, x) -> (acc * $RollBase + x) % $RollMod)"
+    val iters = (1 to ClsIters).map { t =>
+      s"""m$t AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y_u,
+         |         CAST(${sdiv("SUM(w.wu * f.xn_u)", "1000000")} AS BIGINT) AS m_u
+         |  FROM cfeat f JOIN w${t - 1} w USING (bucket)
+         |  GROUP BY f.doc_id, f.y_u),
+         |e$t AS MATERIALIZED (
+         |  SELECT doc_id, y_u - ${clsProbSql("//")} AS e_u FROM m$t),
+         |g$t AS (
+         |  SELECT f.bucket,
+         |         CAST(SUM(${sdiv("e.e_u * f.xn_u", "1000000")}) AS BIGINT) AS g
+         |  FROM cfeat f JOIN e$t e USING (doc_id) GROUP BY f.bucket),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         w.wu + ${sdiv(s"coalesce(g.g, 0) * $ClsLrNum", "(SELECT n FROM cn)")} AS wu
+         |  FROM w${t - 1} w LEFT JOIN g$t g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""clab AS MATERIALIZED (
+       |  SELECT doc_id, CAST(CASE WHEN pass THEN 1000000 ELSE 0 END AS BIGINT) AS y_u,
+       |         ${clsBinBuckets("//", "[", "]")} AS bins
+       |  FROM ($gopherOracleSql) gg),
+       |cwords AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd FROM documents),
+       |ccnt AS (
+       |  SELECT doc_id, CAST(($wordHash) % $ClsBuckets AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cwords GROUP BY 1, 2),
+       |cnw AS (
+       |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |cfeat AS MATERIALIZED (
+       |  SELECT c.doc_id, c.bucket, (c.cnt * 1000000) // d.n AS xn_u, l.y_u
+       |  FROM ccnt c JOIN cnw d USING (doc_id) JOIN clab l USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, CAST(unnest(bins) AS INT) AS bucket,
+       |         CAST(1000000 AS BIGINT) AS xn_u, y_u
+       |  FROM clab),
+       |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clab),
+       |w0 AS (SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS wu
+       |       FROM (SELECT unnest(range($ClsDim)) AS b)),
+       |$iters""".stripMargin
   }
 
   // ---- BM25 lexical retrieval ---------------------------------------------
@@ -1543,6 +1794,8 @@ object TextOps {
     "ns_corpus_curriculum" -> (nsCorpusCurriculum _),
     "ns_text_collocations" -> (nsTextCollocations _),
     "ns_text_classify" -> (nsTextClassify _),
+    "ns_text_classify_train" -> (nsTextClassifyTrain _),
+    "ns_text_classify_trained" -> (nsTextClassifyTrained _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
     "ns_text_salient" -> (nsTextSalient _),
@@ -1646,6 +1899,48 @@ object TextOps {
        |             / sum(len(s) - len(replace(s, '|', '')) - 1), 6) AS chars_per_token
        |FROM e$BpeMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The Gopher rule-battery oracle, factored to a val so the
+    * trained-classifier CTE chain can embed it as its LABEL subquery
+    * (the pipe_corpus_admission composition pattern, in-object).
+    */
+  private[operators] val gopherOracleSql: String =
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS nw,
+        |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS wchars,
+        |         CAST(len(regexp_extract_all(lt, '[^a-z0-9 ]')) AS BIGINT) AS punct,
+        |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(list_distinct(list_filter(ws,
+        |           t -> t IN ('the','a','of','and','is','to','in','that','be','have','with')))) AS BIGINT) AS n_stop_distinct,
+        |         CASE WHEN len(ws) >= 3 THEN
+        |           CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+        |             i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]))) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS dup3
+        |  FROM d WHERE len(ws) > 0),
+        |u AS (
+        |  SELECT doc_id, nw,
+        |         (wchars * 1000000) // nw AS mwl_u,
+        |         (punct * 1000000) // nw AS sym_u,
+        |         (alpha_words * 1000000) // nw AS alpha_u,
+        |         n_stop_distinct,
+        |         CASE WHEN nw >= 3 THEN (dup3 * 1000000) // (nw - 2) ELSE 0 END AS dup3_u
+        |  FROM s)
+        |SELECT doc_id, nw AS n_words, mwl_u, sym_u, alpha_u, n_stop_distinct, dup3_u,
+        |       nw BETWEEN 20 AND 90 AS r_words,
+        |       mwl_u BETWEEN 3000000 AND 10000000 AS r_mwl,
+        |       sym_u <= 100000 AS r_symbol,
+        |       alpha_u >= 800000 AS r_alpha,
+        |       n_stop_distinct >= 2 AS r_stop,
+        |       dup3_u <= 30000 AS r_rep,
+        |       (nw BETWEEN 20 AND 90) AND (mwl_u BETWEEN 3000000 AND 10000000)
+        |         AND sym_u <= 100000 AND alpha_u >= 800000
+        |         AND n_stop_distinct >= 2 AND dup3_u <= 30000 AS pass
+        |FROM u ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ns_text_pii" ->
@@ -1788,43 +2083,21 @@ object TextOps {
         |      FROM df)
         |SELECT rank, shingle, df FROM r WHERE rank <= $HotNgramK
         |ORDER BY rank""".stripMargin,
-    "ns_text_gopher" ->
-      """WITH d AS (
-        |  SELECT doc_id, lower(text) AS lt,
-        |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |         CAST(len(ws) AS BIGINT) AS nw,
-        |         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS wchars,
-        |         CAST(len(regexp_extract_all(lt, '[^a-z0-9 ]')) AS BIGINT) AS punct,
-        |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
-        |         CAST(len(list_distinct(list_filter(ws,
-        |           t -> t IN ('the','a','of','and','is','to','in','that','be','have','with')))) AS BIGINT) AS n_stop_distinct,
-        |         CASE WHEN len(ws) >= 3 THEN
-        |           CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
-        |             i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]))) AS BIGINT)
-        |         ELSE CAST(0 AS BIGINT) END AS dup3
-        |  FROM d WHERE len(ws) > 0),
-        |u AS (
-        |  SELECT doc_id, nw,
-        |         (wchars * 1000000) // nw AS mwl_u,
-        |         (punct * 1000000) // nw AS sym_u,
-        |         (alpha_words * 1000000) // nw AS alpha_u,
-        |         n_stop_distinct,
-        |         CASE WHEN nw >= 3 THEN (dup3 * 1000000) // (nw - 2) ELSE 0 END AS dup3_u
-        |  FROM s)
-        |SELECT doc_id, nw AS n_words, mwl_u, sym_u, alpha_u, n_stop_distinct, dup3_u,
-        |       nw BETWEEN 20 AND 90 AS r_words,
-        |       mwl_u BETWEEN 3000000 AND 10000000 AS r_mwl,
-        |       sym_u <= 100000 AS r_symbol,
-        |       alpha_u >= 800000 AS r_alpha,
-        |       n_stop_distinct >= 2 AS r_stop,
-        |       dup3_u <= 30000 AS r_rep,
-        |       (nw BETWEEN 20 AND 90) AND (mwl_u BETWEEN 3000000 AND 10000000)
-        |         AND sym_u <= 100000 AND alpha_u >= 800000
-        |         AND n_stop_distinct >= 2 AND dup3_u <= 30000 AS pass
-        |FROM u ORDER BY doc_id""".stripMargin,
+    "ns_text_gopher" -> gopherOracleSql,
+    "ns_text_classify_train" ->
+      s"""WITH $classifierTrainCtes
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wu AS BIGINT) AS weight_u
+         |FROM w$ClsIters ORDER BY bucket""".stripMargin,
+    "ns_text_classify_trained" ->
+      s"""WITH $classifierTrainCtes,
+         |csc AS (
+         |  SELECT f.doc_id, f.y_u,
+         |         CAST(${sdivSql("SUM(w.wu * f.xn_u)", "1000000", "//")} AS BIGINT) AS m_u
+         |  FROM cfeat f JOIN w$ClsIters w USING (bucket)
+         |  GROUP BY f.doc_id, f.y_u)
+         |SELECT doc_id, round(CAST(m_u AS DOUBLE) / 1000000.0, 6) AS logit,
+         |       m_u > 0 AS keep, y_u = 1000000 AS label
+         |FROM csc ORDER BY doc_id""".stripMargin,
     "ns_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
