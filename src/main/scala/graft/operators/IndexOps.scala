@@ -462,6 +462,44 @@ object IndexOps {
     DedupOps.pairsFromIndex(banded, sets, 0.5)
   }
 
+  // ---- trained-classifier model artifact ----------------------------------
+
+  /** Train the hashed quality classifier and publish its weight vector as
+    * a stored MODEL artifact: [[TextOps.ClsDim]] rows of
+    * (bucket_id, weight_u) under the same write-audit-publish contract as
+    * the index families — a serving fleet reads the model files, never
+    * retrains. Unlike the additive artifacts (postings, centroid lists,
+    * graph edges), GD weights have no per-doc merge algebra, so model
+    * refresh is a REBUILD on the refreshed corpus — the honest update
+    * contract for a trained model.
+    */
+  def buildClassifierIndex(docs: DataFrame, root: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (w, inputs) = TextOps.trainClassifier(docs)
+    inputs.unpersist()
+    MergeSink.publishPartitioned(
+      w.zipWithIndex.map { case (wu, b) => (b.toLong, wu) }.toSeq
+        .toDF("bucket_id", "weight_u").withColumn("pt", lit(0)),
+      s"$root/weights", "pt",
+      audit = a => require(a.count() == TextOps.ClsDim.toLong,
+        s"classifier artifact must hold exactly ${TextOps.ClsDim} weights"))
+  }
+
+  /** Score a corpus FROM the stored model: read the [[TextOps.ClsDim]]
+    * weight rows (driver state bounded by the model DIMENSION — the
+    * readCentroids pattern), then one feature build + in-row margin
+    * projection via [[TextOps.scoreClassifier]]. The training loop never
+    * runs at serve time. Row-identical to [[TextOps.nsTextClassifyTrained]]
+    * over the same corpus (shared oracle).
+    */
+  def queryClassifierIndex(spark: SparkSession, root: String, docs: DataFrame): DataFrame = {
+    val w = new Array[Long](TextOps.ClsDim)
+    spark.read.parquet(s"$root/weights").select("bucket_id", "weight_u")
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    TextOps.scoreClassifier(docs, w)
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Per-process artifact root: unique per JVM (concurrent sbt sessions
@@ -521,7 +559,19 @@ object IndexOps {
     queryDedupIndex(spark, root, docs.where(isBatch))
   }
 
+  /** Build-then-serve for the trained quality classifier: publish the
+    * weight artifact, then score the corpus from the files just written —
+    * row-identical to [[TextOps.nsTextClassifyTrained]] (shared oracle),
+    * with the train/serve split the bench can time apart.
+    */
+  def nsTextClassifyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootFor("cls", dir)
+    buildClassifierIndex(Tables.documents(spark, dir), root)
+    queryClassifierIndex(spark, root, Tables.documents(spark, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_classify_indexed" -> (nsTextClassifyIndexed _),
     "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
     "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _),
     "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _),
@@ -532,6 +582,7 @@ object IndexOps {
     * twins, so they share those oracles verbatim.
     */
   val oracles: Map[String, String] = Map(
+    "ns_text_classify_indexed" -> TextOps.oracles("ns_text_classify_trained"),
     "ns_text_bm25_indexed" -> TextOps.oracles("ns_text_bm25"),
     "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
     "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"),

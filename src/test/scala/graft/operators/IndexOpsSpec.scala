@@ -163,6 +163,32 @@ class IndexOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("classifier served from the stored model equals the in-session trained query") {
+    val want = TextOps.nsTextClassifyTrained(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture produced no classifier rows — test is vacuous")
+    val got = IndexOps.nsTextClassifyIndexed(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want, s"model-served mismatch: got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("the stored weight artifact is exactly the train query's weight vector") {
+    val root = tmpRoot("graft_cls_art")
+    IndexOps.buildClassifierIndex(Tables.documents(spark, sfDir), root)
+    val stored = spark.read.parquet(s"$root/weights")
+      .select("bucket_id", "weight_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val want = TextOps.nsTextClassifyTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(stored == want, "artifact weights diverge from the train query")
+    // Model refresh is a rebuild: publishing again over the same corpus
+    // must leave the served answer byte-identical (atomic swap, no merge).
+    val once = IndexOps.queryClassifierIndex(spark, root,
+      Tables.documents(spark, sfDir)).collect().map(_.toSeq).toSeq
+    IndexOps.buildClassifierIndex(Tables.documents(spark, sfDir), root)
+    val twice = IndexOps.queryClassifierIndex(spark, root,
+      Tables.documents(spark, sfDir)).collect().map(_.toSeq).toSeq
+    assert(once == twice, "a rebuild over the same corpus changed the served answer")
+  }
+
   test("ivf index query reads only probed clusters (partition pruning)") {
     val root = tmpRoot("graft_ivf_prune")
     IndexOps.buildIvfIndex(SimilarityOps.embeddings(spark, sfDir), root)
