@@ -248,8 +248,10 @@ object ScaleRehearsal {
          (sfName, dir) <- scales) measure(q, sfName, dir)
     // Round-9b: classifier training is ClsIters in-row margin/error
     // passes over the cached per-doc feature maps + a 116-key map-side-
-    // combined gradient agg each — wall must track N with near-constant
-    // shuffle (the gradient rows are dimension-, not corpus-, scale).
+    // combined gradient agg each — wall must track N; shuffle is the
+    // ONE-TIME feature build (explode + two doc-keyed aggs, linear in
+    // corpus tokens, measured 4.5→107 MB over 20x rows) while the six
+    // gradient exchanges stay dimension-scale (116 keys x partitions).
     // The synthetic vocabulary fails the gopher gate for every doc (the
     // platform-build note above), so labels are uniformly 0 here: the
     // mechanical cost is the subject; LEARNING is exercised by the
