@@ -1415,14 +1415,21 @@ object TextOps {
       .groupBy(col("doc_id"), col("n"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("bucket"), expr("(cnt * 1000000) DIV n").as("xn_u"))
-    feats.join(labels.select("doc_id", "y_u"), Seq("doc_id"))
-      .unionByName(labels.select(col("doc_id"),
-        explode(col("bins")).as("bin"),
-        lit(1000000L).as("xn_u"), col("y_u"))
-        .select(col("doc_id"), col("bin").cast("int").as("bucket"),
-          col("xn_u"), col("y_u")))
+    // ONE join, ONE labels subtree: the bins ride the join row and are
+    // appended to the map at assembly time (word buckets are 0..63, bins
+    // start at ClsBuckets — disjoint by construction, so map_concat never
+    // sees a duplicate key). A first cut unioned a second labels branch
+    // (explode(bins)) instead; that branch re-evaluated the Gopher HOF
+    // stack per stat reference (~8 s of the 10 s build at sf0.1, vs
+    // 0.3 s for the whole profile computed once).
+    feats.join(labels, Seq("doc_id"))
       .groupBy("doc_id", "y_u")
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("xn_u")))).as("xm"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("xn_u")))).as("wm"),
+        first(col("bins")).as("bins")) // constant within the group (one labels row per doc)
+      .select(col("doc_id"), col("y_u"),
+        map_concat(col("wm"), expr(
+          "map_from_entries(transform(bins, b -> struct(CAST(b AS INT), CAST(1000000 AS BIGINT))))"))
+          .as("xm"))
   }
 
   /** The document margin under weights `w` (micro-units, index
