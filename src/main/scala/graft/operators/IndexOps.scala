@@ -493,11 +493,19 @@ object IndexOps {
     * runs at serve time. Row-identical to [[TextOps.nsTextClassifyTrained]]
     * over the same corpus (shared oracle).
     */
-  def queryClassifierIndex(spark: SparkSession, root: String, docs: DataFrame): DataFrame = {
+  def queryClassifierIndex(spark: SparkSession, root: String, docs: DataFrame): DataFrame =
+    TextOps.scoreClassifier(docs, readClassifierWeights(spark, root))
+
+  /** The stored weight vector as driver state (bounded by the model
+    * DIMENSION — the readCentroids pattern). Shared by the batch serve
+    * query and the streaming scoring twin, which loads it ONCE at
+    * stream wire-up.
+    */
+  private[graft] def readClassifierWeights(spark: SparkSession, root: String): Array[Long] = {
     val w = new Array[Long](TextOps.ClsDim)
     spark.read.parquet(s"$root/weights").select("bucket_id", "weight_u")
       .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
-    TextOps.scoreClassifier(docs, w)
+    w
   }
 
   // ---- registered queries -------------------------------------------------

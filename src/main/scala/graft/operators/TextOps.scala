@@ -1530,7 +1530,7 @@ object TextOps {
     * [[nsTextClassifyTrained]]; [[graft.operators.IndexOps]] pairs it with
     * the stored model artifact for the build/serve split.
     */
-  private[operators] def scoreClassifier(docs: DataFrame, w: Array[Long]): DataFrame =
+  private[graft] def scoreClassifier(docs: DataFrame, w: Array[Long]): DataFrame =
     classifierInputs(docs)
       .withColumn("m_u", clsMarginCol(w))
       .select(col("doc_id"),
