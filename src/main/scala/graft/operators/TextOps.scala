@@ -1524,6 +1524,35 @@ object TextOps {
     out
   }
 
+  /** Model eval — the lifecycle stage a training pipeline never ships
+    * without: train, score, and fold the keep-vs-label comparison into
+    * the distillation confusion table (tp/fp/fn/tn) plus exact
+    * micro-unit accuracy / precision / recall (integer floor division,
+    * operands nonnegative so Spark `DIV` and DuckDB `//` agree; zero
+    * denominators yield NULL rather than a fabricated 0). One row out —
+    * the aggregate is a single count/sum pass over the scored frame, so
+    * eval adds one corpus scan to the training cost at any scale.
+    */
+  def nsTextClassifyEval(spark: SparkSession, dir: String): DataFrame = {
+    val (w, inputs) = trainClassifier(Tables.documents(spark, dir))
+    val out = inputs
+      .withColumn("m_u", clsMarginCol(w))
+      .select((col("m_u") > 0L).as("keep"), (col("y_u") === 1000000L).as("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("((tp + tn) * 1000000) DIV n_docs").as("acc_u"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) DIV (tp + fp) END").as("prec_u"),
+        expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000) DIV (tp + fn) END").as("rec_u"))
+      .localCheckpoint() // pin before dropping the shared feature cache
+    inputs.unpersist()
+    out
+  }
+
   /** Score a corpus under a FIXED weight vector — the serving half of the
     * trained classifier: one feature build + one in-row margin projection,
     * NO training pass. Output shape (and therefore oracle) identical to
@@ -1803,6 +1832,7 @@ object TextOps {
     "ns_text_classify" -> (nsTextClassify _),
     "ns_text_classify_train" -> (nsTextClassifyTrain _),
     "ns_text_classify_trained" -> (nsTextClassifyTrained _),
+    "ns_text_classify_eval" -> (nsTextClassifyEval _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
     "ns_text_salient" -> (nsTextSalient _),
@@ -2105,6 +2135,25 @@ object TextOps {
          |SELECT doc_id, round(CAST(m_u AS DOUBLE) / 1000000.0, 6) AS logit,
          |       m_u > 0 AS keep, y_u = 1000000 AS label
          |FROM csc ORDER BY doc_id""".stripMargin,
+    "ns_text_classify_eval" ->
+      s"""WITH $classifierTrainCtes,
+         |csc AS (
+         |  SELECT f.doc_id, f.y_u,
+         |         CAST(${sdivSql("SUM(w.wu * f.xn_u)", "1000000", "//")} AS BIGINT) AS m_u
+         |  FROM cfeat f JOIN w$ClsIters w USING (bucket)
+         |  GROUP BY f.doc_id, f.y_u),
+         |cm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN m_u > 0 AND y_u = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN m_u > 0 AND y_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN m_u <= 0 AND y_u = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN m_u <= 0 AND y_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM csc)
+         |SELECT n_docs, tp, fp, fn, tn,
+         |       ((tp + tn) * 1000000) // n_docs AS acc_u,
+         |       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS prec_u,
+         |       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS rec_u
+         |FROM cm""".stripMargin,
     "ns_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -113,4 +113,20 @@ class ClassifierSpec extends SparkSpec {
       s"trained accuracy $acc does not beat the majority prior $prior — " +
         "the model learned nothing beyond the class balance")
   }
+
+  test("the eval confusion table matches the per-doc scoring exactly") {
+    val scored = TextOps.nsTextClassifyTrained(spark, sfDir)
+      .select("keep", "label").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val ev = TextOps.nsTextClassifyEval(spark, sfDir).collect().head
+    val (n, tp, fp, fn, tn) = (ev.getLong(0), ev.getLong(1), ev.getLong(2),
+      ev.getLong(3), ev.getLong(4))
+    assert(tp + fp + fn + tn == n, "confusion cells must partition the corpus")
+    assert(n == scored.length.toLong)
+    assert(tp == scored.count(p => p._1 && p._2).toLong)
+    assert(fp == scored.count(p => p._1 && !p._2).toLong)
+    assert(fn == scored.count(p => !p._1 && p._2).toLong)
+    assert(tn == scored.count(p => !p._1 && !p._2).toLong)
+    assert(ev.getLong(5) == (tp + tn) * 1000000L / n) // acc_u
+  }
 }
