@@ -164,8 +164,7 @@ object ImageCodecs {
     val bpp = channels * (depth / 8)
     require(comp == 0 && filt == 0 && interlace <= 1,
       s"PNG: unsupported comp/filter/interlace $comp/$filt/$interlace")
-    require(bpp.toLong * w * h + h <= Int.MaxValue && 4L * w * h <= Int.MaxValue,
-      s"PNG: ${w}x$h overflows the buffer")
+    require(4L * w * h <= Int.MaxValue, s"PNG: ${w}x$h overflows the buffer")
     val idat = chunks.filter(_._1 == "IDAT").map(_._2)
     require(idat.nonEmpty, "PNG: no IDAT chunk")
     val stream = new Array[Byte](idat.map(_.length).sum)
@@ -179,10 +178,17 @@ object ImageCodecs {
     val passDims = passes.map { case (x0, y0, xs, ys) =>
       (math.max(0, (w - x0 + xs - 1) / xs), math.max(0, (h - y0 + ys - 1) / ys))
     }
-    val rawLen = passes.indices.map { p =>
+    // Long arithmetic for the filtered-stream length: Adam7 carries up to
+    // ~1.875·h filter bytes (one per pass scanline), so an adversarial
+    // near-2 GB interlaced IHDR could overflow an Int sum while passing a
+    // sequential-layout guard.
+    val rawLenL = passes.indices.map { p =>
       val (wp, hp) = passDims(p)
-      if (wp == 0 || hp == 0) 0 else hp * (1 + bpp * wp)
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1L + bpp.toLong * wp)
     }.sum
+    require(rawLenL <= Int.MaxValue,
+      s"PNG: ${w}x$h filtered stream overflows the buffer")
+    val rawLen = rawLenL.toInt
     // Drain loop: Inflater.inflate may legally return fewer bytes than
     // available per call, and a stream decoding to MORE than the image
     // must fail loud, so loop to finished() and check both directions.

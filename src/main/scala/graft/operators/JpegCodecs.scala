@@ -73,7 +73,11 @@ object JpegCodecs {
     def decode(in: BitReader): Int = {
       var code = in.nextBit()
       var l = 1
-      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+      // code < minCode(l) is unreachable for any VALID code of this or a
+      // greater length (canonical codes only grow past maxCode), but a
+      // corrupt stream can produce it — keep reading so it surfaces as the
+      // descriptive invalid-code error below, never a negative vals index.
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l) || code < minCode(l))) {
         code = (code << 1) | in.nextBit()
         l += 1
       }
@@ -299,8 +303,15 @@ object JpegCodecs {
               val rs = acTab.decode(in)
               val r = rs >> 4; val s = rs & 0x0f
               if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else k = 64 // EOB
+                if (r == 15) { // ZRL: 16 zero coefficients
+                  k += 16
+                  require(k <= 64, "AC ZRL run past end of block")
+                } else {
+                  // (run, 0) with 0 < run < 15 is undefined in baseline —
+                  // reject rather than silently treating it as EOB.
+                  require(r == 0, f"undefined AC symbol (run=$r, size=0)")
+                  k = 64 // EOB
+                }
               } else {
                 k += r
                 require(k < 64, "AC run past end of block")
