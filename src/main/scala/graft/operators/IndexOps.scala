@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   * overwrite): at 100 TB a daily batch of new documents touches each term
   * bucket it mentions, never the full index; re-delivered documents are
   * idempotent via last-write-wins upsert on the (term, doc) key.
+  *
+  * BUCKET COUNTS SCALE WITH THE CORPUS ([[graft.ops.ArtifactMeta]]): each
+  * build sizes its bucket count at a fixed target bucket SIZE, persists
+  * it in the artifact's `meta/` table, and every update path reads it
+  * back — so a touched-bucket rewrite moves min(batch keys, buckets) ×
+  * target rows, not (batch buckets / fixed count) × corpus.
   */
 object IndexOps {
 
-  private[operators] val Bm25Buckets = 8
+  import graft.ops.ArtifactMeta
 
   private def termBucket(buckets: Int) =
     pmod(xxhash64(col("wd")), lit(buckets.toLong)).cast("int")
@@ -47,21 +53,30 @@ object IndexOps {
   /** Build the full BM25 index from a corpus and publish it atomically.
     * One postings shuffle; every side table derives from the cached
     * postings (the stored side-stat layout of a real inverted index).
+    * `buckets` ≤ 0 (the default) sizes the layout from the corpus at
+    * [[graft.ops.ArtifactMeta.DocsPerBucket]]; the chosen count is
+    * persisted in `meta/` for the update path.
     */
-  def buildBm25Index(docs: DataFrame, root: String, buckets: Int = Bm25Buckets): Unit = {
+  def buildBm25Index(docs: DataFrame, root: String, buckets: Int = 0): Unit = {
+    val b = if (buckets > 0) buckets else ArtifactMeta.bucketsFor(docs.count())
     val tf = TextOps.bm25Postings(docs).cache()
     try {
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
       MergeSink.publishPartitioned(
-        tf.withColumn("bucket", termBucket(buckets)), s"$root/postings", "bucket")
+        tf.withColumn("bucket", termBucket(b)), s"$root/postings", "bucket",
+        onePerPartition = true)
       MergeSink.publishPartitioned(
         tf.groupBy("wd").agg(count(lit(1)).as("df"))
-          .withColumn("bucket", termBucket(buckets)), s"$root/termstats", "bucket")
+          .withColumn("bucket", termBucket(b)), s"$root/termstats", "bucket",
+        onePerPartition = true)
       MergeSink.publishPartitioned(
-        dlen.withColumn("bucket", docBucket(buckets)), s"$root/doclen", "bucket")
+        dlen.withColumn("bucket", docBucket(b)), s"$root/doclen", "bucket",
+        onePerPartition = true)
       MergeSink.publishPartitioned(
         dlen.agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
           .withColumn("bucket", lit(0)), s"$root/stats", "bucket")
+      ArtifactMeta.write(docs.sparkSession, root,
+        Map("buckets.postings" -> b.toLong, "buckets.doclen" -> b.toLong))
     } finally tf.unpersist()
   }
 
@@ -78,31 +93,36 @@ object IndexOps {
     * is collected to the driver — bounded by the bucket count, not the
     * data.
     */
-  def updateBm25Index(docs: DataFrame, root: String, buckets: Int = Bm25Buckets): Unit = {
+  def updateBm25Index(docs: DataFrame, root: String): Unit = {
     val spark = docs.sparkSession
+    val pBuckets = ArtifactMeta.readBuckets(spark, root, "postings")
+    val dBuckets = ArtifactMeta.readBuckets(spark, root, "doclen")
     val tf = TextOps.bm25Postings(docs).cache()
     try {
-      val newPost = tf.withColumn("bucket", termBucket(buckets))
+      val newPost = tf.withColumn("bucket", termBucket(pBuckets))
       val touched = newPost.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
       val oldPost = spark.read.parquet(s"$root/postings")
         .where(col("bucket").isin(touched: _*))
         .select(col("wd"), col("doc_id"), col("tf"), col("bucket").cast("int"))
       val merged = MergeSink.upsert(oldPost, newPost, Seq("wd", "doc_id")).cache()
-      MergeSink.publishPartitioned(merged, s"$root/postings", "bucket")
+      MergeSink.publishPartitioned(merged, s"$root/postings", "bucket",
+        onePerPartition = true)
       MergeSink.publishPartitioned(
         merged.groupBy("wd").agg(count(lit(1)).as("df"))
-          .withColumn("bucket", termBucket(buckets)), s"$root/termstats", "bucket")
+          .withColumn("bucket", termBucket(pBuckets)), s"$root/termstats", "bucket",
+        onePerPartition = true)
       merged.unpersist()
       val newDlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-        .withColumn("bucket", docBucket(buckets))
+        .withColumn("bucket", docBucket(dBuckets))
       val touchedDoc = newDlen.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
       val oldDlen = spark.read.parquet(s"$root/doclen")
         .where(col("bucket").isin(touchedDoc: _*))
         .select(col("doc_id"), col("dlen"), col("bucket").cast("int"))
       MergeSink.publishPartitioned(
-        MergeSink.upsert(oldDlen, newDlen, Seq("doc_id")), s"$root/doclen", "bucket")
+        MergeSink.upsert(oldDlen, newDlen, Seq("doc_id")), s"$root/doclen", "bucket",
+        onePerPartition = true)
       MergeSink.publishPartitioned(
         spark.read.parquet(s"$root/doclen")
           .agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
@@ -289,8 +309,6 @@ object IndexOps {
     SimilarityOps.ivfPqAdcSearch(cands, probes, books)
   }
 
-  private val GraphBuckets = 8
-
   /** Build + publish the NAVIGABLE GRAPH artifact the HNSW-lite beam
     * search walks ([[SimilarityOps.beamGraphEdges]]: LSH-seeded k-NN
     * refined by NN-descent, symmetrized, degree-capped at M_max) —
@@ -301,13 +319,29 @@ object IndexOps {
     * incremental posture matches the dedup index (a future insert path
     * touches only the buckets its node ids hash into).
     */
+  /** Recall floor the stored graph's beam width is tuned against at
+    * build time — the same 0.75 the IVF multi-probe row and the
+    * GraphBeamSpec tuning table pin.
+    */
+  private[graft] val GraphRecallTarget = 0.75
+
   def buildGraphIndex(spark: SparkSession, dir: String, root: String,
       nodeFilter: Column = lit(true)): Unit = {
-    val edges = SimilarityOps.beamGraphEdgesFrom(
-      SimilarityOps.embeddings(spark, dir).where(nodeFilter))
+    val nodes = SimilarityOps.embeddings(spark, dir).where(nodeFilter)
+    val b = ArtifactMeta.bucketsFor(nodes.count())
+    val edges = SimilarityOps.beamGraphEdgesFrom(nodes)
+    // Tune ef AT THIS INDEX'S SCALE on the just-built edges (one truth
+    // pass + usually one walk — see [[SimilarityOps.tuneEfOn]]) and store
+    // it in the artifact: the serve path walks the graph at the width the
+    // BUILD measured, not a constant pinned at fixture scale.
+    val ef = SimilarityOps.tuneEfOn(spark, dir, GraphRecallTarget, edges,
+      nodeFilter, Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
+        4 * SimilarityOps.BeamEf))
     MergeSink.publishPartitioned(
-      edges.withColumn("bucket", pmod(col("src_id"), lit(GraphBuckets.toLong)).cast("int")),
-      s"$root/edges", "bucket")
+      edges.withColumn("bucket", pmod(col("src_id"), lit(b.toLong)).cast("int")),
+      s"$root/edges", "bucket", onePerPartition = true)
+    ArtifactMeta.write(spark, root,
+      Map("buckets.edges" -> b.toLong, "beam_ef" -> ef.toLong))
   }
 
   /** HNSW-style INSERT of newly-arrived vectors into the stored
@@ -335,12 +369,14 @@ object IndexOps {
     */
   def updateGraphIndex(spark: SparkSession, dir: String, root: String,
       isBatch: Column): Unit = {
+    val graphBuckets = ArtifactMeta.readBuckets(spark, root, "edges")
     val emb = SimilarityOps.embeddings(spark, dir)
     val batchQ = emb.where(isBatch)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val storedEf = ArtifactMeta.readLong(spark, root, "beam_ef").toInt
     val old = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
     val links = SimilarityOps.graphBeamFor(spark, dir,
-        SimilarityOps.BeamEf, SimilarityOps.BeamHops, old, batchQ,
+        storedEf, SimilarityOps.BeamHops, old, batchQ,
         !isBatch, SimilarityOps.RefineK)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("nbr_id"))
     val newEdges = links.unionByName(
@@ -358,7 +394,7 @@ object IndexOps {
       .where(col("_rn") <= SimilarityOps.BeamMaxDegree)
       .select("src_id", "nbr_id")
     val newRows = rebuilt
-      .withColumn("bucket", pmod(col("src_id"), lit(GraphBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(col("src_id"), lit(graphBuckets.toLong)).cast("int"))
       .localCheckpoint() // one beam-search execution; pin before republish
     val touched = newRows.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
@@ -370,7 +406,8 @@ object IndexOps {
       .join(newRows.select("src_id").distinct(), Seq("src_id"), "left_anti")
       .select(col("src_id"), col("nbr_id"), col("bucket").cast("int"))
     MergeSink.publishPartitioned(
-      oldRows.unionByName(newRows), s"$root/edges", "bucket")
+      oldRows.unionByName(newRows), s"$root/edges", "bucket",
+      onePerPartition = true)
   }
 
   /** Beam-search top-k FROM the stored graph artifact: reads the edge
@@ -382,12 +419,10 @@ object IndexOps {
     * the walk term independent of N — against the stored files.
     */
   def queryGraphIndex(spark: SparkSession, root: String, dir: String): DataFrame = {
+    val ef = ArtifactMeta.readLong(spark, root, "beam_ef").toInt
     val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
-    SimilarityOps.graphBeam(spark, dir,
-      SimilarityOps.BeamEf, SimilarityOps.BeamHops, edges)
+    SimilarityOps.graphBeam(spark, dir, ef, SimilarityOps.BeamHops, edges)
   }
-
-  private val DedupBuckets = 8
 
   /** Build + publish the near-dup (MinHash) index — the stored form of
     * [[DedupOps.corpusIndex]]: banded signatures bucketed by a hash of
@@ -395,17 +430,22 @@ object IndexOps {
     * keys hash into) and the shingle sets bucketed by doc id (the verify
     * stage's side table). Band rows are stored DISTINCT — candidate
     * generation distincts anyway, and a set-valued table is what the
-    * LWW-merge incremental path can maintain exactly.
+    * LWW-merge incremental path can maintain exactly. `buckets` ≤ 0 sizes
+    * the layout from the corpus ([[graft.ops.ArtifactMeta.bucketsFor]]);
+    * the count is persisted in `meta/` for the update path.
     */
-  def buildDedupIndex(docs: DataFrame, root: String): Unit = {
+  def buildDedupIndex(docs: DataFrame, root: String, buckets: Int = 0): Unit = {
+    val b = if (buckets > 0) buckets else ArtifactMeta.bucketsFor(docs.count())
     val (banded, sets) = DedupOps.corpusIndex(docs)
     MergeSink.publishPartitioned(
       banded.distinct()
-        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(DedupBuckets.toLong)).cast("int")),
-      s"$root/banded", "bucket")
+        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(b.toLong)).cast("int")),
+      s"$root/banded", "bucket", onePerPartition = true)
     MergeSink.publishPartitioned(
-      sets.withColumn("bucket", pmod(col("doc_id"), lit(DedupBuckets.toLong)).cast("int")),
-      s"$root/sets", "bucket")
+      sets.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int")),
+      s"$root/sets", "bucket", onePerPartition = true)
+    ArtifactMeta.write(docs.sparkSession, root,
+      Map("buckets.banded" -> b.toLong, "buckets.sets" -> b.toLong))
   }
 
   /** Merge a batch of NEWLY-ARRIVED documents into a stored near-dup
@@ -416,26 +456,29 @@ object IndexOps {
     */
   def updateDedupIndex(docs: DataFrame, root: String): Unit = {
     val spark = docs.sparkSession
+    val bandedBuckets = ArtifactMeta.readBuckets(spark, root, "banded")
+    val setsBuckets = ArtifactMeta.readBuckets(spark, root, "sets")
     val (banded, sets) = DedupOps.corpusIndex(docs)
     val newBanded = banded.distinct()
-      .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(DedupBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong)).cast("int"))
     val touched = newBanded.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+      .collect().map(_.getInt(0)).toSeq // bounded by min(batch band keys, buckets)
     val oldBanded = spark.read.parquet(s"$root/banded")
       .where(col("bucket").isin(touched: _*))
       .select(col("doc_id"), col("band_key"), col("bucket").cast("int"))
     MergeSink.publishPartitioned(
       MergeSink.upsert(oldBanded, newBanded, Seq("doc_id", "band_key")),
-      s"$root/banded", "bucket")
+      s"$root/banded", "bucket", onePerPartition = true)
     val newSets = sets
-      .withColumn("bucket", pmod(col("doc_id"), lit(DedupBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(setsBuckets.toLong)).cast("int"))
     val touchedDoc = newSets.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val oldSets = spark.read.parquet(s"$root/sets")
       .where(col("bucket").isin(touchedDoc: _*))
       .select(col("doc_id"), col("shs"), col("c"), col("bucket").cast("int"))
     MergeSink.publishPartitioned(
-      MergeSink.upsert(oldSets, newSets, Seq("doc_id")), s"$root/sets", "bucket")
+      MergeSink.upsert(oldSets, newSets, Seq("doc_id")), s"$root/sets", "bucket",
+      onePerPartition = true)
   }
 
   /** Near-dup matches of runtime `batchDocs` against the STORED index —

@@ -454,6 +454,36 @@ object SimilarityOps {
     * plus the (ef, recall) table. Driver state is the NumQueries × TopK
     * id sets per evaluation — bounded by construction.
     */
+  /** Build-time form of the tuner, over a PREBUILT edge list and an
+    * indexed-universe filter: evaluates candidates ascending and stops at
+    * the FIRST ef clearing `target` recall@[[TopK]] — so the common case
+    * (the fixture-pinned [[BeamEf]] still sufficing) costs one
+    * brute-force truth pass ([[NumQueries]] × N, the tuner's floor) plus
+    * one walk. [[IndexOps.buildGraphIndex]] runs this so the STORED
+    * artifact carries an ef measured at its own scale: BeamEf is pinned
+    * at fixture scale, and the round-9 graph_split rehearsal measured
+    * the fixed-ef serve result thinning 300→152 rows as the corpus grew
+    * 16× — recall tuning is a per-index property, not a constant.
+    */
+  private[graft] def tuneEfOn(spark: SparkSession, dir: String,
+      target: Double, edges: DataFrame, nodeFilter: Column,
+      candidates: Seq[Int]): Int = {
+    val universe = embeddings(spark, dir).where(nodeFilter)
+    val truth = bruteforceTopk(universe)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = universe.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sortedC = candidates.sorted
+    sortedC.find { ef =>
+      val got = graphBeamFor(spark, dir, ef, BeamHops, edges, queries,
+          nodeFilter, TopK)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size >= target
+    }.getOrElse(sortedC.last)
+  }
+
   def efForRecall(spark: SparkSession, dir: String, target: Double,
       candidates: Seq[Int] = Seq(4, 8, 16, 32)): (Int, Seq[(Int, Double)]) = {
     val truth = bruteforceTopk(embeddings(spark, dir))

@@ -100,8 +100,10 @@ object MergeSink {
       path: String,
       partitionCol: String,
       audit: DataFrame => Unit = _ => (),
-      lockTimeoutMs: Long = 60000L): Unit =
-    publishPartitionedCols(df, path, Seq(partitionCol), audit, lockTimeoutMs)
+      lockTimeoutMs: Long = 60000L,
+      onePerPartition: Boolean = false): Unit =
+    publishPartitionedCols(df, path, Seq(partitionCol), audit, lockTimeoutMs,
+      onePerPartition)
 
   /** [[publishPartitioned]] with a NESTED partition layout
     * (`cols.head=a/cols(1)=b/...`): the swap unit is still a TOP-LEVEL
@@ -115,9 +117,17 @@ object MergeSink {
       path: String,
       cols: Seq[String],
       audit: DataFrame => Unit = _ => (),
-      lockTimeoutMs: Long = 60000L): Unit = {
+      lockTimeoutMs: Long = 60000L,
+      onePerPartition: Boolean = false): Unit = {
     require(cols.nonEmpty, "publishPartitionedCols needs >= 1 partition column")
     val partitionCol = cols.head
+    // For HIGH-CARDINALITY partition layouts (corpus-scaled bucket counts,
+    // [[ArtifactMeta.bucketsFor]]) route each partition value to one task
+    // first: an unshuffled write emits up to tasks × values files of a few
+    // rows each, and the read-back pays one open per file. Off by default —
+    // a LOW-cardinality layout (the lang-partitioned manifest) would
+    // collapse to one task per value and lose write parallelism.
+    val toWrite = if (onePerPartition) df.repartition(cols.map(col): _*) else df
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,7 +136,7 @@ object MergeSink {
     val stage = new org.apache.hadoop.fs.Path(root, s"_staging/$id")
     var publishOk = false
     try {
-      df.write.mode("overwrite").partitionBy(cols: _*).parquet(stage.toString)
+      toWrite.write.mode("overwrite").partitionBy(cols: _*).parquet(stage.toString)
       // A zero-row batch stages no partition directories (and its parquet
       // dir has no readable schema) — nothing to publish, the live table
       // is untouched. Callers appending a possibly-empty day's rows rely

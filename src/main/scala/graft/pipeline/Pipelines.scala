@@ -781,21 +781,31 @@ object Pipelines {
     */
   private[graft] def platformBuildCore(
       spark: SparkSession, dir: String, root: String,
-      buildFilter: Column, frozenFrom: Option[String] = None): DataFrame = {
+      buildFilter: Column, frozenFrom: Option[String] = None,
+      buckets: Int = 0): DataFrame = {
     import spark.implicits._
     val dedup = graft.operators.DedupOps
     val text = graft.operators.TextOps
     val sampling = graft.operators.SamplingOps
     val sink = graft.ops.MergeSink
     val docs = Tables.documents(spark, dir).where(buildFilter)
+    // Corpus-scaled bucket count, shared by every doc-keyed artifact under
+    // this root and persisted in `meta/` for the delta's maintenance
+    // passes (graft.ops.ArtifactMeta — fixed bucket SIZE, so a delta's
+    // touched-bucket rewrites stay batch-proportional as the corpus grows).
+    val lblBuckets =
+      if (buckets > 0) buckets
+      else graft.ops.ArtifactMeta.bucketsFor(docs.count())
     // 1-2: publish the index artifact, survivorship from the files
-    graft.operators.IndexOps.buildDedupIndex(docs, root)
+    graft.operators.IndexOps.buildDedupIndex(docs, root, lblBuckets)
     val pairs = graft.operators.IndexOps.dedupEdgesFromIndex(spark, root)
       .select("doc_a", "doc_b")
     val labels = dedup.componentLabelsFromEdges(docs.select("doc_id"), pairs)
     sink.publishPartitioned(
-      labels.withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int")),
-      s"$root/labels", "bucket")
+      labels.withColumn("bucket", pmod(col("doc_id"), lit(lblBuckets.toLong)).cast("int")),
+      s"$root/labels", "bucket", onePerPartition = true)
+    graft.ops.ArtifactMeta.write(spark, root,
+      Map("buckets.labels" -> lblBuckets.toLong))
     // 3: split on the component key; survivors of the train split only
     val surv = labels.where(dedup.splitCol === "train")
       .where(col("doc_id") === col("component"))
@@ -1087,21 +1097,47 @@ object Pipelines {
     // in the append-only stream), though its component keeps tracking
     // further merges; a prior delta's 'appended' rows restate as plain
     // base (they are part of the packed stream now).
-    val stored = manifestSnapshot(spark, root)
-    val day = stored.agg(coalesce(max("day"), lit(0)).as("d"))
+    // TORN-RUN RECOVERY (both windows of a first delta that crashed after
+    // some artifact publishes but before the stats commit):
+    //   - crashed AFTER the manifest day=N publish: the snapshot already
+    //     holds this batch's appended rows — restating them as 'base' AND
+    //     re-appending them would emit each batch survivor twice, so the
+    //     batch's own prior-day rows are anti-joined out of the base side
+    //     (a no-op in the normal path, where batch docs are new).
+    //   - crashed AFTER the labels publish but BEFORE the manifest one:
+    //     `relabel` (the in-memory label diff) is empty because the stored
+    //     labels already carry the merge, so revocations would be lost —
+    //     the fallback below re-derives each manifest component's final
+    //     label from the labels TABLE itself (a rep whose stored label no
+    //     longer equals its own id was merged by the torn run). Empty in
+    //     the normal path: manifest components are reps, and an untouched
+    //     rep's label is its own id.
+    val snapshot = manifestSnapshot(spark, root)
+    val stored = snapshot.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val day = snapshot.agg(coalesce(max("day"), lit(0)).as("d"))
       .head().getInt(0) + 1
+    val tornRelabel = lbl.where(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("component"),
+        col("component").as("torn_component"))
+    // Pinned (localCheckpoint) BEFORE the artifact publishes below: both
+    // `base` and `changed` derive from this frame, and tornRelabel reads
+    // the labels TABLE — evaluating it lazily after the labels upsert
+    // would observe this run's own writes.
     val baseRel = stored
       .join(broadcast(relabel), Seq("component"), "left_outer")
-      .withColumn("fin_comp", coalesce(col("new_component"), col("component")))
+      .join(tornRelabel, Seq("component"), "left_outer")
+      .withColumn("fin_comp",
+        coalesce(col("new_component"), col("torn_component"), col("component")))
       .withColumn("new_state",
         when(col("state") === "revoked", lit("revoked"))
           .when(col("fin_comp") =!= col("doc_id"), lit("revoked"))
           .otherwise(lit("base")))
+      .localCheckpoint()
     def restated(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("lang"), col("fin_comp").as("component"),
         col("toks"), col("cum_before"), col("first_chunk"), col("last_chunk"),
         col("n_chunks"), col("new_state").as("state"))
-    val base = restated(baseRel).localCheckpoint()
+    val base = restated(baseRel)
     // Artifact maintenance so tomorrow's delta reads today's state:
     // labels upsert (touched doc-buckets only), manifest APPEND — this
     // delta's new rows plus ONLY the rows it re-stated (fresh revocation
@@ -1109,18 +1145,21 @@ object Pipelines {
     // under their own day=N partition; prior days' files are never opened
     // or rewritten ([[graft.ops.MergeSink.compactLog]] folds the log back
     // to day 0 periodically) — and the 1-row stats refresh.
+    val lblBuckets = graft.ops.ArtifactMeta.readBuckets(spark, root, "labels")
     val updLbl = lbl.join(broadcast(relabel), Seq("component"))
       .select(col("doc_id"), col("new_component").as("component"))
       .unionByName(bLabels.select("doc_id", "component"))
-      .withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(lblBuckets.toLong)).cast("int"))
     val touched = updLbl.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
+      .collect().map(_.getInt(0)).toSeq // bounded by min(batch keys, buckets)
     val oldLbl = spark.read.parquet(s"$root/labels")
       .where(col("bucket").isin(touched: _*))
       .select(col("doc_id"), col("component"), col("bucket").cast("int"))
     sink.publishPartitioned(
-      sink.upsert(oldLbl, updLbl, Seq("doc_id")), s"$root/labels", "bucket")
-    val changed = restated(baseRel.where(col("new_component").isNotNull))
+      sink.upsert(oldLbl, updLbl, Seq("doc_id")), s"$root/labels", "bucket",
+      onePerPartition = true)
+    val changed = restated(baseRel.where(
+      col("new_component").isNotNull || col("torn_component").isNotNull))
     sink.publishPartitionedCols(
       changed.unionByName(appended).withColumn("day", lit(day)),
       s"$root/manifest", Seq("day", "lang"))

@@ -55,6 +55,14 @@ class GraphBeamSpec extends SparkSpec {
     val root = new java.io.File(s"${graft.ops.ProcessTmp.dir("graft_index")}")
     assert(root.listFiles != null && root.listFiles.exists(_.getName.startsWith("graph_")),
       "graph artifact root missing")
+    // The stored artifact carries its own tuned beam width; at fixture
+    // scale the build's tuner must land on the pinned BeamEf (the shared
+    // oracle replays that width) — if this ever breaks, the tuner and the
+    // constant diverged and the registered query needs re-pinning.
+    val graphRoot = root.listFiles.filter(_.getName.startsWith("graph_"))
+      .maxBy(_.lastModified).getPath
+    assert(graft.ops.ArtifactMeta.readLong(spark, graphRoot, "beam_ef") ==
+      SimilarityOps.BeamEf.toLong, "stored beam_ef diverged from the pinned BeamEf")
   }
 
   test("HNSW insert: batch vectors merge into the stored graph — degree cap, reachability, recall parity") {

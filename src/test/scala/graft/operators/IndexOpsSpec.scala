@@ -163,6 +163,38 @@ class IndexOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("non-default bucket count: the update path reads the stored layout, not a constant") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 10 < 2
+    val root = tmpRoot("graft_dedup_nb")
+    // 32 buckets — NOT the 8-bucket floor the fixture corpus would get.
+    IndexOps.buildDedupIndex(docs.where(!isBatch), root, buckets = 32)
+    assert(graft.ops.ArtifactMeta.readBuckets(spark, root, "banded") == 32)
+    // the on-disk layout really is 32-way (more than 8 distinct dirs is
+    // only possible if both build AND update hash modulo the stored count)
+    def bucketDirs(t: String) = new java.io.File(s"$root/$t").listFiles
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(bucketDirs("banded").size > 8, s"banded dirs ${bucketDirs("banded").size}")
+    // The serve path over the non-default layout answers exactly the
+    // default layout's rows (bucketing is layout, never semantics) —
+    // queried BEFORE the update merges the batch into the index.
+    val got = IndexOps.queryDedupIndex(spark, root, docs.where(isBatch))
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.DedupOps.nsDedupIncremental(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "non-default bucket count changed served rows")
+    IndexOps.updateDedupIndex(docs.where(isBatch), root)
+    val fullRoot = tmpRoot("graft_dedup_nbfull")
+    IndexOps.buildDedupIndex(docs, fullRoot, buckets = 32)
+    def banded(r: String) = spark.read.parquet(s"$r/banded")
+      .select(col("doc_id"), col("band_key")).collect()
+      .map(row => (row.getLong(0), row.getStruct(1).toSeq)).toSet
+    assert(banded(root) == banded(fullRoot),
+      "32-bucket incremental update diverges from the 32-bucket full build")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("classifier served from the stored model equals the in-session trained query") {
     val want = TextOps.nsTextClassifyTrained(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(want.nonEmpty, "fixture produced no classifier rows — test is vacuous")

@@ -112,6 +112,98 @@ class PlatformDeltaSpec extends SparkSpec {
       (inventory.toSet -- before.toSet).map(_._1).toSeq.sorted.take(5).toString)
   }
 
+  test("delta over a non-default bucket count reads the stored layout and stays exact") {
+    val r = s"$root/nbuckets"
+    val isB = (c: Column) => c % 10 === 1
+    // 32 label buckets — not the 8-bucket floor this corpus would derive.
+    Pipelines.platformBuildCore(spark, sfDir, r, !isB(col("doc_id")), buckets = 32)
+    assert(graft.ops.ArtifactMeta.readBuckets(spark, r, "labels") == 32)
+    assert(new java.io.File(s"$r/labels").listFiles
+      .count(_.getName.startsWith("bucket=")) > 8, "labels layout is not 32-way")
+    val delta = Pipelines.platformDeltaStage(spark, sfDir, r, isB).collect()
+    val full = Pipelines.platformBuildCore(spark, sfDir, s"$root/nbucketsfull",
+        lit(true), frozenFrom = Some(r))
+      .select("doc_id", "component", "toks").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    val live = delta.filter(_.getAs[String]("state") != "revoked")
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("component"), x.getAs[Long]("toks")))).toMap
+    assert(live == full, "non-default bucket count broke delta consistency")
+  }
+
+  test("torn first delta recovers: both crash windows re-run to the committed output") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("component"), r.getAs[Long]("toks"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("first_chunk"),
+        r.getAs[Long]("last_chunk"), r.getAs[Long]("n_chunks"),
+        r.getAs[String]("state"))
+    // Reference: a clean build + delta at an untouched root.
+    val ref = Pipelines.platformDeltaAt(spark, sfDir, s"$root/tornref")
+      .collect().map(key).sorted.toSeq
+    val isB = (c: Column) => c % 10 === 1
+    // A torn root: run build + delta fully, then roll the state back to
+    // the chosen crash window. Stats is the LAST publish (the commit
+    // record), so in EVERY torn window it still holds the build total.
+    def tornRoot(name: String)(rollback: String => Unit): String = {
+      val r = s"$root/$name"
+      Pipelines.platformBuildCore(spark, sfDir, r, !isB(col("doc_id")))
+      val buildToks = spark.read.parquet(s"$r/stats")
+        .select("total_toks").head().getLong(0)
+      Pipelines.platformDeltaStage(spark, sfDir, r, isB).count()
+      rollback(r)
+      graft.ops.MergeSink.publishPartitioned(
+        spark.range(1).select(lit(buildToks).as("total_toks"),
+          lit("build").as("commit"), lit(0).as("bucket")),
+        s"$r/stats", "bucket")
+      r
+    }
+    def deleteDay1Manifest(r: String): Unit =
+      new java.io.File(s"$r/manifest").listFiles.toSeq
+        .filter(f => f.getName.startsWith("day=") && f.getName != "day=0")
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete()
+          }
+          rm(d)
+        }
+    // Window 1 — crashed AFTER the labels (and dedup-index) publishes but
+    // BEFORE the manifest one: labels already carry the merge, so the
+    // in-memory relabel diff is empty on re-run; revocations must come
+    // from the labels-table fallback.
+    val rA = tornRoot("tornA")(deleteDay1Manifest)
+    val rerunA = Pipelines.platformDeltaAt(spark, sfDir, rA).collect().map(key)
+    assert(rerunA.map(_._1).distinct.length == rerunA.length,
+      "labels-torn re-run emitted duplicate doc_ids")
+    assert(rerunA.sorted.toSeq == ref,
+      s"labels-torn re-run != committed delta: " +
+        s"only-rerun=${(rerunA.toSet -- ref.toSet).toSeq.sortBy(_._1).take(3)} " +
+        s"only-ref=${(ref.toSet -- rerunA.toSet).toSeq.sortBy(_._1).take(3)}")
+    // Window 2 — crashed AFTER the manifest day=1 publish, BEFORE the
+    // stats commit: the snapshot already holds the batch's appended rows;
+    // the re-run must not restate them as base AND re-append them.
+    val rB = tornRoot("tornB")(_ => ())
+    val rerunB = Pipelines.platformDeltaAt(spark, sfDir, rB).collect().map(key)
+    assert(rerunB.map(_._1).distinct.length == rerunB.length,
+      "manifest-torn re-run emitted duplicate doc_ids")
+    assert(rerunB.sorted.toSeq == ref,
+      s"manifest-torn re-run != committed delta: " +
+        s"only-rerun=${(rerunB.toSet -- ref.toSet).toSeq.sortBy(_._1).take(3)} " +
+        s"only-ref=${(ref.toSet -- rerunB.toSet).toSeq.sortBy(_._1).take(3)}")
+    // ...and its artifacts converge: the day log resolves to the same
+    // manifest view as the reference root's.
+    def view(r: String): Set[(Long, Long, Long, String)] = {
+      val w = Window.partitionBy("doc_id").orderBy(col("day").desc)
+      spark.read.parquet(s"$r/manifest")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select("doc_id", "component", "cum_before", "state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    }
+    assert(view(rB) == view(s"$root/tornref"),
+      "manifest-torn root's resolved manifest view diverged")
+  }
+
   test("two consecutive deltas == frozen full rebuild; day-2 writes touch only day=2; compaction preserves the view") {
     val r2 = s"$root/chain"
     val isB1 = (c: Column) => c % 10 === 1
