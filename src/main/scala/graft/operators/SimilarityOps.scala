@@ -204,18 +204,23 @@ object SimilarityOps {
 
   private val GraphK = 4
 
-  /** Dense-bucket cap for the k-NN graph's candidate stage: each LSH
-    * (band, bucket) cell contributes at most this many members (the
-    * lowest `LshBucketCap` vec_ids — deterministic, oracle-mirrored), so
-    * within-cell pair enumeration is <= cap² per cell REGARDLESS of data
-    * density. The SpanDfCap / BM25-df-ceiling pattern applied to LSH:
-    * without it, uniform (bucket-dense) data makes the all-sources graph
-    * quadratic — measured 421 s / 1.7 GB shuffle at 32k vectors (median
-    * cell occupancy 2084) vs linear after the cap. 256 clears every
-    * fixture's maximum cell (201 at sf0.1) so fixture results are
-    * unchanged; the recall cost on over-dense cells is the standard LSH
-    * trade (over-full cells carry little discriminative signal anyway —
-    * they are the embedding-space analog of stopword posting lists).
+  /** Dense-bucket bound for the k-NN graph's candidate stage: an LSH
+    * (band, bucket) cell larger than this splits into deterministic
+    * `cap`-sized SUB-CELLS ((rn-1) div cap over the vec_id order,
+    * oracle-mirrored) and pairs enumerate only within a sub-cell —
+    * per-cell pair mass <= |cell| × cap REGARDLESS of data density, and
+    * every member keeps ~cap local candidates. The SpanDfCap /
+    * BM25-df-ceiling pattern applied to LSH: without a bound, uniform
+    * (bucket-dense) data makes the all-sources graph quadratic —
+    * measured 421 s / 1.7 GB shuffle at 32k vectors (median cell
+    * occupancy 2084) vs linear after the bound. An earlier TRUNCATING
+    * cap (keep the first `cap` ids, drop the rest) had the same pair
+    * bound but dropped every node past the first `cap` per cell from
+    * candidate generation entirely — with 64 fixed LSH cells that
+    * isolated most of an 8k+ corpus in the seed graph and collapsed
+    * stored-graph beam recall at scale (0.25 at 8k, 0.09 at 32k). 256
+    * clears every fixture's maximum cell (201 at sf0.1), so sub-cell 0
+    * is the whole cell and fixture results are unchanged.
     */
   private val LshBucketCap = 256
 
@@ -244,21 +249,32 @@ object SimilarityOps {
   private[operators] def knnRankedEdgesFrom(
       emb: DataFrame, cap: Int): DataFrame = {
     val uncapped = lshBuckets(emb).select("vec_id", "band", "bucket")
-    // The cap window shuffles on the same (band, bucket) key the candidate
-    // join hashes on — no extra exchange family, and the truncated cells
-    // never reach the join.
+    // Dense-cell bound by SUB-BUCKETING, not truncation: an oversized
+    // (band, bucket) cell splits into deterministic `cap`-sized sub-cells
+    // ((rn-1) div cap over the vec_id order) and candidates pair only
+    // within a sub-cell. Per-cell pair mass stays O(|cell| x cap) — the
+    // 100 TB bound truncation gave — but EVERY node keeps ~cap local
+    // candidates. The previous `rn <= cap` filter dropped every node past
+    // the first `cap` ids per cell from candidate generation entirely;
+    // with 64 fixed LSH cells that isolated most of an 8k+ corpus in the
+    // seed graph, NN-descent had nothing to refine for them, and stored-
+    // graph beam recall collapsed as N grew (measured 0.25 at 8k, 0.09 at
+    // 32k vectors) no matter the beam width. Sub-cell 0 equals the whole
+    // cell whenever |cell| <= cap, so fixture-scale plans and oracles are
+    // row-identical. The cap window shuffles on the same (band, bucket)
+    // key the candidate join hashes on — no extra exchange family.
     val buckets = uncapped
       .withColumn("_rn", row_number().over(
         Window.partitionBy("band", "bucket").orderBy("vec_id")))
-      .where(col("_rn") <= cap)
+      .withColumn("cell", expr(s"(_rn - 1) DIV $cap"))
       .drop("_rn")
     val a = buckets.select(col("vec_id").as("src_id"),
-      col("band").as("a_band"), col("bucket").as("a_bucket"))
+      col("band").as("a_band"), col("bucket").as("a_bucket"), col("cell").as("a_cell"))
     val b = buckets.select(col("vec_id").as("nbr_id"),
-      col("band").as("b_band"), col("bucket").as("b_bucket"))
+      col("band").as("b_band"), col("bucket").as("b_bucket"), col("cell").as("b_cell"))
     val cand = a.join(b,
       col("a_band") === col("b_band") && col("a_bucket") === col("b_bucket")
-        && col("src_id") =!= col("nbr_id"))
+        && col("a_cell") === col("b_cell") && col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id")
       .distinct()
     val ea = emb.select(col("vec_id").as("src_id"), col("embedding").as("emb_a"))
@@ -605,7 +621,7 @@ object SimilarityOps {
 
   // ---- int8 quantization --------------------------------------------------
 
-  private[operators] val QuantQueries = 50
+  private[graft] val QuantQueries = 50
 
   /** Symmetric int8 quantization of every embedding (scale = max |x|,
     * q = round(x / scale * 127)).
@@ -1453,16 +1469,16 @@ object SimilarityOps {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$lshBucketCtes,
        |bkc AS (
-       |  SELECT vec_id, band, bucket FROM (
+       |  SELECT vec_id, band, bucket, (rn - 1) // $LshBucketCap AS cell FROM (
        |    SELECT vec_id, band, bucket,
        |           row_number() OVER (PARTITION BY band, bucket
        |                ORDER BY vec_id) AS rn
-       |    FROM bk)
-       |  WHERE rn <= $LshBucketCap),
+       |    FROM bk)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
        |  FROM bkc a JOIN bkc b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.cell = b.cell
+       |   AND a.vec_id <> b.vec_id),
        |s AS (
        |  SELECT src_id, nbr_id,
        |         round(list_cosine_similarity(q.v, c.v), 4) AS cos

@@ -175,7 +175,9 @@ class IndexOpsSpec extends SparkSpec {
     // only possible if both build AND update hash modulo the stored count)
     def bucketDirs(t: String) = new java.io.File(s"$root/$t").listFiles
       .map(_.getName).filter(_.startsWith("bucket=")).toSet
-    assert(bucketDirs("banded").size > 8, s"banded dirs ${bucketDirs("banded").size}")
+    assert(bucketDirs("sets").size > 8, s"sets dirs ${bucketDirs("sets").size}")
+    assert(bucketDirs("banded/seq=0").size > 8,
+      s"banded seq=0 dirs ${bucketDirs("banded/seq=0").size}")
     // The serve path over the non-default layout answers exactly the
     // default layout's rows (bucketing is layout, never semantics) —
     // queried BEFORE the update merges the batch into the index.
@@ -192,6 +194,45 @@ class IndexOpsSpec extends SparkSpec {
       .map(row => (row.getLong(0), row.getStruct(1).toSeq)).toSet
     assert(banded(root) == banded(fullRoot),
       "32-bucket incremental update diverges from the 32-bucket full build")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("banded/postings maintenance is append-only: a batch writes only its own seq partition") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val b1 = col("doc_id") % 10 < 2
+    val b2 = col("doc_id") % 10 >= 2 && col("doc_id") % 10 < 4
+    val hist = col("doc_id") % 10 >= 4
+    val root = tmpRoot("graft_dedup_append")
+    IndexOps.buildDedupIndex(docs.where(hist), root)
+    def inv(t: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/$t"))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getPath -> ((f.length, f.lastModified))).toMap
+    }
+    val after0 = inv("banded")
+    IndexOps.updateDedupIndex(docs.where(b1), root)
+    val after1 = inv("banded")
+    after0.foreach { case (p, m) =>
+      assert(after1.get(p).contains(m), s"batch-1 append rewrote prior banded file $p")
+    }
+    val new1 = after1.keySet -- after0.keySet
+    assert(new1.nonEmpty && new1.forall(_.contains("seq=1")),
+      s"batch-1 rows landed outside seq=1: ${new1.filterNot(_.contains("seq=1")).take(3)}")
+    // replaying the SAME batch appends nothing (the new-docs anti-join
+    // filters every re-delivered doc before any write)
+    IndexOps.updateDedupIndex(docs.where(b1), root)
+    assert(inv("banded") == after1, "replayed batch mutated the banded log")
+    // a genuinely new second batch appends only its own partition
+    IndexOps.updateDedupIndex(docs.where(b2), root)
+    val after2 = inv("banded")
+    after1.foreach { case (p, m) =>
+      assert(after2.get(p).contains(m), s"batch-2 append rewrote prior banded file $p")
+    }
+    assert((after2.keySet -- after1.keySet).forall(_.contains("seq=2")))
     spark.sharedState.cacheManager.clearCache()
   }
 
