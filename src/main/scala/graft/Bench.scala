@@ -30,6 +30,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     sentinelMs() // compile/JIT the probe itself once
+    // PRE-RUN GATE on the probe itself (round-10): the recorded clean
+    // floor is ~43-48 ms median; a pre-run median past 2x that means
+    // another process already shares the box and every timing below would
+    // be contaminated (the r9 driver artifact ran 287.9 s vs the 227.9 s
+    // quiet recording for exactly this reason). Wait-and-retry a few
+    // times for the box to drain, then proceed either way but stamp the
+    // verdict INTO the artifact — a hot run must be self-evidently hot,
+    // never silently recorded as the cost of the code.
+    val quietFloorMs = 48.0
+    def sentinelMedian(): Double = {
+      val xs = (1 to 5).map(_ => sentinelMs()).sorted
+      xs(xs.size / 2)
+    }
+    var preMed = sentinelMedian()
+    var waits = 0
+    while (preMed > 2 * quietFloorMs && waits < 3) {
+      System.err.println(f"[bench] pre-run sentinel $preMed%.1f ms > 2x quiet floor " +
+        f"$quietFloorMs%.1f ms - box is hot, waiting 30s (retry ${waits + 1}/3)")
+      Thread.sleep(30000)
+      preMed = sentinelMedian()
+      waits += 1
+    }
+    val sentinelVerdict = if (preMed > 2 * quietFloorMs) "hot" else "quiet"
     def clearState(): Unit = {
       // Leftover in-query caches (shingle/signature frames) AND lingering
       // localCheckpoint RDD blocks are dropped OUTSIDE the timed window:
@@ -96,7 +119,8 @@ object Bench {
     val totalFull = results.map(_._4).filter(_ >= 0).sum
     val errors = results.collect { case (k, d, _, f) if d < 0 || f < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"full_s":$fulls,"total_full_s":$totalFull,"errors":$errors,"sf":"$sfDir"}""")
+    val preStr = (math.round(preMed * 100) / 100.0).toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"sentinel_pre_ms":$preStr,"sentinel_floor_ms":$quietFloorMs,"sentinel_verdict":"$sentinelVerdict","full_s":$fulls,"total_full_s":$totalFull,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

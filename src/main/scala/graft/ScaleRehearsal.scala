@@ -291,8 +291,21 @@ object ScaleRehearsal {
         val sw = math.round(writeB.sum / 1e5) / 10.0
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        println(s"""{"query":"graph_index_build","sf":"$sfName","rows":0,"sec":$buildSec,"shuffle_write_mb":$bw}""")
-        println(s"""{"query":"graph_index_serve","sf":"$sfName","rows":${acc.value},"sec":$serveSec,"shuffle_write_mb":$sw}""")
+        // Recall of the SERVED rows vs brute force (untimed — the claim
+        // under test since round 10 is that the stored, build-tuned ef
+        // holds the 0.75 floor as N grows, not just that the walk is fast).
+        val truth = graft.operators.SimilarityOps.nsSimBruteforceTopk(spark, dir)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = graft.operators.IndexOps.queryGraphIndex(spark, root, dir)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = math.round(truth.count(got.contains).toDouble / truth.size * 1000) / 1000.0
+        val storedEf = graft.ops.ArtifactMeta.readLong(spark, root, "beam_ef")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        println(s"""{"query":"graph_index_build","sf":"$sfName","rows":0,"sec":$buildSec,"shuffle_write_mb":$bw,"stored_ef":$storedEf}""")
+        println(s"""{"query":"graph_index_serve","sf":"$sfName","rows":${acc.value},"sec":$serveSec,"shuffle_write_mb":$sw,"recall":$recall}""")
       }
     }
 
@@ -360,6 +373,47 @@ object ScaleRehearsal {
     for ((sfName, dir) <- scales) {
       measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
       measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+    }
+
+    // Round-10: the MULTI-DAY chain — what a nightly pipeline actually
+    // accumulates. Day-1 build on the 100k corpus minus SEVEN disjoint
+    // 500-doc batches, then the seven deltas in sequence (each reads the
+    // previous day's artifacts), then one compactLog fold of the manifest
+    // day log. Claims under test: per-day wall ~flat (each delta is
+    // batch-proportional against a day-log that only ever grows by
+    // day-partitions), and compaction bounded by the resolved view size.
+    // Select with trailing arg `platform_multiday`.
+    if (only.isEmpty || only("platform_multiday")) {
+      val (sfName, dir) = scales.last // synth100k
+      val root = s"$deltaRoot/multiday_$sfName"
+      val dayOf = (c: Column) =>
+        when(c % 10 === 1 && c < 35000, (c / lit(5000)).cast("int") + 1)
+          .otherwise(0)
+      readB.reset(); writeB.reset()
+      val tb = System.nanoTime()
+      graft.pipeline.Pipelines
+        .platformBuildCore(spark, dir, root, dayOf(col("doc_id")) === 0).count()
+      val buildSec = math.round((System.nanoTime() - tb) / 1e7) / 100.0
+      cleanup()
+      println(s"""{"query":"platform_multiday","day":0,"sf":"$sfName","sec":$buildSec,"shuffle_write_mb":${math.round(writeB.sum / 1e5) / 10.0},"shuffle_read_mb":${math.round(readB.sum / 1e5) / 10.0}}""")
+      for (day <- 1 to 7) {
+        readB.reset(); writeB.reset()
+        val td = System.nanoTime()
+        val rows = graft.pipeline.Pipelines
+          .platformDeltaStage(spark, dir, root, c => dayOf(c) === day).count()
+        val sec = math.round((System.nanoTime() - td) / 1e7) / 100.0
+        cleanup()
+        println(s"""{"query":"platform_multiday","day":$day,"sf":"$sfName","rows":$rows,"sec":$sec,"shuffle_write_mb":${math.round(writeB.sum / 1e5) / 10.0},"shuffle_read_mb":${math.round(readB.sum / 1e5) / 10.0}}""")
+      }
+      readB.reset(); writeB.reset()
+      val tc = System.nanoTime()
+      graft.ops.MergeSink.compactLog(spark, s"$root/manifest",
+        Seq("doc_id"), "day", Seq("lang"))
+      val cSec = math.round((System.nanoTime() - tc) / 1e7) / 100.0
+      val dayDirs = new java.io.File(s"$root/manifest").listFiles
+        .count(_.getName.startsWith("day="))
+      cleanup()
+      println(s"""{"query":"platform_multiday_compact","sf":"$sfName","sec":$cSec,"day_dirs_after":$dayDirs,"shuffle_write_mb":${math.round(writeB.sum / 1e5) / 10.0},"shuffle_read_mb":${math.round(readB.sum / 1e5) / 10.0}}""")
     }
 
     // Round-9: the 1M-doc ceiling for the two heaviest corpus jobs (r7

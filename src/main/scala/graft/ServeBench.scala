@@ -87,11 +87,55 @@ object ServeBench {
       graft.model.Tables.part _, graft.model.Tables.nation _,
       graft.model.Tables.region _).foreach(t => t(spark, sfDir).count())
 
-    // Work queue: every pipe `rounds` times, deterministically shuffled so
-    // threads interleave different pipes rather than convoying on one.
+    // STORED-INDEX SERVE ROWS (round-10): build each index artifact ONCE
+    // at boot (the offline job a serving fleet never re-runs), then time
+    // ONLY the serve path inside the concurrent pool — the `ix_*` rows
+    // are the per-request cost of answering FROM the files, separated
+    // from the build cost the `ns_*_indexed` bench entries fold in.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{IndexOps, SimilarityOps}
+    val ixRoot = graft.ops.ProcessTmp.dir("graft_servebench_ix")
+    val docsAll = graft.model.Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % 10 < 2
+    val emb = SimilarityOps.embeddings(spark, sfDir)
+    IndexOps.buildBm25Index(docsAll, s"$ixRoot/bm25")
+    IndexOps.buildDedupIndex(docsAll.where(!isBatch), s"$ixRoot/dedup")
+    IndexOps.buildGraphIndex(spark, sfDir, s"$ixRoot/graph")
+    IndexOps.buildIvfIndex(emb, s"$ixRoot/ivf")
+    IndexOps.buildIvfPqIndex(emb, s"$ixRoot/ivfpq")
+    IndexOps.buildClassifierIndex(docsAll, s"$ixRoot/cls")
+    val pqQueries = emb.where(col("vec_id") < SimilarityOps.QuantQueries)
+      .select("vec_id", "embedding")
+    val ixServes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "ix_bm25" -> ((s: SparkSession, _: String) =>
+        IndexOps.queryBm25Index(s, s"$ixRoot/bm25")),
+      "ix_dedup" -> ((s: SparkSession, _: String) =>
+        IndexOps.queryDedupIndex(s, s"$ixRoot/dedup", docsAll.where(isBatch))),
+      "ix_graph" -> ((s: SparkSession, d: String) =>
+        IndexOps.queryGraphIndex(s, s"$ixRoot/graph", d)),
+      "ix_ivf" -> ((s: SparkSession, _: String) =>
+        IndexOps.queryIvfIndex(s, s"$ixRoot/ivf")),
+      "ix_ivfpq" -> ((s: SparkSession, _: String) =>
+        IndexOps.queryIvfPqIndex(s, s"$ixRoot/ivfpq", pqQueries)),
+      "ix_classifier" -> ((s: SparkSession, _: String) =>
+        IndexOps.queryClassifierIndex(s, s"$ixRoot/cls", docsAll)))
+    // Warm the serve paths once too (codegen parity with the pipes), then
+    // drop whatever the BUILDS left cached and re-materialize the serving
+    // session's boot state (dims + income) so the timed window starts from
+    // the same long-lived-server posture the pipe warm established.
+    ixServes.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    spark.sharedState.cacheManager.clearCache()
+    graft.ops.IncomeKernel.servingIncome(spark, sfDir).count()
+    Seq(graft.model.Tables.customer _, graft.model.Tables.supplier _,
+      graft.model.Tables.part _, graft.model.Tables.nation _,
+      graft.model.Tables.region _).foreach(t => t(spark, sfDir).count())
+
+    // Work queue: every pipe + index serve `rounds` times, deterministically
+    // shuffled so threads interleave different requests rather than
+    // convoying on one.
     val work = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     new scala.util.Random(42).shuffle(
-      Seq.fill(rounds)(pipes).flatten).foreach(work.add)
+      Seq.fill(rounds)(pipes ++ ixServes).flatten).foreach(work.add)
 
     val lat = new ConcurrentLinkedQueue[(String, Double, Boolean)]()
     val t0 = System.nanoTime()
@@ -136,8 +180,17 @@ object ServeBench {
     val perPipe = good.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, xs) =>
       s"\"" + n + "\":" + ms(xs.map(_._2).sum / xs.size)
     }.mkString("{", ",", "}")
+    // Dedicated (mean, p95) per STORED-INDEX serve row — the serve-only
+    // cost table the README records per artifact.
+    val ixStats = good.filter(_._1.startsWith("ix_")).groupBy(_._1).toSeq
+      .sortBy(_._1).map { case (n, xs) =>
+        val sortedXs = xs.map(_._2).sorted
+        val p95 = sortedXs((0.95 * (sortedXs.size - 1)).round.toInt)
+        s"\"" + n + "\":{\"mean_ms\":" + ms(xs.map(_._2).sum / xs.size) +
+          ",\"p95_ms\":" + ms(p95) + "}"
+      }.mkString("{", ",", "}")
     val qps = math.round(good.size / wallSec * 100) / 100.0
-    println(s"""{"metric":"serving_p95_ms","value":${ms(pct(0.95))},"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"failures":$failures,"wall_sec":${math.round(wallSec * 100) / 100.0},"qps":$qps,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"sentinel_pre_ms":${ms(sentinelPre)},"sentinel_post_ms":${ms(sentinelPost)},"mean_per_pipe_ms":$perPipe,"sf":"$sfDir"}""")
+    println(s"""{"metric":"serving_p95_ms","value":${ms(pct(0.95))},"unit":"ms","threads":$threads,"rounds":$rounds,"requests":${all.size},"failures":$failures,"wall_sec":${math.round(wallSec * 100) / 100.0},"qps":$qps,"p50_ms":${ms(pct(0.50))},"p95_ms":${ms(pct(0.95))},"sentinel_pre_ms":${ms(sentinelPre)},"sentinel_post_ms":${ms(sentinelPost)},"mean_per_pipe_ms":$perPipe,"serve_index_ms":$ixStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -325,7 +325,13 @@ object MultimodalOps {
     * DHT, DC prediction chains with restart-marker resets (interval 1-3
     * by id), AC run-length with ZRL, byte stuffing, 4:2:0 subsampling
     * with partial edge MCUs, and the fixed-point YCbCr→RGB conversion.
-    * Same per-partition batched shape; payloads never cross a shuffle.
+    * Every other jpeg id ([[JpegFixtures.isProgressive]]) is a
+    * PROGRESSIVE (SOF2) stream — multi-scan spectral selection +
+    * successive approximation with EOB runs and refinement correction
+    * bits — authored from the SAME coefficients, so the pixel formulas
+    * are shared and only the restart columns differ (progressive
+    * fixtures carry no DRI). Same per-partition batched shape; payloads
+    * never cross a shuffle.
     */
   def nsMultimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -498,6 +504,7 @@ object MultimodalOps {
         |         CAST(doc_id % 23 + 9 AS BIGINT) AS w,
         |         CAST(doc_id % 19 + 9 AS BIGINT) AS h,
         |         (doc_id % 4 = 1) AS gray,
+        |         (doc_id % 8 >= 4) AS prog,
         |         CAST((doc_id // 6) % 3 + 1 AS BIGINT) AS dri
         |  FROM documents WHERE doc_id % 6 = 5),
         |ux AS (
@@ -550,10 +557,12 @@ object MultimodalOps {
         |       'image/jpeg' AS mime,
         |       a.w AS width, a.h AS height,
         |       CAST(CASE WHEN a.gray THEN 1 ELSE 3 END AS BIGINT) AS n_components,
-        |       a.dri AS restart_interval,
-        |       CAST(((CASE WHEN a.gray THEN ((a.w+7)//8)*((a.h+7)//8)
-        |                   ELSE ((a.w+15)//16)*((a.h+15)//16) END) - 1) // a.dri
-        |            AS BIGINT) AS n_restarts,
+        |       CAST(CASE WHEN a.prog THEN 0 ELSE a.dri END AS BIGINT)
+        |         AS restart_interval,
+        |       CAST(CASE WHEN a.prog THEN 0 ELSE
+        |              ((CASE WHEN a.gray THEN ((a.w+7)//8)*((a.h+7)//8)
+        |                     ELSE ((a.w+15)//16)*((a.h+15)//16) END) - 1) // a.dri
+        |            END AS BIGINT) AS n_restarts,
         |       px.px_sum
         |FROM a JOIN px USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,

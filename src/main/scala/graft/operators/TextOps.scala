@@ -1553,6 +1553,52 @@ object TextOps {
     out
   }
 
+  /** HELD-OUT model eval — the distillation table's missing honesty
+    * check: [[nsTextClassifyEval]] scores the model on its own training
+    * corpus, so its metrics conflate fit with memorization. This query
+    * splits the corpus by the LEAKAGE-FREE component-atomic rule
+    * ([[DedupOps.nsCorpusSplit]] — near-duplicate documents land in the
+    * same split, so a memorized train doc can't resurface as its test
+    * twin), fits the same [[ClsIters]]-round integer GD on the train
+    * split only, and reports the confusion table + exact micro-unit
+    * accuracy/precision/recall for BOTH slices side by side — the
+    * train/test gap is the generalization story.
+    *
+    * Scale shape: the split adds the components regime (banded edges +
+    * closure) once; training is the [[trainClassifier]] loop over the
+    * train slice; scoring is ONE full-corpus feature build + in-row
+    * margins + a 2-key aggregate. The oracle replays the closure, the
+    * split, all train-slice gradient rounds and both slices' confusion
+    * arithmetic as one CTE chain.
+    */
+  def nsTextClassifyHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = DedupOps.nsCorpusSplit(spark, dir)
+      .select("doc_id", "split").localCheckpoint()
+    val trainIds = split.where(col("split") === "train").select("doc_id")
+    val (w, inputs) = trainClassifier(
+      docs.join(trainIds, Seq("doc_id"), "left_semi"))
+    inputs.unpersist()
+    classifierInputs(docs)
+      .join(split, Seq("doc_id"))
+      .where(col("split").isin("train", "test"))
+      .withColumn("m_u", clsMarginCol(w))
+      .select(col("split").as("slice"), (col("m_u") > 0L).as("keep"),
+        (col("y_u") === 1000000L).as("label"))
+      .groupBy("slice")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("slice"), col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("((tp + tn) * 1000000) DIV n_docs").as("acc_u"),
+        expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) DIV (tp + fp) END").as("prec_u"),
+        expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000) DIV (tp + fn) END").as("rec_u"))
+      .orderBy("slice")
+  }
+
   /** Score a corpus under a FIXED weight vector — the serving half of the
     * trained classifier: one feature build + one in-row margin projection,
     * NO training pass. Output shape (and therefore oracle) identical to
@@ -1573,7 +1619,17 @@ object TextOps {
     * generated from the SAME constants as the Spark loop (the
     * bpeTrainCtes pattern), every step exact integer arithmetic.
     */
-  private def classifierTrainCtes: String = {
+  private def classifierTrainCtes: String =
+    classifierTrainCtesOn("SELECT doc_id FROM documents")
+
+  /** [[classifierTrainCtes]] with the TRAINING MEMBERSHIP parameterized:
+    * `trainSel` selects the doc_ids the gradient rounds see (features
+    * `cfeat` still cover the full corpus so scoring consumers can rank
+    * held-out docs under the learned weights). The default — every doc —
+    * reproduces the original chain; the holdout oracle passes the
+    * leakage-free train split.
+    */
+  private def classifierTrainCtesOn(trainSel: String): String = {
     def sdiv(a: String, q: String) = sdivSql(a, q, "//")
     val wordHash = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split(wd, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
@@ -1582,7 +1638,7 @@ object TextOps {
       s"""m$t AS MATERIALIZED (
          |  SELECT f.doc_id, f.y_u,
          |         CAST(${sdiv("SUM(w.wu * f.xn_u)", "1000000")} AS BIGINT) AS m_u
-         |  FROM cfeat f JOIN w${t - 1} w USING (bucket)
+         |  FROM cfeat f JOIN ctrain USING (doc_id) JOIN w${t - 1} w USING (bucket)
          |  GROUP BY f.doc_id, f.y_u),
          |e$t AS MATERIALIZED (
          |  SELECT doc_id, y_u - ${clsProbSql("//")} AS e_u FROM m$t),
@@ -1615,7 +1671,9 @@ object TextOps {
        |  SELECT doc_id, CAST(unnest(bins) AS INT) AS bucket,
        |         CAST(1000000 AS BIGINT) AS xn_u, y_u
        |  FROM clab),
-       |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clab),
+       |ctrain AS MATERIALIZED ($trainSel),
+       |cn AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM clab JOIN ctrain USING (doc_id)),
        |w0 AS (SELECT CAST(b AS INT) AS bucket, CAST(0 AS BIGINT) AS wu
        |       FROM (SELECT unnest(range($ClsDim)) AS b)),
        |$iters""".stripMargin
@@ -1833,6 +1891,7 @@ object TextOps {
     "ns_text_classify_train" -> (nsTextClassifyTrain _),
     "ns_text_classify_trained" -> (nsTextClassifyTrained _),
     "ns_text_classify_eval" -> (nsTextClassifyEval _),
+    "ns_text_classify_holdout" -> (nsTextClassifyHoldout _),
     "ns_text_bm25" -> (nsTextBm25 _),
     "ns_text_chunks" -> (nsTextChunks _),
     "ns_text_salient" -> (nsTextSalient _),
@@ -2154,6 +2213,37 @@ object TextOps {
          |       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS prec_u,
          |       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS rec_u
          |FROM cm""".stripMargin,
+    "ns_text_classify_holdout" -> {
+      import graft.operators.SamplingOps.{SampleKeyA, SampleKeyB, SampleKeyP}
+      s"""WITH RECURSIVE ${DedupOps.componentLabelCtes},
+         |spl AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 < 80
+         |              THEN 'train'
+         |              WHEN ((component * $SampleKeyA + $SampleKeyB) % $SampleKeyP) % 100 < 90
+         |              THEN 'validation'
+         |              ELSE 'test' END AS split
+         |  FROM comp),
+         |${classifierTrainCtesOn("SELECT doc_id FROM spl WHERE split = 'train'")},
+         |csc AS (
+         |  SELECT f.doc_id, s.split AS slice, f.y_u,
+         |         CAST(${sdivSql("SUM(w.wu * f.xn_u)", "1000000", "//")} AS BIGINT) AS m_u
+         |  FROM cfeat f JOIN spl s USING (doc_id) JOIN w$ClsIters w USING (bucket)
+         |  WHERE s.split IN ('train', 'test')
+         |  GROUP BY f.doc_id, s.split, f.y_u),
+         |cm AS (
+         |  SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN m_u > 0 AND y_u = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN m_u > 0 AND y_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN m_u <= 0 AND y_u = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN m_u <= 0 AND y_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM csc GROUP BY slice)
+         |SELECT slice, n_docs, tp, fp, fn, tn,
+         |       ((tp + tn) * 1000000) // n_docs AS acc_u,
+         |       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS prec_u,
+         |       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS rec_u
+         |FROM cm ORDER BY slice""".stripMargin
+    },
     "ns_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
