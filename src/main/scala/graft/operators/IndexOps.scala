@@ -155,10 +155,18 @@ object IndexOps {
       MergeSink.publishPartitioned(
         MergeSink.upsert(oldDlen, newDlen, Seq("doc_id")), s"$root/doclen", "bucket",
         onePerPartition = true)
+      // Additive stats refresh: old 1-row totals + the genuinely-new
+      // docs' contribution — no full doclen re-scan per batch.
+      val add = newDlen.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("d_docs"), coalesce(sum("dlen"), lit(0L)).as("d_toks"))
+        .head()
+      val old = spark.read.parquet(s"$root/stats")
+        .select("n_docs", "n_toks").head()
+      import spark.implicits._
       MergeSink.publishPartitioned(
-        spark.read.parquet(s"$root/doclen")
-          .agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
-          .withColumn("bucket", lit(0)), s"$root/stats", "bucket")
+        Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+          .toDF("n_docs", "n_toks").withColumn("bucket", lit(0)),
+        s"$root/stats", "bucket")
     } finally tf.unpersist()
   }
 
@@ -481,24 +489,28 @@ object IndexOps {
         .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(b.toLong)).cast("int"))
         .withColumn("seq", lit(0)),
       s"$root/banded", Seq("seq", "bucket"), onePerPartition = true)
-    MergeSink.publishPartitioned(
-      sets.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int")),
-      s"$root/sets", "bucket", onePerPartition = true)
+    // sets is an append log too: its rows are immutable AND fat (the
+    // per-doc shingle arrays), so even a bucket-pruned LWW rewrite moved
+    // ~25 MB per 500-doc batch — an append moves only the batch's rows.
+    MergeSink.publishPartitionedCols(
+      sets.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
+        .withColumn("seq", lit(0)),
+      s"$root/sets", Seq("seq", "bucket"), onePerPartition = true)
     ArtifactMeta.write(docs.sparkSession, root,
       Map("buckets.banded" -> b.toLong, "buckets.sets" -> b.toLong))
   }
 
   /** Merge a batch of NEWLY-ARRIVED documents into a stored near-dup
     * index with BATCH-PROPORTIONAL I/O: the batch's genuinely-NEW doc ids
-    * (anti-join against the stored sets slice their doc-buckets prune to
-    * — re-delivered docs filter out here, making the append idempotent)
-    * APPEND their band rows under their own `seq=N` partition
-    * ([[nextSeq]]), and the doc-keyed sets upsert touches only the
-    * batch's own buckets. Nothing reads or rewrites corpus-scale banded
-    * state: the previous touched-bucket LWW rewrite moved the whole
-    * banded table per batch (a 500-doc batch carries ~4000 band keys —
-    * every bucket at any sane count; measured 6→160 MB of maintenance
-    * shuffle over a 20× corpus).
+    * (anti-join against the bucket-pruned id projection of the sets log —
+    * re-delivered docs filter out here, making every append idempotent)
+    * APPEND their band rows AND their shingle-set rows under their own
+    * `seq=N` partition ([[nextSeq]]). Nothing reads or rewrites
+    * corpus-scale state: the previous touched-bucket LWW rewrites moved
+    * the whole banded table per batch (a 500-doc batch carries ~4000
+    * band keys — every bucket at any sane count) plus ~25 MB of fat
+    * shingle-set rows; measured 6→160 MB of maintenance shuffle over a
+    * 20× corpus at a fixed batch before the log layout.
     */
   def updateDedupIndex(docs: DataFrame, root: String): Unit = {
     val spark = docs.sparkSession
@@ -509,12 +521,14 @@ object IndexOps {
       .withColumn("bucket", pmod(col("doc_id"), lit(setsBuckets.toLong)).cast("int"))
     val touchedDoc = newSets.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by min(batch docs, buckets)
-    val oldSets = spark.read.parquet(s"$root/sets")
+    // New-docs probe: ids only, pruned to the batch's buckets (across all
+    // seq partitions of the log) — nothing fat is read.
+    val storedIds = spark.read.parquet(s"$root/sets")
       .where(col("bucket").isin(touchedDoc: _*))
-      .select(col("doc_id"), col("shs"), col("c"), col("bucket").cast("int"))
+      .select("doc_id")
     val newDocs = newSets.select("doc_id").distinct()
-      .join(oldSets.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint() // pin: reads the PRE-upsert sets slice
+      .join(storedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // pin: probes the PRE-append log
     val seq = nextSeq(spark, s"$root/banded")
     MergeSink.publishPartitionedCols(
       banded.distinct()
@@ -522,9 +536,10 @@ object IndexOps {
         .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong)).cast("int"))
         .withColumn("seq", lit(seq)),
       s"$root/banded", Seq("seq", "bucket"), onePerPartition = true)
-    MergeSink.publishPartitioned(
-      MergeSink.upsert(oldSets, newSets, Seq("doc_id")), s"$root/sets", "bucket",
-      onePerPartition = true)
+    MergeSink.publishPartitionedCols(
+      newSets.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
+        .withColumn("seq", lit(seq)),
+      s"$root/sets", Seq("seq", "bucket"), onePerPartition = true)
   }
 
   /** Near-dup matches of runtime `batchDocs` against the STORED index —

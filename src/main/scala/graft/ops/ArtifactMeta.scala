@@ -46,12 +46,16 @@ object ArtifactMeta {
 
   /** Target bucket size for doc/node-keyed index tables, in rows of the
     * OWNING entity (docs for a dedup/BM25 index, nodes for the graph).
-    * Small by production standards — sized so the 4.5k→99.5k rehearsal
-    * sweep actually exercises the growth rule (at a 128 MB-bytes target
-    * every rehearsal corpus would sit at the floor and the flat-
-    * maintenance claim would be unmeasured).
+    * Sizing rationale: maintenance WRITE cost no longer depends on this
+    * (immutable tables append, and the remaining upserts move skinny
+    * rows), so the target balances file count (each bucket is one file
+    * per seq — a 64-doc target measured a 2048-file-per-table build at
+    * 100k docs and a 2.4× build-wall regression from per-file overhead)
+    * against probe read amplification (a pruned probe reads touched ×
+    * target rows). Small by production standards — sized so the
+    * 4.5k→99.5k rehearsal sweep exercises the growth rule at all.
     */
-  val DocsPerBucket = 64L
+  val DocsPerBucket = 512L
 
   /** Smallest power of two ≥ rows/targetPerBucket within
     * [[MinBuckets]]..[[MaxBuckets]].

@@ -228,6 +228,13 @@ object MergeSink {
       keys: Seq[String],
       seqCol: String,
       subCols: Seq[String] = Nil): Unit = {
+    // An EMPTY log is a legal state (a gate that rejects every document
+    // publishes zero partitions) — compacting it is a no-op, not a
+    // schema-inference failure.
+    val rootDir = new org.apache.hadoop.fs.Path(path)
+    val rootFs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!rootFs.exists(rootDir) || !rootFs.listStatus(rootDir).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(seqCol + "="))) return
     val all = spark.read.parquet(path)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     // Pin BEFORE any delete: the resolved view must stop depending on the

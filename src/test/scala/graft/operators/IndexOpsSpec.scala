@@ -175,7 +175,8 @@ class IndexOpsSpec extends SparkSpec {
     // only possible if both build AND update hash modulo the stored count)
     def bucketDirs(t: String) = new java.io.File(s"$root/$t").listFiles
       .map(_.getName).filter(_.startsWith("bucket=")).toSet
-    assert(bucketDirs("sets").size > 8, s"sets dirs ${bucketDirs("sets").size}")
+    assert(bucketDirs("sets/seq=0").size > 8,
+      s"sets seq=0 dirs ${bucketDirs("sets/seq=0").size}")
     assert(bucketDirs("banded/seq=0").size > 8,
       s"banded seq=0 dirs ${bucketDirs("banded/seq=0").size}")
     // The serve path over the non-default layout answers exactly the
