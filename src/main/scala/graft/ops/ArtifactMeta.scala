@@ -32,13 +32,14 @@ object ArtifactMeta {
 
   /** Floor — below this, bucket pruning saves nothing and directory
     * overhead dominates. Matches the pre-round-10 fixed count, so fixture
-    * corpora (≤ 512 docs) keep their recorded layout byte-for-byte.
+    * corpora (≤ 4096 docs at the 512-row target) keep their recorded
+    * layout byte-for-byte.
     */
   val MinBuckets = 8
 
   /** Directory-count ceiling: the publish renames one directory per
     * bucket, so the count must stay far below filesystem listing limits.
-    * At the 64-row target this binds at ~1M rows — past that, bucket
+    * At the 512-row target this binds at ~8M rows — past that, bucket
     * size grows again (a real deployment would raise the target to a
     * 128 MB-of-bytes rule long before).
     */

@@ -15,8 +15,8 @@ class ArtifactMetaSpec extends SparkSpec {
     assert(bucketsFor(MinBuckets * DocsPerBucket) == MinBuckets)
     // growth: smallest power of two at <= target rows per bucket
     assert(bucketsFor(MinBuckets * DocsPerBucket + 1) == MinBuckets * 2)
-    assert(bucketsFor(5000) == 128)   // the sf0.1 corpus
-    assert(bucketsFor(100000) == 2048)
+    assert(bucketsFor(5000) == 16)    // the sf0.1 corpus
+    assert(bucketsFor(100000) == 256) // the rehearsal-sweep ceiling
     // every non-capped answer really holds the target
     for (rows <- Seq(1000L, 12345L, 99999L, 500000L)) {
       val b = bucketsFor(rows)
