@@ -397,7 +397,8 @@ object DedupOps {
       corpusBanded: DataFrame,
       corpusSets: DataFrame,
       threshold: Double = 0.5,
-      cacheShingles: Boolean = true): DataFrame = {
+      cacheShingles: Boolean = true,
+      batchIsSmall: Boolean = true): DataFrame = {
     // The batch set frame feeds both signatures and the verify. One-shot
     // batch callers cache+materialize it (Verify/Bench clear the cache
     // manager after each query); the long-running streaming admission
@@ -410,8 +411,16 @@ object DedupOps {
       else sets0.localCheckpoint()
     val banded = signaturesFromSets(sets)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-    val candidates = banded.as("a")
-      .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
+    // Broadcast whichever side the caller declares request-sized, so the
+    // big side is probed in place and never pays an exchange: the batch
+    // for an arriving-docs probe (the default), the corpus for a tiny
+    // stored index probed by a corpus-scale scan (fuzzy decontamination,
+    // where the eval index is metadata-scale).
+    val (a, b) =
+      if (batchIsSmall) (broadcast(banded.as("a")), corpusBanded.as("b"))
+      else (banded.as("a"), broadcast(corpusBanded.as("b")))
+    val candidates = a
+      .join(b, col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
     setIntersectVerify(candidates, sets, corpusSets,
@@ -436,16 +445,85 @@ object DedupOps {
       batchDocs: DataFrame,
       corpusBanded: DataFrame,
       corpusSets: DataFrame,
+      threshold: Double = 0.5): (DataFrame, DataFrame) =
+    batchEdgesCore(batchDocs, _ => corpusBanded, _ => corpusSets, threshold)
+
+  /** [[batchIndexAndEdges]] against the STORED index at `root`, with the
+    * corpus reads BUCKET-PRUNED to what the batch can actually touch
+    * (layout from [[graft.ops.ArtifactMeta]]):
+    *
+    *   - the banded probe reads only buckets the batch's own band keys
+    *     hash into. Weak pruning by construction — ~bands×batch keys hit
+    *     most buckets at moderate corpus sizes — but the candidate join
+    *     BROADCASTS the batch side either way, so the stored table is
+    *     scanned map-side, never shuffled (the round-10 delta sweep
+    *     measured the old sort-merge shape shuffling the whole banded
+    *     table per batch: 26→52 MB across 50k→100k docs).
+    *   - the fat sets verify reads ONLY the buckets holding candidate
+    *     corpus docs — candidate-proportional, not corpus-proportional
+    *     (the full-scan form decoded every stored shingle array per
+    *     batch; at 100k docs that scan dominated the delta wall).
+    *
+    * Driver state: two bucket-id collects, each bounded by the stored
+    * bucket count (≤ [[graft.ops.ArtifactMeta.MaxBuckets]]).
+    */
+  private[graft] def batchIndexAndEdgesPruned(
+      batchDocs: DataFrame, root: String,
       threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val spark = batchDocs.sparkSession
+    val bandedBuckets = graft.ops.ArtifactMeta.readBuckets(spark, root, "banded")
+    val setsBuckets = graft.ops.ArtifactMeta.readBuckets(spark, root, "sets")
+    batchEdgesCore(
+      batchDocs,
+      batchBanded => {
+        val touched = batchBanded
+          .select(pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong))
+            .cast("int").as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(s"$root/banded")
+          .where(col("bucket").isin(touched: _*))
+          .select("doc_id", "band_key")
+      },
+      candIds => {
+        val touched = candIds
+          .select(pmod(col("doc_id"), lit(setsBuckets.toLong))
+            .cast("int").as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val log = spark.read.parquet(s"$root/sets")
+        // No candidates (a fully-novel batch): skip the read entirely.
+        (if (touched.isEmpty) log.where(lit(false))
+         else log.where(col("bucket").isin(touched: _*)))
+          .select("doc_id", "shs", "c")
+      },
+      threshold)
+  }
+
+  /** Shared core of the batch-vs-index edge probe. The corpus sides come
+    * from LOADERS so the pruned path can derive each read from the frame
+    * that bounds it: `corpusBandedFor` receives the batch's banded keys,
+    * `corpusSetsFor` the MATERIALIZED candidate corpus-doc ids.
+    */
+  private def batchEdgesCore(
+      batchDocs: DataFrame,
+      corpusBandedFor: DataFrame => DataFrame,
+      corpusSetsFor: DataFrame => DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     val sets = shingleSetsOnePass(batchDocs).cache()
     val sig = signaturesFromSets(sets).cache()
     sig.count() // one sequential job materializes sets -> sig
     val bb = minhashNearDupPairs(sets, sig, threshold).select("doc_a", "doc_b")
     val banded = sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-    val cands = banded.as("a")
-      .join(corpusBanded.as("b"), col("a.band_key") === col("b.band_key"))
+    // Broadcast the batch side: the stored banded table is scanned in
+    // place (map-side hash probe), never shuffled — the corpus must not
+    // pay an exchange for a batch-sized probe.
+    val cands = broadcast(banded.as("a"))
+      .join(corpusBandedFor(banded).as("b"), col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .distinct()
+      // Pin: feeds both the sets-bucket collect (pruned path) and the
+      // verify — without it the banded probe would run twice.
+      .localCheckpoint()
+    val corpusSets = corpusSetsFor(cands.select(col("corpus_doc").as("doc_id")))
     val bc = setIntersectVerify(cands, sets, corpusSets, "batch_doc", "corpus_doc", threshold)
       .select(col("batch_doc").as("doc_a"), col("corpus_doc").as("doc_b"))
     // Materialize the edge list EAGERLY (localCheckpoint) so (a) every
@@ -888,7 +966,8 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
     val isEval = col("doc_id") % 50 === 0
     val (evalBanded, evalSets) = corpusIndex(docs.where(isEval))
-    matchAgainstIndex(docs.where(!isEval), evalBanded, evalSets)
+    matchAgainstIndex(docs.where(!isEval), evalBanded, evalSets,
+      batchIsSmall = false)
       .groupBy(col("batch_doc").as("doc_id"))
       .agg(
         count(lit(1)).as("n_eval_matches"),

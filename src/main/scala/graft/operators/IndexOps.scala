@@ -375,16 +375,20 @@ object IndexOps {
     val edges = SimilarityOps.beamGraphEdgesFrom(nodes)
     // Tune ef AT THIS INDEX'S SCALE on the just-built edges (one truth
     // pass + usually one walk — see [[SimilarityOps.tuneEfOn]]) and store
-    // it in the artifact: the serve path walks the graph at the width the
-    // BUILD measured, not a constant pinned at fixture scale.
-    val ef = SimilarityOps.tuneEfOn(spark, dir, GraphRecallTarget, edges,
-      nodeFilter, Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
-        4 * SimilarityOps.BeamEf))
+    // BOTH the chosen ef and the recall it actually measured: the serve
+    // path walks at the width the build measured, and a consumer can read
+    // `beam_recall_pm` (recall@TopK, per-mille) instead of trusting a
+    // floor the data may not admit — on iid uniform vectors no bounded
+    // walk holds 0.75 as N grows, and the tuner records that honestly.
+    val (ef, recall) = SimilarityOps.tuneEfOn(spark, dir, GraphRecallTarget,
+      edges, nodeFilter, Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
+        4 * SimilarityOps.BeamEf, 8 * SimilarityOps.BeamEf))
     MergeSink.publishPartitioned(
       edges.withColumn("bucket", pmod(col("src_id"), lit(b.toLong)).cast("int")),
       s"$root/edges", "bucket", onePerPartition = true)
     ArtifactMeta.write(spark, root,
-      Map("buckets.edges" -> b.toLong, "beam_ef" -> ef.toLong))
+      Map("buckets.edges" -> b.toLong, "beam_ef" -> ef.toLong,
+        "beam_recall_pm" -> math.round(recall * 1000)))
   }
 
   /** HNSW-style INSERT of newly-arrived vectors into the stored

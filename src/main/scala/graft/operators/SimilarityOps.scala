@@ -351,7 +351,8 @@ object SimilarityOps {
   private[operators] def beamGraphEdges(spark: SparkSession, dir: String): DataFrame =
     beamGraphEdgesFrom(embeddings(spark, dir))
 
-  private[graft] def beamGraphEdgesFrom(emb: DataFrame): DataFrame = {
+  private[graft] def beamGraphEdgesFrom(
+      emb: DataFrame, rounds: Int = NnDescentRounds): DataFrame = {
     val embA = emb.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
     val embB = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
     val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id").asc)
@@ -366,7 +367,7 @@ object SimilarityOps {
         .select("src_id", "nbr_id")
     var edges = knnRankedEdgesFrom(emb, LshBucketCap)
       .select("src_id", "nbr_id").localCheckpoint()
-    for (_ <- 1 to NnDescentRounds) {
+    for (_ <- 1 to rounds) {
       val s = sym(edges).localCheckpoint()
       val twoHop = s.select(col("src_id"), col("nbr_id").as("mid"))
         .join(s.select(col("src_id").as("mid"), col("nbr_id")), "mid")
@@ -498,7 +499,7 @@ object SimilarityOps {
     */
   private[graft] def tuneEfOn(spark: SparkSession, dir: String,
       target: Double, edges: DataFrame, nodeFilter: Column,
-      candidates: Seq[Int]): Int = {
+      candidates: Seq[Int]): (Int, Double) = {
     val universe = embeddings(spark, dir).where(nodeFilter)
     val truth = bruteforceTopk(universe)
       .select("query_id", "neighbor_id")
@@ -506,13 +507,26 @@ object SimilarityOps {
     val queries = universe.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val sortedC = candidates.sorted
-    sortedC.find { ef =>
+    var lastRecall = 0.0
+    val found = sortedC.find { ef =>
       val got = graphBeamFor(spark, dir, ef, BeamHops, edges, queries,
           nodeFilter, TopK)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      truth.count(got.contains).toDouble / truth.size >= target
-    }.getOrElse(sortedC.last)
+      lastRecall = truth.count(got.contains).toDouble / truth.size
+      lastRecall >= target
+    }
+    // No silent cap: when the whole ladder misses the floor (iid uniform
+    // vectors do this at large N — distance concentration defeats ANY
+    // bounded-cost walk), say so and let the caller record the measured
+    // recall in the artifact, so a stored graph can never claim a recall
+    // it does not have.
+    if (found.isEmpty)
+      System.err.println(f"[graft] graph ef tuner: no candidate in " +
+        f"${sortedC.mkString("/")} reaches recall@$TopK ≥ $target%.2f " +
+        f"(ladder max ${sortedC.last} → $lastRecall%.3f); storing the " +
+        "ladder max with its measured recall")
+    (found.getOrElse(sortedC.last), lastRecall)
   }
 
   def efForRecall(spark: SparkSession, dir: String, target: Double,

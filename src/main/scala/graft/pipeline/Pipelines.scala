@@ -1033,10 +1033,10 @@ object Pipelines {
     val sampling = graft.operators.SamplingOps
     val sink = graft.ops.MergeSink
     val batchIds = batch.select("doc_id")
-    // 1: batch edges against the stored index (one batch shingle pass).
-    val storedBanded = spark.read.parquet(s"$root/banded").select("doc_id", "band_key")
-    val storedSets = spark.read.parquet(s"$root/sets").select("doc_id", "shs", "c")
-    val (batchSets, edges0) = dedup.batchIndexAndEdges(batch, storedBanded, storedSets)
+    // 1: batch edges against the stored index (one batch shingle pass;
+    // the banded probe broadcasts the batch side and the fat sets verify
+    // reads only candidate buckets — see batchIndexAndEdgesPruned).
+    val (batchSets, edges0) = dedup.batchIndexAndEdgesPruned(batch, root)
     edgeProbe(edges0) // rehearsal hook: observe the (checkpointed) edge list
     // 3 (before the index update so candidates are batch-vs-DAY-1): map
     // corpus endpoints to day-1 labels, close the contracted graph.
