@@ -368,8 +368,18 @@ object IndexOps {
     */
   private[graft] val GraphRecallTarget = 0.75
 
+  /** `pinnedEf`: build at a caller-fixed beam width instead of tuning —
+    * the registered `ns_sim_graph_indexed` query uses this, because it
+    * shares the STATIC `ns_sim_graph_beam` oracle, which replays the
+    * constant-[[SimilarityOps.BeamEf]] walk; a tuner that lands on a
+    * different width at some fixture scale would make the serve result
+    * diverge from its own oracle (measured: the sf0.1 driver fixture
+    * sits at recall 0.74 @ ef 8, one step under the floor, so the tuner
+    * stored 16 there). A pinned build still measures and records the
+    * recall at that width — the artifact never claims an untested floor.
+    */
   def buildGraphIndex(spark: SparkSession, dir: String, root: String,
-      nodeFilter: Column = lit(true)): Unit = {
+      nodeFilter: Column = lit(true), pinnedEf: Option[Int] = None): Unit = {
     val nodes = SimilarityOps.embeddings(spark, dir).where(nodeFilter)
     val b = ArtifactMeta.bucketsFor(nodes.count())
     val edges = SimilarityOps.beamGraphEdgesFrom(nodes)
@@ -381,8 +391,9 @@ object IndexOps {
     // floor the data may not admit — on iid uniform vectors no bounded
     // walk holds 0.75 as N grows, and the tuner records that honestly.
     val (ef, recall) = SimilarityOps.tuneEfOn(spark, dir, GraphRecallTarget,
-      edges, nodeFilter, Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
-        4 * SimilarityOps.BeamEf, 8 * SimilarityOps.BeamEf))
+      edges, nodeFilter, pinnedEf.map(Seq(_)).getOrElse(
+        Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
+          4 * SimilarityOps.BeamEf, 8 * SimilarityOps.BeamEf)))
     MergeSink.publishPartitioned(
       edges.withColumn("bucket", pmod(col("src_id"), lit(b.toLong)).cast("int")),
       s"$root/edges", "bucket", onePerPartition = true)
@@ -655,11 +666,15 @@ object IndexOps {
   /** Build-then-serve for the navigable beam graph: publish the
     * NN-descent artifact, then answer the beam walk from the files just
     * written — row-identical to [[SimilarityOps.nsSimGraphBeam]] (shared
-    * oracle), with the build/serve split the bench can time apart.
+    * oracle), with the build/serve split the bench can time apart. The
+    * build is PINNED to [[SimilarityOps.BeamEf]] (see [[buildGraphIndex]]
+    * — the shared oracle replays the constant-width walk); production
+    * builds (ServeBench's boot artifacts, the rehearsal's graph_split
+    * roots) take the tuner default.
     */
   def nsSimGraphIndexed(spark: SparkSession, dir: String): DataFrame = {
     val root = rootFor("graph", dir)
-    buildGraphIndex(spark, dir, root)
+    buildGraphIndex(spark, dir, root, pinnedEf = Some(SimilarityOps.BeamEf))
     queryGraphIndex(spark, root, dir)
   }
 
