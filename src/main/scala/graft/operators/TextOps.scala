@@ -1328,7 +1328,11 @@ object TextOps {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        expr("round(CAST(z_u AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6)")
+        // Integer-floor the per-token micro-unit mean BEFORE the one IEEE
+        // divide (the boundary-free discipline): z_u / (n_tokens·1e6) as a
+        // double can land on a .5×1e-6 midpoint where the engines' round()
+        // tie-breaks diverge (measured: 8 rows at the 10× sf1 sweep).
+        expr("round(CAST(z_u div n_tokens AS DOUBLE) / 1000000.0, 6)")
           .as("logit"),
         (col("z_u") > 0L).as("keep"))
       .orderBy("doc_id")
@@ -2114,7 +2118,7 @@ object TextOps {
          |           (acc, x) -> acc + x) + CAST(len(ws) AS BIGINT) * $ClsBiasU AS z_u
          |  FROM d)
          |SELECT doc_id, n_tokens,
-         |       round(CAST(z_u AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS logit,
+         |       round(CAST(z_u // n_tokens AS DOUBLE) / 1000000.0, 6) AS logit,
          |       z_u > 0 AS keep
          |FROM z ORDER BY doc_id""".stripMargin
     },

@@ -47,12 +47,21 @@ object AggOps {
     * (reference: /root/reference/src/index_epoch_apr_handler.py:49-54).
     */
   def op30MultiAgg(spark: SparkSession, dir: String): DataFrame =
+    // The big sums quantize each row to integer micro-units BEFORE the
+    // aggregate (round(x·1e6) → BIGINT): a double sum over millions of
+    // rows reaches ~5e10, where one unit in the 6th decimal is below the
+    // double's ULP — summation ORDER (distributed vs single-stream)
+    // then decides the last rounded digit and the engines legitimately
+    // disagree (measured: op30 at the 10× sf1 sweep). Integer sums are
+    // order-free and exact at any scale; one IEEE divide at the end.
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(avg(col("l_discount")), 6).as("avg_disc"),
-        round(sum(col("l_extendedprice")), 6).as("sum_price"),
-        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        round(sum(expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)")) / 1e6, 6)
+          .as("sum_price"),
+        round(sum(expr("CAST(round(l_quantity * 1000000) AS BIGINT)")) / 1e6, 6)
+          .as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -166,8 +175,8 @@ object AggOps {
     "op30_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(avg(l_discount), 6) AS avg_disc,
-        |       round(sum(l_extendedprice), 6) AS sum_price,
-        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_price,
+        |       round(CAST(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -40,7 +40,10 @@ object JoinOps {
     latestSpend
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(round(sum(col("l_extendedprice")), 6).as("latest_spend"))
+      // Micro-unit integer sum (see op30MultiAgg): at 10× data the double
+      // sum's last rounded digit depends on summation order.
+      .agg(round(sum(expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)")) / 1e6, 6)
+        .as("latest_spend"))
       .orderBy("c_mktsegment")
   }
 
@@ -146,7 +149,7 @@ object JoinOps {
          |FROM latest ORDER BY o_custkey""".stripMargin,
     "op21_nested_join" ->
       s"""$latestCte
-         |SELECT c_mktsegment, round(sum(l_extendedprice), 6) AS latest_spend
+         |SELECT c_mktsegment, round(CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS latest_spend
          |FROM lineitem
          |JOIN latest ON l_orderkey = latest.o_orderkey
          |JOIN customer ON latest.o_custkey = c_custkey

@@ -512,7 +512,9 @@ class TextOpsSpec extends SparkSpec {
       val ws = t.toLowerCase.split(" ", -1).toSeq
       val zU = ws.map(w => TextOps.clsWeightsU(bucket(w))).sum - ws.size.toLong * 200000L
       Seq[Any](id, ws.size.toLong,
-        r6(zU.toDouble / (ws.size.toDouble * 1000000.0)), zU > 0L)
+        // floor-div the micro-unit mean first, like the query (Long '/'
+        // truncates toward zero, matching Spark div / DuckDB //)
+        r6((zU / ws.size.toLong).toDouble / 1000000.0), zU > 0L)
     }.sortBy(_.head.asInstanceOf[Long]).toSeq
     val got = TextOps.nsTextClassify(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(got == expected,
