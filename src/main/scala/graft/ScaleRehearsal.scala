@@ -450,17 +450,21 @@ object ScaleRehearsal {
         cleanup()
         println(s"""{"query":"platform_multiday","day":$day,"sf":"$sfName","rows":$rows,"sec":$sec,"shuffle_write_mb":${math.round(writeB.sum / 1e5) / 10.0},"shuffle_read_mb":${math.round(readB.sum / 1e5) / 10.0}}""")
       }
-      // Compact all three append logs back to seq/day 0 — the manifest is
+      // Compact the append logs back to seq/day 0 — the manifest is
       // empty on this corpus (the gopher-gate gotcha), so the banded/sets
       // logs are the content-bearing compaction measurement.
       readB.reset(); writeB.reset()
       val tc = System.nanoTime()
+      val cFiles = graft.ops.ArtifactMeta.filesFor(
+        graft.ops.ArtifactMeta.readBuckets(spark, root, "banded"))
       graft.ops.MergeSink.compactLog(spark, s"$root/manifest",
         Seq("doc_id"), "day", Seq("lang"))
-      graft.ops.MergeSink.compactLog(spark, s"$root/banded",
-        Seq("doc_id", "band_key"), "seq", Seq("bucket"))
-      graft.ops.MergeSink.compactLog(spark, s"$root/sets",
-        Seq("doc_id"), "seq", Seq("bucket"))
+      graft.ops.MergeSink.compactKeyLog(spark, s"$root/banded",
+        Seq("doc_id"), cFiles, Seq("bucket"))
+      graft.ops.MergeSink.compactKeyLog(spark, s"$root/sets",
+        Seq("doc_id"), cFiles, Seq("bucket", "doc_id"))
+      graft.ops.MergeSink.compactKeyLog(spark, s"$root/labels",
+        Seq("doc_id"), cFiles, Seq("bucket", "doc_id"))
       val cSec = math.round((System.nanoTime() - tc) / 1e7) / 100.0
       val seqDirs = new java.io.File(s"$root/banded").listFiles
         .count(_.getName.startsWith("seq="))

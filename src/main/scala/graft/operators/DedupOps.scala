@@ -321,7 +321,11 @@ object DedupOps {
     // Built FROM the index API, so the oracled batch query and the
     // streaming admission path are equivalent by construction.
     val (banded, sets) = corpusIndex(docs.where(!isBatch))
-    matchAgainstIndex(docs.where(isBatch), banded, sets)
+    // The "batch" here is a fixed 20% OF THE CORPUS — corpus-
+    // proportional, not request-sized — so no forced broadcast hint:
+    // AQE broadcasts it while it fits and degrades to a shuffle join
+    // (instead of an executor OOM) when it doesn't.
+    matchAgainstIndex(docs.where(isBatch), banded, sets, batchIsSmall = None)
   }
 
   /** ONE shared shingle pass feeding BOTH corpus-health dedup metrics —
@@ -398,7 +402,7 @@ object DedupOps {
       corpusSets: DataFrame,
       threshold: Double = 0.5,
       cacheShingles: Boolean = true,
-      batchIsSmall: Boolean = true): DataFrame = {
+      batchIsSmall: Option[Boolean] = Some(true)): DataFrame = {
     // The batch set frame feeds both signatures and the verify. One-shot
     // batch callers cache+materialize it (Verify/Bench clear the cache
     // manager after each query); the long-running streaming admission
@@ -411,14 +415,20 @@ object DedupOps {
       else sets0.localCheckpoint()
     val banded = signaturesFromSets(sets)
       .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("band_key"))
-    // Broadcast whichever side the caller declares request-sized, so the
+    // Broadcast whichever side the caller declares REQUEST-sized, so the
     // big side is probed in place and never pays an exchange: the batch
     // for an arriving-docs probe (the default), the corpus for a tiny
     // stored index probed by a corpus-scale scan (fuzzy decontamination,
-    // where the eval index is metadata-scale).
-    val (a, b) =
-      if (batchIsSmall) (broadcast(banded.as("a")), corpusBanded.as("b"))
-      else (banded.as("a"), broadcast(corpusBanded.as("b")))
+    // where the eval index is metadata-scale). A forced hint has no size
+    // fallback, so callers whose "batch" is CORPUS-proportional (the 20%
+    // incremental slice, the admission audit's candidate slice) pass
+    // None and let AQE pick the build side from measured sizes instead —
+    // a corpus-scale broadcast would OOM executors at large corpora.
+    val (a, b) = batchIsSmall match {
+      case Some(true)  => (broadcast(banded.as("a")), corpusBanded.as("b"))
+      case Some(false) => (banded.as("a"), broadcast(corpusBanded.as("b")))
+      case None        => (banded.as("a"), corpusBanded.as("b"))
+    }
     val candidates = a
       .join(b, col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
@@ -480,8 +490,11 @@ object DedupOps {
           .select(pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong))
             .cast("int").as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        spark.read.parquet(s"$root/banded")
-          .where(col("bucket").isin(touched: _*))
+        val log = spark.read.parquet(s"$root/banded")
+        // An empty batch (zero band keys): skip the read entirely rather
+        // than planning a scan filtered to false (the sets loader's guard).
+        (if (touched.isEmpty) log.where(lit(false))
+         else log.where(col("bucket").isin(touched: _*)))
           .select("doc_id", "band_key")
       },
       candIds => {
@@ -967,7 +980,7 @@ object DedupOps {
     val isEval = col("doc_id") % 50 === 0
     val (evalBanded, evalSets) = corpusIndex(docs.where(isEval))
     matchAgainstIndex(docs.where(!isEval), evalBanded, evalSets,
-      batchIsSmall = false)
+      batchIsSmall = Some(false))
       .groupBy(col("batch_doc").as("doc_id"))
       .agg(
         count(lit(1)).as("n_eval_matches"),

@@ -15,36 +15,45 @@ import org.apache.spark.sql.functions._
   * (/root/reference/src/utils/data_utils.py:10-15) are exactly this
   * write-once/serve-many layout.
   *
-  * BM25 layout (all under one root, each table partitioned for pruning):
-  *   - `postings/`  (wd, doc_id, tf)  partitioned by bucket = hash(term):
-  *     a term's whole posting list lives in ONE bucket, so a query's
-  *     12-term fan-out touches <= 12 partitions and — the property the
+  * BM25 layout (all under one root; every corpus-scaled table is a
+  * COALESCED `seq=N` log — bucket a sorted data column, see [[nextSeq]]):
+  *   - `postings/`  (wd, doc_id, tf, bucket=hash(term)): a term's whole
+  *     posting list shares one bucket id, so a query's 12-term fan-out
+  *     prunes to <= 12 buckets' row groups and — the property the
   *     incremental path leans on — per-term document frequency is
   *     recomputable WITHIN a bucket, no global shuffle.
-  *   - `termstats/` (wd, df)          partitioned by the same term bucket.
-  *   - `doclen/`    (doc_id, dlen)    partitioned by doc-keyed bucket.
+  *   - `termstats/` (wd, df)          same term bucket; df DELTAS, summed.
+  *   - `doclen/`    (doc_id, dlen)    doc-keyed bucket.
   *   - `stats/`     (n_docs, n_toks)  one row.
   *
   * IVF layout: `assignments/` (vec_id, embedding, label, cluster)
-  * partitioned by cluster — the inverted lists ARE the partition layout,
-  * so a probe reads exactly its clusters' files — plus `centroids/`
+  * partitioned by cluster — cluster count is MODEL-scale (k), not
+  * corpus-scale, so directory-per-cluster is the right layout there and
+  * a probe reads exactly its clusters' files — plus `centroids/`
   * (cent_id, embedding), metadata-scale.
   *
-  * Incremental maintenance is two-mode, chosen by the table's key shape:
-  * DOC-KEYED tables (sets, doclen, labels) upsert into touched buckets —
-  * a batch's doc ids prune to ~batch-many buckets. IMMUTABLE wide-key
-  * tables (banded signatures, postings — whose batch keys touch every
-  * bucket) are APPEND LOGS: each batch publishes its own `seq=N`
-  * partition after a new-docs anti-join (idempotent under both
-  * crash-replay and cross-batch re-delivery), and compactLog folds the
-  * log back periodically. Either way a batch's I/O is batch-
-  * proportional, never corpus-proportional.
+  * Incremental maintenance is append-only throughout ([[nextSeq]]):
+  * immutable-row tables append the batch's own rows; the mutable graph
+  * adjacency appends group-replace generations. Cluster-partitioned IVF
+  * tables (k-bounded layouts) keep touched-partition LWW upserts. Either
+  * way a batch's I/O is batch-proportional, never corpus-proportional.
   *
   * BUCKET COUNTS SCALE WITH THE CORPUS ([[graft.ops.ArtifactMeta]]): each
   * build sizes its bucket count at a fixed target bucket SIZE, persists
   * it in the artifact's `meta/` table, and every update path reads it
-  * back — so a touched-bucket rewrite moves min(batch keys, buckets) ×
-  * target rows, not (batch buckets / fixed count) × corpus.
+  * back; per-generation FILE count stays independent of the bucket count
+  * ([[graft.ops.ArtifactMeta.filesFor]] — the round-10 directory-per-
+  * bucket layout put 256 dirs per table at 100k docs and its per-file
+  * fixed costs grew the delta wall 2.1× over a 20× corpus at flat
+  * shuffle).
+  *
+  * Every build ends with a COMMIT RECORD ([[graft.ops.ArtifactMeta
+  * .commit]]); the registered `ns_*_indexed` queries are GATED on it —
+  * they build only when the artifact is absent and otherwise measure the
+  * SERVE cost alone, while the `ns_*_index_build` twins rebuild
+  * unconditionally and carry the build cost (the
+  * pipe_platform_delta commit-record pattern applied to the index
+  * families, so the per-round gate times build and serve apart).
   */
 object IndexOps {
 
@@ -55,29 +64,28 @@ object IndexOps {
   private def docBucket(buckets: Int) =
     pmod(col("doc_id"), lit(buckets.toLong)).cast("int")
 
-  /** Next append-log sequence number for a `seq=N/bucket=*` table: one
-    * directory listing, no data read. IMMUTABLE-ROW tables (banded
-    * signatures, BM25 postings) are maintained as appends under their own
-    * seq partition rather than touched-bucket rewrites: a batch's keys
-    * (4000 band keys, tens of thousands of terms) touch essentially EVERY
-    * bucket at any sane bucket count, so an upsert-rewrite moves
-    * corpus-scale bytes per batch (the round-9 delta sweep measured the
-    * maintenance shuffle growing 6→160 MB linearly over a 20× corpus at a
-    * FIXED 500-doc batch) — while an append moves exactly the batch's own
-    * rows. Idempotency holds by construction: a crash-replay republishes
-    * the SAME seq partition (directory swap), and cross-batch re-delivery
-    * is filtered out by the new-docs anti-join against the doc-keyed side
-    * table before anything appends. [[graft.ops.MergeSink.compactLog]]
-    * folds the log back to seq=0 periodically.
+  /** Every corpus-scaled table here is an append log (`seq=N`
+    * generations, [[graft.ops.MergeSink.nextSeq]]) published COALESCED
+    * ([[graft.ops.MergeSink.publishLogSeq]]): the bucket id is a SORTED
+    * DATA column inside a few files per generation, so row-group stats
+    * give readers the pruning a directory-per-bucket layout gave at a
+    * file count independent of the bucket count. IMMUTABLE-ROW tables
+    * (banded signatures, BM25 postings, doc lengths) append exactly the
+    * batch's own rows after the new-docs anti-join — a batch's keys
+    * (4000 band keys, tens of thousands of terms) touch essentially
+    * EVERY bucket, so a touched-bucket upsert-rewrite moved corpus-scale
+    * bytes per batch (measured 6→160 MB over a 20× corpus at a FIXED
+    * 500-doc batch before round 10). MUTABLE-GROUP tables (graph
+    * adjacency) are GROUP-REPLACE logs: a generation carries the
+    * complete new row-group per touched key and readers resolve via
+    * [[graft.ops.MergeSink.resolveKeyLog]]. Idempotency holds by
+    * construction: a crash-replay republishes the SAME seq partition
+    * (directory swap), and cross-batch re-delivery is filtered by the
+    * new-docs anti-join before anything appends.
+    * [[graft.ops.MergeSink.compactKeyLog]] folds logs back periodically.
     */
-  private def nextSeq(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("seq=")).map(_.stripPrefix("seq=").toInt)
-      .foldLeft(-1)(math.max) + 1
-  }
+  private def nextSeq(spark: SparkSession, path: String): Int =
+    MergeSink.nextSeq(spark, path)
 
   /** Build the full BM25 index from a corpus and publish it atomically.
     * One postings shuffle; every side table derives from the cached
@@ -88,27 +96,29 @@ object IndexOps {
     */
   def buildBm25Index(docs: DataFrame, root: String, buckets: Int = 0): Unit = {
     val b = if (buckets > 0) buckets else ArtifactMeta.bucketsFor(docs.count())
+    val files = ArtifactMeta.filesFor(b)
     val tf = TextOps.bm25Postings(docs).cache()
     try {
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-      // postings + termstats are APPEND LOGS (seq=N/bucket=*, see
-      // [[nextSeq]]): the build is seq=0; termstats rows are per-term df
-      // DELTAS the reader sums (the build's deltas ARE the totals).
-      MergeSink.publishPartitionedCols(
-        tf.withColumn("bucket", termBucket(b)).withColumn("seq", lit(0)),
-        s"$root/postings", Seq("seq", "bucket"), onePerPartition = true)
-      MergeSink.publishPartitionedCols(
+      // postings + termstats + doclen are coalesced APPEND LOGS (seq=N
+      // with bucket a sorted data column — see [[nextSeq]]): the build is
+      // seq=0; termstats rows are per-term df DELTAS the reader sums (the
+      // build's deltas ARE the totals); doclen rows are immutable per doc
+      // (only genuinely-new docs ever append).
+      MergeSink.publishLogSeq(tf.withColumn("bucket", termBucket(b)),
+        s"$root/postings", 0, files, Seq("bucket", "wd"))
+      MergeSink.publishLogSeq(
         tf.groupBy("wd").agg(count(lit(1)).as("df"))
-          .withColumn("bucket", termBucket(b)).withColumn("seq", lit(0)),
-        s"$root/termstats", Seq("seq", "bucket"), onePerPartition = true)
-      MergeSink.publishPartitioned(
-        dlen.withColumn("bucket", docBucket(b)), s"$root/doclen", "bucket",
-        onePerPartition = true)
+          .withColumn("bucket", termBucket(b)),
+        s"$root/termstats", 0, files, Seq("bucket", "wd"))
+      MergeSink.publishLogSeq(dlen.withColumn("bucket", docBucket(b)),
+        s"$root/doclen", 0, files, Seq("bucket", "doc_id"))
       MergeSink.publishPartitioned(
         dlen.agg(count(lit(1)).as("n_docs"), sum("dlen").as("n_toks"))
           .withColumn("bucket", lit(0)), s"$root/stats", "bucket")
       ArtifactMeta.write(docs.sparkSession, root,
         Map("buckets.postings" -> b.toLong, "buckets.doclen" -> b.toLong))
+      ArtifactMeta.commit(docs.sparkSession, root)
     } finally tf.unpersist()
   }
 
@@ -124,8 +134,8 @@ object IndexOps {
     *      bytes; the append moves exactly the batch's rows);
     *   3. APPEND per-term df DELTAS to the termstats log (the reader
     *      sums — additive maintenance for an additive statistic);
-    *   4. upsert doc lengths into their (doc-keyed, genuinely pruned)
-    *      buckets and refresh the 1-row corpus stats.
+    *   4. APPEND the new docs' lengths (immutable per doc) and refresh
+    *      the 1-row corpus stats.
     */
   def updateBm25Index(docs: DataFrame, root: String): Unit = {
     val spark = docs.sparkSession
@@ -145,16 +155,16 @@ object IndexOps {
         .localCheckpoint() // pin: reads the PRE-append doclen slice
       val freshTf = tf.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
       val seq = nextSeq(spark, s"$root/postings")
-      MergeSink.publishPartitionedCols(
-        freshTf.withColumn("bucket", termBucket(pBuckets)).withColumn("seq", lit(seq)),
-        s"$root/postings", Seq("seq", "bucket"), onePerPartition = true)
-      MergeSink.publishPartitionedCols(
+      MergeSink.publishLogSeq(freshTf.withColumn("bucket", termBucket(pBuckets)),
+        s"$root/postings", seq, ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
+      MergeSink.publishLogSeq(
         freshTf.groupBy("wd").agg(count(lit(1)).as("df"))
-          .withColumn("bucket", termBucket(pBuckets)).withColumn("seq", lit(seq)),
-        s"$root/termstats", Seq("seq", "bucket"), onePerPartition = true)
-      MergeSink.publishPartitioned(
-        MergeSink.upsert(oldDlen, newDlen, Seq("doc_id")), s"$root/doclen", "bucket",
-        onePerPartition = true)
+          .withColumn("bucket", termBucket(pBuckets)),
+        s"$root/termstats", seq, ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
+      MergeSink.publishLogSeq(
+        newDlen.join(broadcast(newDocs), Seq("doc_id"), "left_semi"),
+        s"$root/doclen", nextSeq(spark, s"$root/doclen"),
+        ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
       // Additive stats refresh: old 1-row totals + the genuinely-new
       // docs' contribution — no full doclen re-scan per batch.
       val add = newDlen.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
@@ -203,6 +213,7 @@ object IndexOps {
       cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
         .toDF("cent_id", "embedding").withColumn("bucket", lit(0)),
       s"$root/centroids", "bucket")
+    ArtifactMeta.commit(emb.sparkSession, root)
   }
 
   /** Merge a batch of NEWLY-ARRIVED vectors into a stored IVF index:
@@ -283,6 +294,7 @@ object IndexOps {
     MergeSink.publishPartitioned(
       bookRows.toDF("m", "code", "cv").withColumn("bucket", lit(0)),
       s"$root/codebooks", "bucket")
+    ArtifactMeta.commit(emb.sparkSession, root)
   }
 
   private def readCentroids(spark: SparkSession, root: String): Array[(Int, Array[Double])] =
@@ -394,13 +406,24 @@ object IndexOps {
       edges, nodeFilter, pinnedEf.map(Seq(_)).getOrElse(
         Seq(SimilarityOps.BeamEf, 2 * SimilarityOps.BeamEf,
           4 * SimilarityOps.BeamEf, 8 * SimilarityOps.BeamEf)))
-    MergeSink.publishPartitioned(
+    // Adjacency is a GROUP-REPLACE log keyed by src_id (an insert batch
+    // republishes each touched node's COMPLETE re-ranked adjacency under
+    // its own seq) — readers resolve via [[readGraphEdges]].
+    MergeSink.publishLogSeq(
       edges.withColumn("bucket", pmod(col("src_id"), lit(b.toLong)).cast("int")),
-      s"$root/edges", "bucket", onePerPartition = true)
+      s"$root/edges", 0, ArtifactMeta.filesFor(b), Seq("bucket", "src_id"))
     ArtifactMeta.write(spark, root,
       Map("buckets.edges" -> b.toLong, "beam_ef" -> ef.toLong,
         "beam_recall_pm" -> math.round(recall * 1000)))
+    ArtifactMeta.commit(spark, root)
   }
+
+  /** Resolved (src_id, nbr_id) view of the stored adjacency log — the
+    * read every walk/update over the graph artifact shares.
+    */
+  private[graft] def readGraphEdges(spark: SparkSession, root: String): DataFrame =
+    MergeSink.resolveKeyLog(spark, s"$root/edges", Seq("src_id"))
+      .select("src_id", "nbr_id")
 
   /** HNSW-style INSERT of newly-arrived vectors into the stored
     * navigable graph — the graph's member of the incremental-maintenance
@@ -411,19 +434,19 @@ object IndexOps {
     * BOTH directions; every touched node's adjacency (batch nodes + the
     * indexed nodes they linked) is re-ranked by exact cosine and
     * degree-capped at [[SimilarityOps.BeamMaxDegree]] (HNSW's M_max —
-    * the walk-cost bound survives inserts); and only the buckets owning
-    * touched src ids are republished, with the untouched adjacency rows
-    * inside those buckets carried over verbatim.
+    * the walk-cost bound survives inserts); and each touched node's
+    * COMPLETE re-ranked adjacency is APPENDED as one group-replace
+    * generation of the edge log ([[readGraphEdges]] resolves) — nothing
+    * stored is read back for the publish, let alone rewritten.
     *
     * Per-batch cost: batch × (entry scan + walk bound) for the search,
-    * touched × M_max for the re-rank, touched-bucket I/O for the
-    * publish — batch-proportional except the bucket-size read term
-    * (bounded by the bucket-count-scales-with-corpus layout rule). The
-    * NN-descent build never re-runs. Approximation contract: an inserted
-    * graph is not byte-identical to a from-scratch rebuild (true of HNSW
-    * insertion generally); GraphBeamSpec pins structure (degree cap,
-    * bidirectional reachability of every inserted node) and recall
-    * parity with the scratch-built graph on the standard query suite.
+    * touched × M_max for the re-rank, touched-row I/O for the append —
+    * batch-proportional throughout. The NN-descent build never re-runs.
+    * Approximation contract: an inserted graph is not byte-identical to
+    * a from-scratch rebuild (true of HNSW insertion generally);
+    * GraphBeamSpec pins structure (degree cap, bidirectional
+    * reachability of every inserted node) and recall parity with the
+    * scratch-built graph on the standard query suite.
     */
   def updateGraphIndex(spark: SparkSession, dir: String, root: String,
       isBatch: Column): Unit = {
@@ -432,7 +455,7 @@ object IndexOps {
     val batchQ = emb.where(isBatch)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val storedEf = ArtifactMeta.readLong(spark, root, "beam_ef").toInt
-    val old = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+    val old = readGraphEdges(spark, root)
     val links = SimilarityOps.graphBeamFor(spark, dir,
         storedEf, SimilarityOps.BeamHops, old, batchQ,
         !isBatch, SimilarityOps.RefineK)
@@ -451,21 +474,11 @@ object IndexOps {
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= SimilarityOps.BeamMaxDegree)
       .select("src_id", "nbr_id")
-    val newRows = rebuilt
       .withColumn("bucket", pmod(col("src_id"), lit(graphBuckets.toLong)).cast("int"))
-      .localCheckpoint() // one beam-search execution; pin before republish
-    val touched = newRows.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by the bucket count
-    // Anti-join against the CHECKPOINTED rows' src set (identical to
-    // touchedSrc — every touched src keeps >= 1 edge through the cap),
-    // so the publish never re-executes the beam search.
-    val oldRows = spark.read.parquet(s"$root/edges")
-      .where(col("bucket").isin(touched: _*))
-      .join(newRows.select("src_id").distinct(), Seq("src_id"), "left_anti")
-      .select(col("src_id"), col("nbr_id"), col("bucket").cast("int"))
-    MergeSink.publishPartitioned(
-      oldRows.unionByName(newRows), s"$root/edges", "bucket",
-      onePerPartition = true)
+      .localCheckpoint() // one beam-search execution; pin before publish
+    MergeSink.publishLogSeq(rebuilt, s"$root/edges",
+      nextSeq(spark, s"$root/edges"), ArtifactMeta.AppendFiles,
+      Seq("bucket", "src_id"))
   }
 
   /** Beam-search top-k FROM the stored graph artifact: reads the edge
@@ -478,8 +491,8 @@ object IndexOps {
     */
   def queryGraphIndex(spark: SparkSession, root: String, dir: String): DataFrame = {
     val ef = ArtifactMeta.readLong(spark, root, "beam_ef").toInt
-    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
-    SimilarityOps.graphBeam(spark, dir, ef, SimilarityOps.BeamHops, edges)
+    SimilarityOps.graphBeam(spark, dir, ef, SimilarityOps.BeamHops,
+      readGraphEdges(spark, root))
   }
 
   /** Build + publish the near-dup (MinHash) index — the stored form of
@@ -494,25 +507,26 @@ object IndexOps {
     */
   def buildDedupIndex(docs: DataFrame, root: String, buckets: Int = 0): Unit = {
     val b = if (buckets > 0) buckets else ArtifactMeta.bucketsFor(docs.count())
+    val files = ArtifactMeta.filesFor(b)
     val (banded, sets) = DedupOps.corpusIndex(docs)
-    // banded is an APPEND LOG (seq=N/bucket=* — see [[nextSeq]]): band
-    // rows are immutable per (doc, band), and a batch's ~bands×batch band
-    // keys touch essentially every band bucket, so LWW rewrites would be
-    // corpus-scale per batch. The build is seq=0.
-    MergeSink.publishPartitionedCols(
+    // banded is a coalesced APPEND LOG (seq=N, bucket a sorted data
+    // column — see [[nextSeq]]): band rows are immutable per (doc, band),
+    // and a batch's ~bands×batch band keys touch essentially every band
+    // bucket, so LWW rewrites would be corpus-scale per batch. The build
+    // is seq=0.
+    MergeSink.publishLogSeq(
       banded.distinct()
-        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(b.toLong)).cast("int"))
-        .withColumn("seq", lit(0)),
-      s"$root/banded", Seq("seq", "bucket"), onePerPartition = true)
+        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(b.toLong)).cast("int")),
+      s"$root/banded", 0, files, Seq("bucket"))
     // sets is an append log too: its rows are immutable AND fat (the
     // per-doc shingle arrays), so even a bucket-pruned LWW rewrite moved
     // ~25 MB per 500-doc batch — an append moves only the batch's rows.
-    MergeSink.publishPartitionedCols(
-      sets.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
-        .withColumn("seq", lit(0)),
-      s"$root/sets", Seq("seq", "bucket"), onePerPartition = true)
+    MergeSink.publishLogSeq(
+      sets.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int")),
+      s"$root/sets", 0, files, Seq("bucket", "doc_id"))
     ArtifactMeta.write(docs.sparkSession, root,
       Map("buckets.banded" -> b.toLong, "buckets.sets" -> b.toLong))
+    ArtifactMeta.commit(docs.sparkSession, root)
   }
 
   /** Merge a batch of NEWLY-ARRIVED documents into a stored near-dup
@@ -545,16 +559,15 @@ object IndexOps {
       .join(storedIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // pin: probes the PRE-append log
     val seq = nextSeq(spark, s"$root/banded")
-    MergeSink.publishPartitionedCols(
+    MergeSink.publishLogSeq(
       banded.distinct()
         .join(broadcast(newDocs), Seq("doc_id"), "left_semi")
-        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong)).cast("int"))
-        .withColumn("seq", lit(seq)),
-      s"$root/banded", Seq("seq", "bucket"), onePerPartition = true)
-    MergeSink.publishPartitionedCols(
-      newSets.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
-        .withColumn("seq", lit(seq)),
-      s"$root/sets", Seq("seq", "bucket"), onePerPartition = true)
+        .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong)).cast("int")),
+      s"$root/banded", seq, ArtifactMeta.AppendFiles, Seq("bucket"))
+    MergeSink.publishLogSeq(
+      newSets.join(broadcast(newDocs), Seq("doc_id"), "left_semi"),
+      s"$root/sets", nextSeq(spark, s"$root/sets"),
+      ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
   }
 
   /** Near-dup matches of runtime `batchDocs` against the STORED index —
@@ -603,6 +616,7 @@ object IndexOps {
       s"$root/weights", "pt",
       audit = a => require(a.count() == TextOps.ClsDim.toLong,
         s"classifier artifact must hold exactly ${TextOps.ClsDim} weights"))
+    ArtifactMeta.commit(spark, root)
   }
 
   /** Score a corpus FROM the stored model: read the [[TextOps.ClsDim]]
@@ -641,76 +655,125 @@ object IndexOps {
     * index artifact, then answer from the files just written. The oracle
     * is byte-identical to the in-session query's — "a user could swap the
     * cached pipeline for the stored index and every row survives".
+    *
+    * Each family registers a BUILD/SERVE pair sharing that oracle (the
+    * pipe_platform_delta commit-record pattern): `ns_*_index_build`
+    * rebuilds the artifact UNCONDITIONALLY and then serves — every
+    * evaluation carries the honest NN-descent/postings/training cost —
+    * while `ns_*_indexed` is GATED on the build's commit record and
+    * otherwise serves from the stored files alone, so the per-round
+    * bench times the serving cost the index exists for (Bench evaluates
+    * alphabetically, so the `_index_build` twin has always materialized
+    * the root before `_indexed` runs).
     */
-  def nsTextBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+  private def ensureBuilt(spark: SparkSession, root: String)(build: => Unit): Unit =
+    if (ArtifactMeta.tryReadLong(spark, root, "commit").isEmpty) build
+
+  private def bm25At(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("bm25", dir)
-    buildBm25Index(Tables.documents(spark, dir), root)
+    if (forceBuild) buildBm25Index(Tables.documents(spark, dir), root)
+    else ensureBuilt(spark, root)(buildBm25Index(Tables.documents(spark, dir), root))
     queryBm25Index(spark, root)
   }
+  def nsTextBm25IndexBuild(spark: SparkSession, dir: String): DataFrame =
+    bm25At(spark, dir, forceBuild = true)
+  def nsTextBm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    bm25At(spark, dir, forceBuild = false)
 
-  def nsSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfAt(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("ivf", dir)
-    buildIvfIndex(SimilarityOps.embeddings(spark, dir), root)
+    if (forceBuild) buildIvfIndex(SimilarityOps.embeddings(spark, dir), root)
+    else ensureBuilt(spark, root)(
+      buildIvfIndex(SimilarityOps.embeddings(spark, dir), root))
     queryIvfIndex(spark, root)
   }
+  def nsSimIvfIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    ivfAt(spark, dir, forceBuild = true)
+  def nsSimIvfIndexed(spark: SparkSession, dir: String): DataFrame =
+    ivfAt(spark, dir, forceBuild = false)
 
-  def nsSimIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfPqAt(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("ivfpq", dir)
     val emb = SimilarityOps.embeddings(spark, dir)
-    buildIvfPqIndex(emb, root)
+    if (forceBuild) buildIvfPqIndex(emb, root)
+    else ensureBuilt(spark, root)(buildIvfPqIndex(emb, root))
     queryIvfPqIndex(spark, root,
       emb.where(col("vec_id") < SimilarityOps.QuantQueries)
         .select("vec_id", "embedding"))
   }
+  def nsSimIvfPqIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAt(spark, dir, forceBuild = true)
+  def nsSimIvfPqIndexed(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAt(spark, dir, forceBuild = false)
 
-  /** Build-then-serve for the navigable beam graph: publish the
-    * NN-descent artifact, then answer the beam walk from the files just
-    * written — row-identical to [[SimilarityOps.nsSimGraphBeam]] (shared
-    * oracle), with the build/serve split the bench can time apart. The
-    * build is PINNED to [[SimilarityOps.BeamEf]] (see [[buildGraphIndex]]
-    * — the shared oracle replays the constant-width walk); production
-    * builds (ServeBench's boot artifacts, the rehearsal's graph_split
-    * roots) take the tuner default.
+  /** Build-then-serve for the navigable beam graph — row-identical to
+    * [[SimilarityOps.nsSimGraphBeam]] (shared oracle). The build is
+    * PINNED to [[SimilarityOps.BeamEf]] (see [[buildGraphIndex]] — the
+    * shared oracle replays the constant-width walk); production builds
+    * (ServeBench's boot artifacts, the rehearsal's graph_split roots)
+    * take the tuner default.
     */
-  def nsSimGraphIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private def graphAt(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("graph", dir)
-    buildGraphIndex(spark, dir, root, pinnedEf = Some(SimilarityOps.BeamEf))
+    if (forceBuild)
+      buildGraphIndex(spark, dir, root, pinnedEf = Some(SimilarityOps.BeamEf))
+    else ensureBuilt(spark, root)(
+      buildGraphIndex(spark, dir, root, pinnedEf = Some(SimilarityOps.BeamEf)))
     queryGraphIndex(spark, root, dir)
   }
+  def nsSimGraphIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    graphAt(spark, dir, forceBuild = true)
+  def nsSimGraphIndexed(spark: SparkSession, dir: String): DataFrame =
+    graphAt(spark, dir, forceBuild = false)
 
   /** Build the index from the 80% corpus, then answer the 20% batch's
     * near-dup probes from the stored files — semantics shared with
     * [[DedupOps.nsDedupIncremental]] (same oracle).
     */
-  def nsDedupMinhashIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private def dedupAt(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("dedup", dir)
     val docs = Tables.documents(spark, dir)
     val isBatch = col("doc_id") % 10 < 2
-    buildDedupIndex(docs.where(!isBatch), root)
+    if (forceBuild) buildDedupIndex(docs.where(!isBatch), root)
+    else ensureBuilt(spark, root)(buildDedupIndex(docs.where(!isBatch), root))
     queryDedupIndex(spark, root, docs.where(isBatch))
   }
+  def nsDedupMinhashIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    dedupAt(spark, dir, forceBuild = true)
+  def nsDedupMinhashIndexed(spark: SparkSession, dir: String): DataFrame =
+    dedupAt(spark, dir, forceBuild = false)
 
-  /** Build-then-serve for the trained quality classifier: publish the
-    * weight artifact, then score the corpus from the files just written —
-    * row-identical to [[TextOps.nsTextClassifyTrained]] (shared oracle),
-    * with the train/serve split the bench can time apart.
+  /** Build-then-serve for the trained quality classifier — row-identical
+    * to [[TextOps.nsTextClassifyTrained]] (shared oracle).
     */
-  def nsTextClassifyIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private def clsAt(spark: SparkSession, dir: String, forceBuild: Boolean): DataFrame = {
     val root = rootFor("cls", dir)
-    buildClassifierIndex(Tables.documents(spark, dir), root)
+    if (forceBuild) buildClassifierIndex(Tables.documents(spark, dir), root)
+    else ensureBuilt(spark, root)(
+      buildClassifierIndex(Tables.documents(spark, dir), root))
     queryClassifierIndex(spark, root, Tables.documents(spark, dir))
   }
+  def nsTextClassifyIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    clsAt(spark, dir, forceBuild = true)
+  def nsTextClassifyIndexed(spark: SparkSession, dir: String): DataFrame =
+    clsAt(spark, dir, forceBuild = false)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_text_classify_index_build" -> (nsTextClassifyIndexBuild _),
     "ns_text_classify_indexed" -> (nsTextClassifyIndexed _),
+    "ns_text_bm25_index_build" -> (nsTextBm25IndexBuild _),
     "ns_text_bm25_indexed" -> (nsTextBm25Indexed _),
+    "ns_sim_ivf_index_build" -> (nsSimIvfIndexBuild _),
     "ns_sim_ivf_indexed" -> (nsSimIvfIndexed _),
+    "ns_sim_ivfpq_index_build" -> (nsSimIvfPqIndexBuild _),
     "ns_sim_ivfpq_indexed" -> (nsSimIvfPqIndexed _),
+    "ns_sim_graph_index_build" -> (nsSimGraphIndexBuild _),
     "ns_sim_graph_indexed" -> (nsSimGraphIndexed _),
+    "ns_dedup_minhash_index_build" -> (nsDedupMinhashIndexBuild _),
     "ns_dedup_minhash_indexed" -> (nsDedupMinhashIndexed _))
 
   /** The stored-index queries answer the SAME question as their in-session
-    * twins, so they share those oracles verbatim.
+    * twins, so they (and their build twins) share those oracles verbatim.
     */
   val oracles: Map[String, String] = Map(
     "ns_text_classify_indexed" -> TextOps.oracles("ns_text_classify_trained"),
@@ -718,5 +781,11 @@ object IndexOps {
     "ns_sim_ivf_indexed" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
     "ns_sim_ivfpq_indexed" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"),
     "ns_sim_graph_indexed" -> SimilarityOps.oracles("ns_sim_graph_beam"),
-    "ns_dedup_minhash_indexed" -> DedupOps.oracles("ns_dedup_incremental"))
+    "ns_dedup_minhash_indexed" -> DedupOps.oracles("ns_dedup_incremental"),
+    "ns_text_classify_index_build" -> TextOps.oracles("ns_text_classify_trained"),
+    "ns_text_bm25_index_build" -> TextOps.oracles("ns_text_bm25"),
+    "ns_sim_ivf_index_build" -> SimilarityOps.oracles("ns_sim_ivf_topk"),
+    "ns_sim_ivfpq_index_build" -> SimilarityOps.oracles("ns_sim_ivfpq_topk"),
+    "ns_sim_graph_index_build" -> SimilarityOps.oracles("ns_sim_graph_beam"),
+    "ns_dedup_minhash_index_build" -> DedupOps.oracles("ns_dedup_incremental"))
 }

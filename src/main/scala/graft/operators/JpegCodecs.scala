@@ -2,23 +2,26 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets.US_ASCII
 
-/** Baseline-sequential JPEG (ITU-T T.81 / JFIF) — a REAL entropy-coded
-  * decoder, zero dependencies: marker walk, DQT/DHT/SOF0/DRI/SOS parsing,
-  * canonical Huffman decode (spec F.2.2.3) with DC prediction and EXTEND,
-  * byte-stuffing (FF 00) and restart-marker handling, zigzag + dequantize,
-  * full 2-D separable IDCT, nearest-neighbor chroma upsampling for any
-  * (h,v) sampling factors up to the baseline limit, and the libjpeg-style
-  * fixed-point YCbCr->RGB conversion. Closes the codec ladder that PNG
-  * opened (reference stores media URIs only — e.g. the dApp metadata in
+/** Baseline-sequential AND progressive JPEG (ITU-T T.81 / JFIF) — a REAL
+  * entropy-coded decoder, zero dependencies: marker walk,
+  * DQT/DHT/SOF0/SOF2/DRI/SOS parsing, canonical Huffman decode (spec
+  * F.2.2.3) with DC prediction and EXTEND, progressive spectral selection
+  * + successive approximation (Annex G) accumulated in a shared
+  * coefficient store with the IDCT after EOI, byte-stuffing (FF 00) and
+  * restart-marker handling, zigzag + dequantize, full 2-D separable IDCT,
+  * nearest-neighbor chroma upsampling for any (h,v) sampling factors up
+  * to the baseline limit, and the libjpeg-style fixed-point YCbCr->RGB
+  * conversion. Closes the codec ladder that PNG opened (reference stores
+  * media URIs only — e.g. the dApp metadata in
   * /root/reference/src/utils/subgraph.py fetches opaque blobs; decode
   * semantics come from the public JPEG spec, not the reference).
   *
-  * Deliberately fail-loud like [[ImageCodecs]]: progressive (SOF2),
-  * arithmetic coding, 12-bit precision, 16-bit DQT entries and truncated
-  * streams all throw with the offending marker named. The decoder reads
-  * every table from the stream (nothing assumes the Annex K defaults — the
-  * fixtures use custom canonical tables precisely so a decoder hardcoding
-  * the standard tables diverges).
+  * Deliberately fail-loud like [[ImageCodecs]]: arithmetic coding, 12-bit
+  * precision, 16-bit DQT entries, malformed progressive parameter sets
+  * and truncated streams all throw with the offending marker named. The
+  * decoder reads every table from the stream (nothing assumes the Annex K
+  * defaults — the fixtures use custom canonical tables precisely so a
+  * decoder hardcoding the standard tables diverges).
   *
   * Scale posture: decode is a pure per-row kernel behind mapPartitions —
   * payloads never cross a shuffle; at 100 TB the decode parallelism is the

@@ -53,7 +53,12 @@ object AggOps {
     // double's ULP — summation ORDER (distributed vs single-stream)
     // then decides the last rounded digit and the engines legitimately
     // disagree (measured: op30 at the 10× sf1 sweep). Integer sums are
-    // order-free and exact at any scale; one IEEE divide at the end.
+    // order-free and exact up to BIGINT range — ~9.2e18 micro-units, i.e.
+    // ~9.2e12 in value per group, ampler than any per-group price total
+    // this framework targets but NOT unbounded: Spark's non-ANSI
+    // sum(BIGINT) wraps silently past it, so an sf100-class deployment
+    // with trillion-unit groups would move these to DECIMAL(38,0) (still
+    // order-free). One IEEE divide at the end.
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(

@@ -58,6 +58,24 @@ object ArtifactMeta {
     */
   val DocsPerBucket = 512L
 
+  /** Coalesced file count for ONE published generation of a bucketed
+    * table ([[MergeSink.publishLogSeq]]): ~8 buckets of data per file,
+    * clamped to [1, 32]. The ceiling keeps write parallelism at the local
+    * core count while holding per-generation file count INDEPENDENT of
+    * the bucket count — the round-10 one-file-per-bucket layout's file
+    * count was buckets × generations (256 directories per table at 100k
+    * docs), and the delta sweep measured its per-file fixed costs growing
+    * the delta wall 2.1× over a 20× corpus at FLAT shuffle.
+    */
+  def filesFor(buckets: Int): Int = math.max(1, math.min(32, buckets / 8))
+
+  /** File count for a batch-scale APPEND generation: a delta's rows are
+    * batch-proportional, so a handful of files per generation bounds the
+    * log's file growth at (compaction interval) × [[AppendFiles]] while
+    * keeping the append write off the single-task path.
+    */
+  val AppendFiles = 4
+
   /** Smallest power of two ≥ rows/targetPerBucket within
     * [[MinBuckets]]..[[MaxBuckets]].
     */
@@ -98,4 +116,25 @@ object ArtifactMeta {
 
   def readBuckets(spark: SparkSession, root: String, table: String): Int =
     readLong(spark, root, s"buckets.$table").toInt
+
+  /** [[readLong]] without the fail-loud contract — for COMMIT-RECORD
+    * probes, where "absent" is a normal state meaning "never built here
+    * (or torn mid-build)" and the caller's answer is to build.
+    */
+  def tryReadLong(spark: SparkSession, root: String, key: String): Option[Long] =
+    try {
+      val rows = spark.read.parquet(s"$root/meta").where(col("k") === key)
+        .select("v").collect()
+      if (rows.length == 1) Some(rows.head.getLong(0)) else None
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Stamp the build's COMMIT RECORD — the LAST publish of every index
+    * build, so its presence proves every prior artifact publish landed
+    * (the [[graft.pipeline.Pipelines]] stats-commit pattern). Gated serve
+    * paths probe it with [[tryReadLong]] and rebuild when absent.
+    */
+  def commit(spark: SparkSession, root: String): Unit =
+    write(spark, root, Map("commit" -> 1L))
 }

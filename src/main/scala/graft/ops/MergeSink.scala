@@ -118,7 +118,8 @@ object MergeSink {
       cols: Seq[String],
       audit: DataFrame => Unit = _ => (),
       lockTimeoutMs: Long = 60000L,
-      onePerPartition: Boolean = false): Unit = {
+      onePerPartition: Boolean = false,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     require(cols.nonEmpty, "publishPartitionedCols needs >= 1 partition column")
     val partitionCol = cols.head
     // For HIGH-CARDINALITY partition layouts (corpus-scaled bucket counts,
@@ -136,7 +137,8 @@ object MergeSink {
     val stage = new org.apache.hadoop.fs.Path(root, s"_staging/$id")
     var publishOk = false
     try {
-      toWrite.write.mode("overwrite").partitionBy(cols: _*).parquet(stage.toString)
+      toWrite.write.mode("overwrite").options(writeOptions)
+        .partitionBy(cols: _*).parquet(stage.toString)
       // A zero-row batch stages no partition directories (and its parquet
       // dir has no readable schema) — nothing to publish, the live table
       // is untouched. Callers appending a possibly-empty day's rows rely
@@ -205,6 +207,107 @@ object MergeSink {
       if (publishOk)
         fs.delete(new org.apache.hadoop.fs.Path(root, s"_trash/$id"), true)
     }
+  }
+
+  /** Next sequence number for an append-friendly `seqCol=N` log: one
+    * directory listing, no data read.
+    */
+  private[graft] def nextSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      seqCol: String = "seq"): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(seqCol + "=")).map(_.stripPrefix(seqCol + "=").toInt)
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Row-group size for coalesced bucketed logs: small enough that a
+    * bucket-predicate read prunes at sub-file granularity (a row group
+    * covers ~a few buckets of a sorted file), large enough that footer
+    * metadata stays negligible. Production tables with bigger rows would
+    * raise this toward the 128 MB default.
+    */
+  private val LogBlockBytes = (1 << 20).toString
+
+  /** COALESCED publish of one `seqCol=N` generation of a bucketed log
+    * table: instead of one directory+file per bucket (file count =
+    * buckets x generations — the small-files term that dominated the
+    * round-10 delta sweep's wall at flat shuffle: every open/list/rename
+    * touched 256 directories per table at 100k docs), the generation is
+    * `files` parquet files with `sortCols` (led by the bucket id) RANGE-
+    * PARTITIONED across them and sorted within, so parquet row-group
+    * min/max stats give readers the pruning the directory layout gave —
+    * `where(col("bucket").isin(...))` pushes down and skips non-matching
+    * row groups — at a per-generation file count independent of the
+    * bucket count. The swap unit (and crash-replay idempotency unit)
+    * stays the whole `seqCol=N` directory.
+    */
+  private[graft] def publishLogSeq(
+      df: DataFrame, path: String, seq: Int, files: Int,
+      sortCols: Seq[String], seqCol: String = "seq"): Unit = {
+    val sorted = df
+      .repartitionByRange(math.max(1, files), sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn(seqCol, lit(seq))
+    publishPartitionedCols(sorted, path, Seq(seqCol),
+      writeOptions = Map("parquet.block.size" -> LogBlockBytes))
+  }
+
+  /** Resolved view of a GROUP-REPLACE log: every `seqCol>0` generation
+    * carries, for each key it touches, the COMPLETE replacement row-group
+    * for that key (a doc's full band-row set, a node's full adjacency, a
+    * doc's current label row). Resolution keeps base (seq=0) groups
+    * untouched by any delta plus, per touched key, all rows of its
+    * highest generation.
+    *
+    * Scale contract: delta generations are BATCH-scale (the maintenance
+    * paths append batch-proportional rows), so the touched-key frame
+    * broadcasts and the resolve costs one base scan + a batch-scale
+    * aggregation — no corpus-scale exchange. Compact periodically
+    * ([[compactKeyLog]]) so accumulated generations stay broadcastable.
+    */
+  private[graft] def resolveKeyLog(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String], seqCol: String = "seq"): DataFrame = {
+    val all = spark.read.parquet(path)
+    val deltas = all.where(col(seqCol) > 0)
+    val dMax = deltas.groupBy(keys.map(col): _*)
+      .agg(max(col(seqCol)).as("_maxseq"))
+    val winners = deltas.join(broadcast(dMax), keys)
+      .where(col(seqCol) === col("_maxseq")).drop("_maxseq", seqCol)
+    all.where(col(seqCol) === 0)
+      .join(broadcast(dMax.select(keys.map(col): _*)), keys, "left_anti")
+      .drop(seqCol)
+      .unionByName(winners)
+  }
+
+  /** Fold a group-replace log back to a single coalesced `seq=0`
+    * generation with an identical resolved view. Single-compactor
+    * contract as [[compactLog]]. Unlike the serve-path resolve, the fold
+    * may run over arbitrarily many accumulated generations, so it
+    * resolves with a full max-seq window (one corpus-scale exchange — a
+    * periodic compaction job's budget) instead of the broadcast form.
+    */
+  private[graft] def compactKeyLog(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String], files: Int, sortCols: Seq[String],
+      seqCol: String = "seq"): Unit = {
+    val rootDir = new org.apache.hadoop.fs.Path(path)
+    val fs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootDir) || !fs.listStatus(rootDir).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(seqCol + "="))) return
+    val all = spark.read.parquet(path)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val resolved = all.withColumn("_ms", max(col(seqCol)).over(w))
+      .where(col(seqCol) === col("_ms")).drop("_ms", seqCol)
+      .localCheckpoint() // pin before any delete (the compactLog contract)
+    publishLogSeq(resolved, path, 0, files, sortCols, seqCol)
+    fs.listStatus(rootDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(seqCol + "=")
+        && s.getPath.getName != s"$seqCol=0")
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Compact an APPEND-FRIENDLY LOG table — the layout where each batch

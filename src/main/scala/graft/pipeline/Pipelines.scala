@@ -572,7 +572,11 @@ object Pipelines {
       .join(contentFp(corpus).select("fp").distinct(), Seq("fp"), "left_semi")
       .select("doc_id")
     val (banded, sets) = dedup.corpusIndex(corpus)
-    val nearIds = dedup.matchAgainstIndex(cands, banded, sets)
+    // cands is an audit SLICE of the corpus (corpus-proportional) in the
+    // batch query; only the streaming chain's micro-batches are genuinely
+    // request-sized (it calls matchAgainstIndex itself with the hint).
+    val nearIds = dedup.matchAgainstIndex(cands, banded, sets,
+        batchIsSmall = None)
       .select(col("batch_doc").as("doc_id")).distinct()
     val benchSh = dedup.shingles(probe).select("sh").distinct()
     val contamIds = dedup
@@ -801,9 +805,14 @@ object Pipelines {
     val pairs = graft.operators.IndexOps.dedupEdgesFromIndex(spark, root)
       .select("doc_a", "doc_b")
     val labels = dedup.componentLabelsFromEdges(docs.select("doc_id"), pairs)
-    sink.publishPartitioned(
+    // Labels are a GROUP-REPLACE log (doc-keyed; a delta appends ONLY the
+    // rows it changes under its own seq — graft.ops.MergeSink.resolveKeyLog
+    // resolves), published coalesced: bucket is a sorted data column in a
+    // few files, not a directory per bucket.
+    sink.publishLogSeq(
       labels.withColumn("bucket", pmod(col("doc_id"), lit(lblBuckets.toLong)).cast("int")),
-      s"$root/labels", "bucket", onePerPartition = true)
+      s"$root/labels", 0, graft.ops.ArtifactMeta.filesFor(lblBuckets),
+      Seq("bucket", "doc_id"))
     graft.ops.ArtifactMeta.write(spark, root,
       Map("buckets.labels" -> lblBuckets.toLong))
     // 3: split on the component key; survivors of the train split only
@@ -1042,7 +1051,9 @@ object Pipelines {
     // corpus endpoints to day-1 labels, close the contracted graph.
     // batchIndexAndEdges materialized edges0 EAGERLY, so every read of
     // the pre-update artifacts has already completed.
-    val lbl = spark.read.parquet(s"$root/labels").select("doc_id", "component")
+    val lbl = graft.ops.MergeSink
+      .resolveKeyLog(spark, s"$root/labels", Seq("doc_id"))
+      .select("doc_id", "component")
     val corpusSide = lbl.join(broadcast(edges0), lbl("doc_id") === edges0("doc_b"))
       .select(edges0("doc_a"), lbl("component").as("doc_b"))
     val deltaPairs = corpusSide.unionByName(
@@ -1139,25 +1150,23 @@ object Pipelines {
         col("n_chunks"), col("new_state").as("state"))
     val base = restated(baseRel)
     // Artifact maintenance so tomorrow's delta reads today's state:
-    // labels upsert (touched doc-buckets only), manifest APPEND — this
-    // delta's new rows plus ONLY the rows it re-stated (fresh revocation
-    // tombstones / component moves, i.e. the relabel-joined slice) land
-    // under their own day=N partition; prior days' files are never opened
-    // or rewritten ([[graft.ops.MergeSink.compactLog]] folds the log back
-    // to day 0 periodically) — and the 1-row stats refresh.
+    // labels APPEND — exactly the rows this delta changes (relabeled
+    // day-1 docs + the batch's own labels) land under their own seq
+    // generation of the label log; nothing stored is read back, let
+    // alone rewritten — manifest APPEND — this delta's new rows plus
+    // ONLY the rows it re-stated (fresh revocation tombstones /
+    // component moves, i.e. the relabel-joined slice) land under their
+    // own day=N partition ([[graft.ops.MergeSink.compactLog]] /
+    // compactKeyLog fold the logs back periodically) — and the 1-row
+    // stats refresh.
     val lblBuckets = graft.ops.ArtifactMeta.readBuckets(spark, root, "labels")
     val updLbl = lbl.join(broadcast(relabel), Seq("component"))
       .select(col("doc_id"), col("new_component").as("component"))
       .unionByName(bLabels.select("doc_id", "component"))
       .withColumn("bucket", pmod(col("doc_id"), lit(lblBuckets.toLong)).cast("int"))
-    val touched = updLbl.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded by min(batch keys, buckets)
-    val oldLbl = spark.read.parquet(s"$root/labels")
-      .where(col("bucket").isin(touched: _*))
-      .select(col("doc_id"), col("component"), col("bucket").cast("int"))
-    sink.publishPartitioned(
-      sink.upsert(oldLbl, updLbl, Seq("doc_id")), s"$root/labels", "bucket",
-      onePerPartition = true)
+    sink.publishLogSeq(updLbl, s"$root/labels",
+      sink.nextSeq(spark, s"$root/labels"),
+      graft.ops.ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
     val changed = restated(baseRel.where(
       col("new_component").isNotNull || col("torn_component").isNotNull))
     sink.publishPartitionedCols(

@@ -71,8 +71,9 @@ class GraphBeamSpec extends SparkSpec {
     val isBatch = col("vec_id") % 10 === 7
     IndexOps.buildGraphIndex(spark, sfDir, root, !isBatch)
     IndexOps.updateGraphIndex(spark, sfDir, root, isBatch)
-    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
-      .localCheckpoint()
+    // Resolved view of the group-replace adjacency log (superseded
+    // generations are not part of the graph).
+    val edges = IndexOps.readGraphEdges(spark, root).localCheckpoint()
     val batchIds = SimilarityOps.embeddings(spark, sfDir).where(isBatch)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(batchIds.nonEmpty)

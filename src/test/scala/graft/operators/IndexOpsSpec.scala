@@ -171,14 +171,14 @@ class IndexOpsSpec extends SparkSpec {
     // 32 buckets — NOT the 8-bucket floor the fixture corpus would get.
     IndexOps.buildDedupIndex(docs.where(!isBatch), root, buckets = 32)
     assert(graft.ops.ArtifactMeta.readBuckets(spark, root, "banded") == 32)
-    // the on-disk layout really is 32-way (more than 8 distinct dirs is
-    // only possible if both build AND update hash modulo the stored count)
-    def bucketDirs(t: String) = new java.io.File(s"$root/$t").listFiles
-      .map(_.getName).filter(_.startsWith("bucket=")).toSet
-    assert(bucketDirs("sets/seq=0").size > 8,
-      s"sets seq=0 dirs ${bucketDirs("sets/seq=0").size}")
-    assert(bucketDirs("banded/seq=0").size > 8,
-      s"banded seq=0 dirs ${bucketDirs("banded/seq=0").size}")
+    // the stored layout really is 32-way (more than 8 distinct bucket ids
+    // is only possible if both build AND update hash modulo the stored
+    // count) — bucket is a sorted DATA column of the coalesced log now,
+    // not a directory
+    def buckets(t: String) = spark.read.parquet(s"$root/$t")
+      .where(col("seq") === 0).select("bucket").distinct().count()
+    assert(buckets("sets") > 8, s"sets seq=0 buckets ${buckets("sets")}")
+    assert(buckets("banded") > 8, s"banded seq=0 buckets ${buckets("banded")}")
     // The serve path over the non-default layout answers exactly the
     // default layout's rows (bucketing is layout, never semantics) —
     // queried BEFORE the update merges the batch into the index.

@@ -118,8 +118,8 @@ class PlatformDeltaSpec extends SparkSpec {
     // 32 label buckets — not the 8-bucket floor this corpus would derive.
     Pipelines.platformBuildCore(spark, sfDir, r, !isB(col("doc_id")), buckets = 32)
     assert(graft.ops.ArtifactMeta.readBuckets(spark, r, "labels") == 32)
-    assert(new java.io.File(s"$r/labels").listFiles
-      .count(_.getName.startsWith("bucket=")) > 8, "labels layout is not 32-way")
+    assert(spark.read.parquet(s"$r/labels")
+      .select("bucket").distinct().count() > 8, "labels layout is not 32-way")
     val delta = Pipelines.platformDeltaStage(spark, sfDir, r, isB).collect()
     val full = Pipelines.platformBuildCore(spark, sfDir, s"$root/nbucketsfull",
         lit(true), frozenFrom = Some(r))

@@ -61,8 +61,8 @@ class StreamingIndexSpec extends SparkSpec {
     IndexOps.buildGraphIndex(spark, sfDir, seqRoot, isHistory)
     IndexOps.updateGraphIndex(spark, sfDir, seqRoot, batch1)
     IndexOps.updateGraphIndex(spark, sfDir, seqRoot, batch2)
-    val want = spark.read.parquet(s"$seqRoot/edges")
-      .select("src_id", "nbr_id").collect().map(_.toSeq).toSet
+    val want = IndexOps.readGraphEdges(spark, seqRoot)
+      .collect().map(_.toSeq).toSet
 
     // Streamed: same splits as two micro-batches through foreachBatch.
     val root = java.nio.file.Files.createTempDirectory("graft_sgraph").toString
@@ -82,14 +82,14 @@ class StreamingIndexSpec extends SparkSpec {
     val stream = spark.readStream.schema(idsOnly.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     StreamingIndex.graphMaintenanceStream(stream, sfDir, root, cp).awaitTermination()
-    val got = spark.read.parquet(s"$root/edges")
-      .select("src_id", "nbr_id").collect().map(_.toSeq).toSet
+    val got = IndexOps.readGraphEdges(spark, root)
+      .collect().map(_.toSeq).toSet
     assert(got == want, "streamed inserts diverge from sequential inserts")
 
     // Structural invariants survive a replayed (crash-redelivered) batch:
     // still degree-capped, inserted nodes still bidirectionally present.
     IndexOps.updateGraphIndex(spark, sfDir, root, batch2)
-    val edges = spark.read.parquet(s"$root/edges").select("src_id", "nbr_id")
+    val edges = IndexOps.readGraphEdges(spark, root)
     val overCap = edges.groupBy("src_id")
       .count().where(col("count") > SimilarityOps.BeamMaxDegree).count()
     assert(overCap == 0, "replayed insert broke the degree cap")

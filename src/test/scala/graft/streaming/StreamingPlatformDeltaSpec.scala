@@ -52,7 +52,8 @@ class StreamingPlatformDeltaSpec extends SparkSpec {
     StreamingPlatformDelta.deltaStream(stream, strRoot, cp).awaitTermination()
 
     def labels(r: String): Set[(Long, Long)] =
-      spark.read.parquet(s"$r/labels").select("doc_id", "component")
+      graft.ops.MergeSink.resolveKeyLog(spark, s"$r/labels", Seq("doc_id"))
+        .select("doc_id", "component")
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     def snapshot(r: String): Set[(Long, Long, Long, Long, String)] = {
       val w = Window.partitionBy("doc_id").orderBy(col("day").desc)
