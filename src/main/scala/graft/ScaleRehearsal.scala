@@ -392,7 +392,6 @@ object ScaleRehearsal {
     }
     def measureDelta(arm: String, isBatch: Column => Column,
         sfName: String, dir: String): Unit = {
-      if (only.nonEmpty && !only("platform_delta")) return
       val root = s"$deltaRoot/${arm}_$sfName"
       readB.reset(); writeB.reset()
       val tb = System.nanoTime()
@@ -415,9 +414,33 @@ object ScaleRehearsal {
       cleanup()
       println(s"""{"query":"platform_delta_stage","arm":"$arm","sf":"$sfName","rows":$rows,"edges":$edges,"sec":$deltaSec,"shuffle_write_mb":$dw,"shuffle_read_mb":$dr}""")
     }
-    for ((sfName, dir) <- scales) {
-      measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
-      measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+    if (only.isEmpty || only("platform_delta"))
+      for ((sfName, dir) <- scales) {
+        measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
+        measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+      }
+
+    // Round-11: the HIGH-DUP PLATEAU measurement (r10 verdict item 4).
+    // The pruned delta probe's fat-set read is bounded by
+    // candidates × DocsPerBucket rows; below corpus ≈ candidates × 512
+    // (≈256k docs for the 500-candidate high-dup arm) the touched buckets
+    // cover most of the table, so the read grows with the corpus — past
+    // it the bound binds and the wall must flatten. Two points past the
+    // knee turn the prediction into a table row. Select with trailing
+    // arg `platform_delta_big`.
+    if (only.isEmpty || only("platform_delta_big")) {
+      val bigScales = Seq(("synth256k", 256000L), ("synth512k", 512000L)).map {
+        case (name, n) =>
+          val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+          if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) {
+            generate(spark, dir, n)
+          }
+          (name, dir)
+      }
+      for ((sfName, dir) <- bigScales) {
+        measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
+        measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+      }
     }
 
     // Round-10: the MULTI-DAY chain — what a nightly pipeline actually

@@ -381,7 +381,46 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded MPEG-1 Layer II features — all BIGINT for exact replay; no
+    * payload-size column (frame sizes are bitrate-derived and replayed
+    * via n_frames × the 32 kHz frame formula anyway).
+    */
+  case class Mp3Features(
+      doc_id: Long, mime: String, n_frames: Long, bitrate_kbps: Long,
+      sample_rate: Long, n_samples: Long, alloc_sum: Long, scf_sum: Long,
+      deq_abs_sum: Long, v0_abs: Long, syn0_abs: Long)
+
+  /** MPEG-audio corpus: every doc_id ≡ 4 mod 9 carries a REAL generated
+    * MPEG-1 Layer II stream ([[Mp3Fixtures]] — 1-3 frames at 56/64/96
+    * kbps mono 32 kHz, five signal subbands spanning all four allocation
+    * regions, grouped and ungrouped sample codes, all four scfsi modes).
+    * Decode parses the actual entropy layout bit by bit and runs the
+    * fixed-point requantization + granule-0 polyphase matrixing/window
+    * ([[Mp3Codecs]]); the oracle replays every one of those integers
+    * from the fixture formulas through the SAME Q30 tables (the
+    * generated-SQL pattern). Layer III stays the declared fail-loud
+    * rung. Same per-partition batched shape; payloads never cross a
+    * shuffle.
+    */
+  def nsMultimodalMp3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 9 === 4)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, Mp3Fixtures.Mp3Mime, Mp3Fixtures.mp3(id)))
+      .mapPartitions(_.map { r =>
+        val d = Mp3Codecs.decodeMp3(r.payload)
+        Mp3Features(r.doc_id, r.mime, d.nFrames, d.bitrateKbps, d.sampleRate,
+          d.nSamples, d.allocSum, d.scfSum, d.deqAbsSum, d.v0Abs, d.syn0Abs)
+      })
+      .toDF()
+      .select("doc_id", "mime", "n_frames", "bitrate_kbps", "sample_rate",
+        "n_samples", "alloc_sum", "scf_sum", "deq_abs_sum", "v0_abs", "syn0_abs")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_mp3" -> (nsMultimodalMp3 _),
     "ns_multimodal_adpcm" -> (nsMultimodalAdpcm _),
     "ns_multimodal_jpeg" -> (nsMultimodalJpeg _),
     "ns_multimodal_png" -> (nsMultimodalPng _),
@@ -429,6 +468,14 @@ object MultimodalOps {
       |         ELSE 'text/plain' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the Layer II fixture formulas through the decoder's OWN
+    // Q30 tables (generated SQL — both engines share one set of
+    // constants): allocation indexes per region, scfsi-mode scale-factor
+    // cadence, grouped base-n / ungrouped offset-binary sample codes,
+    // fixed-point requantization over every granule, and the granule-0
+    // cosine matrixing + window tap. A hash match proves the bit-level
+    // entropy parse and the filterbank arithmetic.
+    "ns_multimodal_mp3" -> Mp3Fixtures.oracleSql,
     // Replays the ENTIRE IMA adaptation state machine as a recursive
     // CTE: per (doc, block), 64 recursion steps advance (pred, idx)
     // through the spec step/index tables (inlined literals) over the
