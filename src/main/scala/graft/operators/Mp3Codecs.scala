@@ -34,8 +34,9 @@ package graft.operators
   * exact filterbank arithmetic, not just the container walk.
   *
   * Fail-loud contract ([[AdpcmCodecs]] posture): bad sync, MPEG-2/2.5,
-  * Layers I/III (the Layer III huffman/bit-reservoir rung remains open —
-  * rejected by name, never mis-decoded), CRC-protected streams, stereo,
+  * Layers I/III (Layer III lives in [[Mp3L3Codecs]] with its own query;
+  * this decoder rejects it by name, never mis-decodes), CRC-protected
+  * streams, stereo,
   * sampling rates other than the fixture profile's 32 kHz, free-format /
   * low-rate bitrates outside the implemented allocation table, and
   * truncated frames all throw with the offending field named.
@@ -177,8 +178,8 @@ object Mp3Codecs {
       require(r.read(1) == 1, "MPEG-2/2.5 streams are out of scope — reject, not mis-decode")
       val layerBits = r.read(2)
       require(layerBits == 2,
-        s"only Layer II is implemented (layer bits $layerBits; Layer III's " +
-          "huffman/bit-reservoir rung is the declared open item)")
+        s"not a Layer II frame (layer bits $layerBits; Layer III decode " +
+          "lives in Mp3L3Codecs)")
       require(r.read(1) == 1, "CRC-protected frames are out of scope")
       val brIdx = r.read(4)
       require(brIdx >= 3 && brIdx != 15,

@@ -34,9 +34,9 @@ object MultimodalOps {
     * PPM/BMP/PGM/PNG — width/height/channels read from the actual header
     * bytes, the pixel statistic from walking the actual (for PNG:
     * inflated + un-filtered) pixel array — and the clearly-marked
-    * deterministic stub only for mimes with no offline codec (MP3 — its
-    * psychoacoustic synthesis filterbank is out of scope; JPEG decode is
-    * REAL, see [[JpegCodecs]]/[[nsMultimodalJpeg]]; a real deployment
+    * deterministic stub only for text/unknown mimes (JPEG decode is REAL,
+    * see [[JpegCodecs]]/[[nsMultimodalJpeg]]; MPEG-1 Layer II and III
+    * audio are REAL, see [[Mp3Codecs]]/[[Mp3L3Codecs]]; a real deployment
     * adds `case`s here, nothing else changes).
     */
   object Decoder {
@@ -398,9 +398,9 @@ object MultimodalOps {
     * fixed-point requantization + granule-0 polyphase matrixing/window
     * ([[Mp3Codecs]]); the oracle replays every one of those integers
     * from the fixture formulas through the SAME Q30 tables (the
-    * generated-SQL pattern). Layer III stays the declared fail-loud
-    * rung. Same per-partition batched shape; payloads never cross a
-    * shuffle.
+    * generated-SQL pattern). Layer III has its own query below
+    * ([[nsMultimodalMp3L3]]). Same per-partition batched shape; payloads
+    * never cross a shuffle.
     */
   def nsMultimodalMp3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -419,8 +419,46 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded MPEG-1 Layer III features — all BIGINT for exact replay. */
+  case class Mp3L3Features(
+      doc_id: Long, mime: String, n_frames: Long, bitrate_kbps: Long,
+      sample_rate: Long, n_samples: Long, side_sum: Long, scf_sum: Long,
+      huff_abs_sum: Long, deq_abs_sum: Long, alias0_abs: Long,
+      imdct0_abs: Long, v_abs: Long, syn_abs: Long)
+
+  /** Layer III corpus: every doc_id ≡ 7 mod 9 carries a REAL generated
+    * MPEG-1 Layer III stream ([[Mp3L3Fixtures]] — 1-3 frames at
+    * 64/96/128 kbps mono 32 kHz with a live bit reservoir, long / start /
+    * short / stop granules, eight Huffman tables incl. linbits escapes,
+    * scfsi sharing, both count1 tables). Decode walks the reservoir and
+    * Huffman layout bit by bit, requantizes every granule, and runs the
+    * granule-0 alias→IMDCT→inversion→polyphase chain ([[Mp3L3Codecs]]);
+    * the oracle replays all of it from the fixture formulas through the
+    * SAME fixed-point tables, including the part2_3_length bit accounting.
+    * Same per-partition batched shape; payloads never cross a shuffle.
+    */
+  def nsMultimodalMp3L3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 9 === 7)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, Mp3L3Fixtures.Mp3Mime, Mp3L3Fixtures.mp3l3(id)))
+      .mapPartitions(_.map { r =>
+        val d = Mp3L3Codecs.decodeMp3L3(r.payload)
+        Mp3L3Features(r.doc_id, r.mime, d.nFrames, d.bitrateKbps,
+          d.sampleRate, d.nSamples, d.sideSum, d.scfSum, d.huffAbsSum,
+          d.deqAbsSum, d.alias0Abs, d.imdct0Abs, d.vAbs, d.synAbs)
+      })
+      .toDF()
+      .select("doc_id", "mime", "n_frames", "bitrate_kbps", "sample_rate",
+        "n_samples", "side_sum", "scf_sum", "huff_abs_sum", "deq_abs_sum",
+        "alias0_abs", "imdct0_abs", "v_abs", "syn_abs")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_multimodal_mp3" -> (nsMultimodalMp3 _),
+    "ns_multimodal_mp3_l3" -> (nsMultimodalMp3L3 _),
     "ns_multimodal_adpcm" -> (nsMultimodalAdpcm _),
     "ns_multimodal_jpeg" -> (nsMultimodalJpeg _),
     "ns_multimodal_png" -> (nsMultimodalPng _),
@@ -476,6 +514,17 @@ object MultimodalOps {
     // cosine matrixing + window tap. A hash match proves the bit-level
     // entropy parse and the filterbank arithmetic.
     "ns_multimodal_mp3" -> Mp3Fixtures.oracleSql,
+    // Replays the Layer III fixture formulas through the decoder's OWN
+    // fixed-point tables (generated SQL): side-info sums incl. a
+    // symbolically recomputed part2_3_length (codebook length rule +
+    // escape/sign accounting), scfsi-shared scalefactors, Huffman
+    // pair/escape/sign values, count1 quadruples, power-law
+    // requantization over every granule, and the granule-0
+    // alias→IMDCT→window→inversion chain through TWO polyphase steps
+    // (pinning the V-FIFO shift). A hash match proves the bit-reservoir
+    // addressing and the whole entropy layout — any drift in any stage
+    // diverges one of the eight sums.
+    "ns_multimodal_mp3_l3" -> Mp3L3Oracle.sql,
     // Replays the ENTIRE IMA adaptation state machine as a recursive
     // CTE: per (doc, block), 64 recursion steps advance (pred, idx)
     // through the spec step/index tables (inlined literals) over the
