@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * write-once/serve-many layout.
   *
   * BM25 layout (all under one root; every corpus-scaled table is a
-  * COALESCED `seq=N` log — bucket a sorted data column, see [[nextSeq]]):
+  * COALESCED `seq=N` log — bucket a sorted data column, see [[graft.ops.MergeSink.appendLogSeq]]):
   *   - `postings/`  (wd, doc_id, tf, bucket=hash(term)): a term's whole
   *     posting list shares one bucket id, so a query's 12-term fan-out
   *     prunes to <= 12 buckets' row groups and — the property the
@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * a probe reads exactly its clusters' files — plus `centroids/`
   * (cent_id, embedding), metadata-scale.
   *
-  * Incremental maintenance is append-only throughout ([[nextSeq]]):
+  * Incremental maintenance is append-only throughout ([[graft.ops.MergeSink.appendLogSeq]]):
   * immutable-row tables append the batch's own rows; the mutable graph
   * adjacency appends group-replace generations. Cluster-partitioned IVF
   * tables (k-bounded layouts) keep touched-partition LWW upserts. Either
@@ -65,7 +65,9 @@ object IndexOps {
     pmod(col("doc_id"), lit(buckets.toLong)).cast("int")
 
   /** Every corpus-scaled table here is an append log (`seq=N`
-    * generations, [[graft.ops.MergeSink.nextSeq]]) published COALESCED
+    * generations, claimed atomically — [[graft.ops.MergeSink.appendLogSeq]],
+    * so two deltas racing one table get DISTINCT generations instead of
+    * the second swap retiring the first) published COALESCED
     * ([[graft.ops.MergeSink.publishLogSeq]]): the bucket id is a SORTED
     * DATA column inside a few files per generation, so row-group stats
     * give readers the pruning a directory-per-bucket layout gave at a
@@ -79,13 +81,13 @@ object IndexOps {
     * adjacency) are GROUP-REPLACE logs: a generation carries the
     * complete new row-group per touched key and readers resolve via
     * [[graft.ops.MergeSink.resolveKeyLog]]. Idempotency holds by
-    * construction: a crash-replay republishes the SAME seq partition
-    * (directory swap), and cross-batch re-delivery is filtered by the
-    * new-docs anti-join before anything appends.
-    * [[graft.ops.MergeSink.compactKeyLog]] folds logs back periodically.
+    * construction: a publish torn mid-swap never became visible, so a
+    * crash-replay publishes the same rows under a fresh claimed
+    * generation (the torn claim burns its number), and cross-batch
+    * re-delivery is filtered by the new-docs anti-join before anything
+    * appends. [[graft.ops.MergeSink.compactKeyLog]] folds logs back
+    * periodically.
     */
-  private def nextSeq(spark: SparkSession, path: String): Int =
-    MergeSink.nextSeq(spark, path)
 
   /** Build the full BM25 index from a corpus and publish it atomically.
     * One postings shuffle; every side table derives from the cached
@@ -101,7 +103,7 @@ object IndexOps {
     try {
       val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
       // postings + termstats + doclen are coalesced APPEND LOGS (seq=N
-      // with bucket a sorted data column — see [[nextSeq]]): the build is
+      // with bucket a sorted data column — see [[graft.ops.MergeSink.appendLogSeq]]): the build is
       // seq=0; termstats rows are per-term df DELTAS the reader sums (the
       // build's deltas ARE the totals); doclen rows are immutable per doc
       // (only genuinely-new docs ever append).
@@ -129,7 +131,7 @@ object IndexOps {
     *      (cross-batch re-delivery filters out HERE, so the appends below
     *      are idempotent end to end);
     *   2. APPEND the new docs' postings under their own `seq=N` partition
-    *      ([[nextSeq]] — a term's batch keys touch essentially every term
+    *      ([[graft.ops.MergeSink.appendLogSeq]] — a term's batch keys touch essentially every term
     *      bucket, so the old touched-bucket rewrite moved corpus-scale
     *      bytes; the append moves exactly the batch's rows);
     *   3. APPEND per-term df DELTAS to the termstats log (the reader
@@ -154,17 +156,15 @@ object IndexOps {
         .join(oldDlen.select("doc_id"), Seq("doc_id"), "left_anti")
         .localCheckpoint() // pin: reads the PRE-append doclen slice
       val freshTf = tf.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
-      val seq = nextSeq(spark, s"$root/postings")
-      MergeSink.publishLogSeq(freshTf.withColumn("bucket", termBucket(pBuckets)),
-        s"$root/postings", seq, ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
-      MergeSink.publishLogSeq(
+      MergeSink.appendLogSeq(freshTf.withColumn("bucket", termBucket(pBuckets)),
+        s"$root/postings", ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
+      MergeSink.appendLogSeq(
         freshTf.groupBy("wd").agg(count(lit(1)).as("df"))
           .withColumn("bucket", termBucket(pBuckets)),
-        s"$root/termstats", seq, ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
-      MergeSink.publishLogSeq(
+        s"$root/termstats", ArtifactMeta.AppendFiles, Seq("bucket", "wd"))
+      MergeSink.appendLogSeq(
         newDlen.join(broadcast(newDocs), Seq("doc_id"), "left_semi"),
-        s"$root/doclen", nextSeq(spark, s"$root/doclen"),
-        ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
+        s"$root/doclen", ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
       // Additive stats refresh: old 1-row totals + the genuinely-new
       // docs' contribution — no full doclen re-scan per batch.
       val add = newDlen.join(broadcast(newDocs), Seq("doc_id"), "left_semi")
@@ -476,9 +476,8 @@ object IndexOps {
       .select("src_id", "nbr_id")
       .withColumn("bucket", pmod(col("src_id"), lit(graphBuckets.toLong)).cast("int"))
       .localCheckpoint() // one beam-search execution; pin before publish
-    MergeSink.publishLogSeq(rebuilt, s"$root/edges",
-      nextSeq(spark, s"$root/edges"), ArtifactMeta.AppendFiles,
-      Seq("bucket", "src_id"))
+    MergeSink.appendLogSeq(rebuilt, s"$root/edges",
+      ArtifactMeta.AppendFiles, Seq("bucket", "src_id"))
   }
 
   /** Beam-search top-k FROM the stored graph artifact: reads the edge
@@ -510,7 +509,7 @@ object IndexOps {
     val files = ArtifactMeta.filesFor(b)
     val (banded, sets) = DedupOps.corpusIndex(docs)
     // banded is a coalesced APPEND LOG (seq=N, bucket a sorted data
-    // column — see [[nextSeq]]): band rows are immutable per (doc, band),
+    // column — see [[graft.ops.MergeSink.appendLogSeq]]): band rows are immutable per (doc, band),
     // and a batch's ~bands×batch band keys touch essentially every band
     // bucket, so LWW rewrites would be corpus-scale per batch. The build
     // is seq=0.
@@ -534,7 +533,7 @@ object IndexOps {
     * (anti-join against the bucket-pruned id projection of the sets log —
     * re-delivered docs filter out here, making every append idempotent)
     * APPEND their band rows AND their shingle-set rows under their own
-    * `seq=N` partition ([[nextSeq]]). Nothing reads or rewrites
+    * `seq=N` partition ([[graft.ops.MergeSink.appendLogSeq]]). Nothing reads or rewrites
     * corpus-scale state: the previous touched-bucket LWW rewrites moved
     * the whole banded table per batch (a 500-doc batch carries ~4000
     * band keys — every bucket at any sane count) plus ~25 MB of fat
@@ -558,16 +557,14 @@ object IndexOps {
     val newDocs = newSets.select("doc_id").distinct()
       .join(storedIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // pin: probes the PRE-append log
-    val seq = nextSeq(spark, s"$root/banded")
-    MergeSink.publishLogSeq(
+    MergeSink.appendLogSeq(
       banded.distinct()
         .join(broadcast(newDocs), Seq("doc_id"), "left_semi")
         .withColumn("bucket", pmod(xxhash64(col("band_key")), lit(bandedBuckets.toLong)).cast("int")),
-      s"$root/banded", seq, ArtifactMeta.AppendFiles, Seq("bucket"))
-    MergeSink.publishLogSeq(
+      s"$root/banded", ArtifactMeta.AppendFiles, Seq("bucket"))
+    MergeSink.appendLogSeq(
       newSets.join(broadcast(newDocs), Seq("doc_id"), "left_semi"),
-      s"$root/sets", nextSeq(spark, s"$root/sets"),
-      ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
+      s"$root/sets", ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
   }
 
   /** Near-dup matches of runtime `batchDocs` against the STORED index —

@@ -210,18 +210,114 @@ object MergeSink {
   }
 
   /** Next sequence number for an append-friendly `seqCol=N` log: one
-    * directory listing, no data read.
+    * directory listing, no data read. SINGLE-WRITER only — two racing
+    * writers both list max+1 and the SECOND publish retires the first's
+    * generation to `_trash` (the per-table publish lock serializes the
+    * swaps but cannot know the two stagings carry different batches): a
+    * silent lost update. Concurrent appenders go through [[claimSeq]] /
+    * [[appendLogSeq]] instead.
     */
   private[graft] def nextSeq(
       spark: org.apache.spark.sql.SparkSession, path: String,
       seqCol: String = "seq"): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith(seqCol + "=")).map(_.stripPrefix(seqCol + "=").toInt)
-      .foldLeft(-1)(math.max) + 1
+    math.max(maxSeqIn(fs, p, seqCol), maxClaimIn(fs, p, seqCol)) + 1
   }
+
+  private def maxSeqIn(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      seqCol: String): Int =
+    if (!fs.exists(root)) -1
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(seqCol + "=")).map(_.stripPrefix(seqCol + "=").toInt)
+      .foldLeft(-1)(math.max)
+
+  private def claimsDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_claims")
+
+  /** Create `p` if and only if it does not exist, ATOMICALLY, returning
+    * whether this caller created it. The obvious
+    * `fs.create(p, overwrite=false)` is atomic on HDFS but CHECK-THEN-
+    * CREATE on the local filesystem (RawLocalFileSystem tests existence
+    * before opening) — under a barrier, every contender passes the check
+    * and all "win". Local paths therefore go through
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL — the POSIX atomic);
+    * everything else uses the HDFS-atomic create. Object-store
+    * deployments swap in their conditional-put here.
+    */
+  private def createExclusive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      try f.createNewFile()
+      catch { case _: java.io.IOException => false }
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  private def maxClaimIn(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      seqCol: String): Int = {
+    val dir = claimsDir(root)
+    if (!fs.exists(dir)) -1
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(seqCol + "=")).map(_.stripPrefix(seqCol + "=").toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Atomically CLAIM the next sequence number of an append log — the
+    * multi-writer form of [[nextSeq]]. The number is max over PUBLISHED
+    * generations and OUTSTANDING claims, plus one; the create-exclusive
+    * marker `_claims/<seqCol>=N` admits exactly one claimant per number
+    * (losers advance to N+1 and retry), so two deltas racing the same
+    * table get DISTINCT generations instead of the second swap silently
+    * retiring the first. A crashed claimant leaves a marker that merely
+    * burns its number — generations need not be dense (readers resolve by
+    * max-seq, compaction folds whatever exists) — and compaction GCs
+    * markers at or below the folded max. Underscore-prefixed, so Spark's
+    * parquet reads ignore the directory like `_staging`/`_trash`. Same
+    * FS-primitive caveat as the publish lock: `create(overwrite=false)`
+    * is HDFS-atomic; object-store deployments swap in conditional put.
+    */
+  private[graft] def claimSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      seqCol: String = "seq"): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(claimsDir(root))
+    var seq = math.max(maxSeqIn(fs, root, seqCol), maxClaimIn(fs, root, seqCol)) + 1
+    while (!createExclusive(fs,
+        new org.apache.hadoop.fs.Path(claimsDir(root), s"$seqCol=$seq")))
+      seq += 1 // lost the race for this number
+    seq
+  }
+
+  /** Drop ONE claim marker — only ever the caller's own (a publish that
+    * completed, or a compaction that folded the published generation the
+    * marker guarded). Deleting a NUMBER RANGE would destroy other
+    * writers' still-outstanding claims, whose numbers could then be
+    * re-claimed after a compaction resets the published max. Best-effort;
+    * a leftover marker only burns a number.
+    */
+  private def releaseClaim(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      seqCol: String, seq: Int): Unit =
+    try fs.delete(new org.apache.hadoop.fs.Path(claimsDir(root), s"$seqCol=$seq"), false)
+    catch { case _: java.io.IOException => () }
+
+  /** How long an UNPUBLISHED claim marker may sit before compaction
+    * treats its writer as crashed and sweeps it. Same class of assumption
+    * as [[acquireLock]]'s stale break, with a far wider window: a live
+    * delta stalled longer than this ACROSS a compaction could have its
+    * number re-claimed. One empty marker file per crashed writer is the
+    * entire cost of leaving it, so the window errs long.
+    */
+  private[graft] val ClaimStaleMs: Long = 6L * 3600 * 1000
 
   /** Row-group size for coalesced bucketed logs: small enough that a
     * bucket-predicate read prunes at sub-file granularity (a row group
@@ -255,6 +351,26 @@ object MergeSink {
       writeOptions = Map("parquet.block.size" -> LogBlockBytes))
   }
 
+  /** Claim-then-publish APPEND of one new generation — the multi-writer
+    * append primitive every maintenance path uses: [[claimSeq]] picks a
+    * generation no concurrent appender can also pick, [[publishLogSeq]]
+    * swaps it in, and the claim marker is released only AFTER the publish
+    * succeeds (a failed publish leaves the marker, burning the number
+    * rather than letting a later appender collide with a retry). Returns
+    * the generation published.
+    */
+  private[graft] def appendLogSeq(
+      df: DataFrame, path: String, files: Int,
+      sortCols: Seq[String], seqCol: String = "seq"): Int = {
+    val spark = df.sparkSession
+    val seq = claimSeq(spark, path, seqCol)
+    publishLogSeq(df, path, seq, files, sortCols, seqCol)
+    val root = new org.apache.hadoop.fs.Path(path)
+    releaseClaim(root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root, seqCol, seq)
+    seq
+  }
+
   /** Resolved view of a GROUP-REPLACE log: every `seqCol>0` generation
     * carries, for each key it touches, the COMPLETE replacement row-group
     * for that key (a doc's full band-row set, a node's full adjacency, a
@@ -283,31 +399,92 @@ object MergeSink {
       .unionByName(winners)
   }
 
+  /** The `seqCol=N` generation directories present at `root` RIGHT NOW,
+    * ascending. Compaction pins its fold to exactly this listing (reads
+    * these paths, deletes these paths) so a generation APPENDED while the
+    * fold runs is neither half-read nor dropped — the old read-the-whole-
+    * table form deleted every `seq>0` dir it saw at delete time,
+    * including ones published after the fold's read (the documented
+    * single-compactor hazard, now closed).
+    */
+  private def listSeqDirs(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      seqCol: String): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(seqCol + "="))
+      .map(p => (p.getName.stripPrefix(seqCol + "=").toInt, p))
+      .sortBy(_._1).toSeq
+
+  /** Delete the folded generations and GC their claim markers.
+    *
+    * ASCENDING seq order is load-bearing for readers concurrent with the
+    * compaction: after the fold publishes at `seq=0`, a reader resolving
+    * max-seq-per-key over any SUFFIX-of-generations-still-present state
+    * gets correct rows — for every key, the highest surviving generation
+    * either IS the key's global max (its rows are what the fold kept) or
+    * all of the key's generations are already deleted and the key falls
+    * through to the fold. Descending or unordered deletes break this: a
+    * key touched in generations {3,4} with 4 deleted first resolves to
+    * 3's STALE rows while the fold already carries 4's.
+    *
+    * Claim GC: markers for folded generations are dead by construction
+    * (their publish completed — the dir existed). Markers with NO
+    * published dir belong to in-flight or crashed writers; only those
+    * older than [[ClaimStaleMs]] are swept.
+    */
+  private def retireFolded(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      seqCol: String, folded: Seq[(Int, org.apache.hadoop.fs.Path)]): Unit = {
+    folded.filter(_._1 != 0).sortBy(_._1).foreach { case (n, p) =>
+      fs.delete(p, true)
+      releaseClaim(fs, root, seqCol, n)
+    }
+    val dir = claimsDir(root)
+    if (fs.exists(dir)) {
+      val cutoff = System.currentTimeMillis() - ClaimStaleMs
+      fs.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith(seqCol + "=")
+          && s.getModificationTime < cutoff
+          && !fs.exists(new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
+        .foreach(s => try fs.delete(s.getPath, false)
+          catch { case _: java.io.IOException => () })
+    }
+  }
+
   /** Fold a group-replace log back to a single coalesced `seq=0`
-    * generation with an identical resolved view. Single-compactor
-    * contract as [[compactLog]]. Unlike the serve-path resolve, the fold
-    * may run over arbitrarily many accumulated generations, so it
+    * generation with an identical resolved view. The fold is PINNED to
+    * the generations listed on entry ([[listSeqDirs]]): a delta appended
+    * while the fold runs is untouched and survives, so appenders —
+    * which claim their generations via [[appendLogSeq]] — may run
+    * concurrently with one compactor. (Two concurrent COMPACTORS still
+    * race: both fold equivalent views, the publish lock serializes their
+    * `seq=0` swaps, and the loser's fold wins-last with the same resolved
+    * content — wasteful, not wrong.) Unlike the serve-path resolve, the
+    * fold may run over arbitrarily many accumulated generations, so it
     * resolves with a full max-seq window (one corpus-scale exchange — a
     * periodic compaction job's budget) instead of the broadcast form.
+    * `onAfterPin` is a test seam invoked between the fold's publish and
+    * the retire pass.
     */
   private[graft] def compactKeyLog(
       spark: org.apache.spark.sql.SparkSession, path: String,
       keys: Seq[String], files: Int, sortCols: Seq[String],
-      seqCol: String = "seq"): Unit = {
+      seqCol: String = "seq",
+      onAfterPin: () => Unit = () => ()): Unit = {
     val rootDir = new org.apache.hadoop.fs.Path(path)
     val fs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootDir) || !fs.listStatus(rootDir).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith(seqCol + "="))) return
-    val all = spark.read.parquet(path)
+    val gens = listSeqDirs(fs, rootDir, seqCol)
+    if (gens.isEmpty) return
+    val all = spark.read.option("basePath", path)
+      .parquet(gens.map(_._2.toString): _*)
     val w = Window.partitionBy(keys.map(col): _*)
     val resolved = all.withColumn("_ms", max(col(seqCol)).over(w))
       .where(col(seqCol) === col("_ms")).drop("_ms", seqCol)
       .localCheckpoint() // pin before any delete (the compactLog contract)
     publishLogSeq(resolved, path, 0, files, sortCols, seqCol)
-    fs.listStatus(rootDir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(seqCol + "=")
-        && s.getPath.getName != s"$seqCol=0")
-      .foreach(s => fs.delete(s.getPath, true))
+    onAfterPin()
+    retireFolded(fs, rootDir, seqCol, gens)
   }
 
   /** Compact an APPEND-FRIENDLY LOG table — the layout where each batch
@@ -319,26 +496,28 @@ object MergeSink {
     * stale row per superseded write) stays bounded; between compactions,
     * readers resolve with the same max-seq window this uses.
     *
-    * Single-compactor contract (like [[writePartitioned]]): don't run
-    * concurrently with a writer appending a new seq partition — the
-    * resolved view is pinned (localCheckpoint) before any delete, so a
-    * crash mid-delete loses no data, but a concurrent append between the
-    * read and the delete would be dropped.
+    * Concurrency contract as [[compactKeyLog]]: the fold is pinned to the
+    * generations listed on entry, so one compactor is safe alongside
+    * claim-based appenders ([[appendLogSeq]]); superseded generations are
+    * retired in ascending order so a concurrent reader's max-seq resolve
+    * stays correct at every intermediate state ([[retireFolded]]).
     */
   def compactLog(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       keys: Seq[String],
       seqCol: String,
-      subCols: Seq[String] = Nil): Unit = {
+      subCols: Seq[String] = Nil,
+      onAfterPin: () => Unit = () => ()): Unit = {
     // An EMPTY log is a legal state (a gate that rejects every document
     // publishes zero partitions) — compacting it is a no-op, not a
     // schema-inference failure.
     val rootDir = new org.apache.hadoop.fs.Path(path)
     val rootFs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!rootFs.exists(rootDir) || !rootFs.listStatus(rootDir).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith(seqCol + "="))) return
-    val all = spark.read.parquet(path)
+    val gens = listSeqDirs(rootFs, rootDir, seqCol)
+    if (gens.isEmpty) return
+    val all = spark.read.option("basePath", path)
+      .parquet(gens.map(_._2.toString): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     // Pin BEFORE any delete: the resolved view must stop depending on the
     // files about to be removed.
@@ -347,12 +526,8 @@ object MergeSink {
       .withColumn(seqCol, lit(0))
       .localCheckpoint()
     publishPartitionedCols(resolved, path, seqCol +: subCols)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(seqCol + "=")
-        && s.getPath.getName != s"$seqCol=0")
-      .foreach(s => fs.delete(s.getPath, true))
+    onAfterPin()
+    retireFolded(rootFs, rootDir, seqCol, gens)
   }
 
   private def acquireLock(
@@ -362,11 +537,12 @@ object MergeSink {
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      try {
-        fs.create(lock, false).close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
+      // createExclusive, not fs.create(overwrite=false): the latter is
+      // check-then-create on the local FS, so simultaneous publishers
+      // could BOTH take the lock (measured under a barrier in
+      // ConcurrentLogSpec's claim test before the primitive was fixed).
+      if (createExclusive(fs, lock)) acquired = true
+      else {
           // Stale-lock break: a crashed publisher's lock older than the
           // timeout is CLAIMED by renaming it to a unique name — rename
           // is atomic, so exactly one contender wins and removes it; a

@@ -1164,8 +1164,7 @@ object Pipelines {
       .select(col("doc_id"), col("new_component").as("component"))
       .unionByName(bLabels.select("doc_id", "component"))
       .withColumn("bucket", pmod(col("doc_id"), lit(lblBuckets.toLong)).cast("int"))
-    sink.publishLogSeq(updLbl, s"$root/labels",
-      sink.nextSeq(spark, s"$root/labels"),
+    sink.appendLogSeq(updLbl, s"$root/labels",
       graft.ops.ArtifactMeta.AppendFiles, Seq("bucket", "doc_id"))
     val changed = restated(baseRel.where(
       col("new_component").isNotNull || col("torn_component").isNotNull))
