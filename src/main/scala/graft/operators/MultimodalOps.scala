@@ -456,7 +456,56 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Decoded GIF features — all BIGINT for exact replay; no payload-size
+    * column (LZW output length depends on the encoder's reset cadence,
+    * not the image).
+    */
+  case class GifFeatures(
+      doc_id: Long, mime: String, width: Long, height: Long,
+      n_frames: Long, n_local: Long, interlaced: Long, delay_sum: Long,
+      idx_sum: Long, px_sum: Long)
+
+  /** GIF corpus: every doc_id ≡ 5 mod 7 carries a REAL generated GIF89a
+    * animation ([[GifFixtures]] — 1-3 full frames, global + per-frame
+    * local 16-color palettes, 4-pass interlace on every id%4==1 doc,
+    * graphic-control delays, comment/application extensions, LZW with
+    * mid-stream CLEAR resets split across 17-byte sub-blocks). Decode
+    * walks the real block structure and entropy stream ([[GifCodecs]]);
+    * the oracle replays the index and palette formulas symbolically, so
+    * idx_sum pins the LZW decode + de-interlace and px_sum pins the
+    * local-vs-global palette resolution. Same per-partition batched
+    * shape; payloads never cross a shuffle.
+    */
+  def nsMultimodalGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 7 === 5)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, GifFixtures.GifMime, GifFixtures.gif(id)))
+      .mapPartitions(_.map { r =>
+        val d = GifCodecs.decodeGif(r.payload)
+        GifFeatures(r.doc_id, r.mime, d.width.toLong, d.height.toLong,
+          d.frames.size.toLong,
+          d.frames.count(_.localTable).toLong,
+          if (d.frames.exists(_.interlaced)) 1L else 0L,
+          d.frames.map(_.delayCs.toLong).sum,
+          d.frames.map(f => f.indices.map(b => (b & 0xff).toLong).sum).sum,
+          d.frames.map { f =>
+            f.indices.map { b =>
+              val e = (b & 0xff) * 3
+              (f.palette(e) & 0xff).toLong + (f.palette(e + 1) & 0xff) +
+                (f.palette(e + 2) & 0xff)
+            }.sum
+          }.sum)
+      })
+      .toDF()
+      .select("doc_id", "mime", "width", "height", "n_frames", "n_local",
+        "interlaced", "delay_sum", "idx_sum", "px_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_multimodal_gif" -> (nsMultimodalGif _),
     "ns_multimodal_mp3" -> (nsMultimodalMp3 _),
     "ns_multimodal_mp3_l3" -> (nsMultimodalMp3L3 _),
     "ns_multimodal_adpcm" -> (nsMultimodalAdpcm _),
@@ -513,6 +562,7 @@ object MultimodalOps {
     // fixed-point requantization over every granule, and the granule-0
     // cosine matrixing + window tap. A hash match proves the bit-level
     // entropy parse and the filterbank arithmetic.
+    "ns_multimodal_gif" -> GifFixtures.oracleSql,
     "ns_multimodal_mp3" -> Mp3Fixtures.oracleSql,
     // Replays the Layer III fixture formulas through the decoder's OWN
     // fixed-point tables (generated SQL): side-info sums incl. a
