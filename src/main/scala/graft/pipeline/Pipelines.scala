@@ -880,9 +880,40 @@ object Pipelines {
         .withColumn("commit", lit("build"))
         .withColumn("bucket", lit(0)),
       s"$root/stats", "bucket")
+    recordCommit(spark, root, "build")
     readManifestLog(spark, root)
       .select("doc_id", "lang", "component", "toks", "cum_before",
         "first_chunk", "last_chunk", "n_chunks")
+  }
+
+  /** Append `tag` to the COMMIT LOG at `root/commits` — one row per
+    * committed stage, each tag its own top-level partition (so a replay
+    * republishing its tag is an idempotent directory swap). The
+    * single-row `stats.commit` column detects only a replay of the
+    * IMMEDIATELY-LAST stage — exactly Spark's own foreachBatch replay
+    * model — but a DELAYED duplicate (an at-least-once upstream
+    * re-feeding an old batch after newer ones committed, a scheduler
+    * double-submitting an old day) slips past it and re-runs a full
+    * delta, regressing the record. The log makes duplicate detection
+    * exact for any historical tag at one directory listing
+    * ([[isCommitted]] — no data read).
+    */
+  private[graft] def recordCommit(
+      spark: SparkSession, root: String, tag: String): Unit =
+    graft.ops.MergeSink.publishPartitioned(
+      spark.range(1).select(
+        lit(tag).as("tag"),
+        current_timestamp().cast("string").as("committed_at")),
+      s"$root/commits", "tag")
+
+  /** Is `tag` in the commit log? One FS existence probe; roots built
+    * before the log existed simply answer false and fall back to the
+    * stats record.
+    */
+  private[graft] def isCommitted(
+      spark: SparkSession, root: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/commits/tag=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The manifest log's schema, declared for reads: a corpus whose gates
@@ -1178,6 +1209,11 @@ object Pipelines {
         .withColumn("commit", lit(commitTag.getOrElse("delta")))
         .withColumn("bucket", lit(0)),
       s"$root/stats", "bucket")
+    // The commit-LOG row lands after stats: once the tag is listable
+    // under commits/, the whole delta — artifacts AND stats — landed
+    // ([[recordCommit]]; [[isCommitted]] catches delayed duplicates the
+    // single stats record cannot).
+    recordCommit(spark, root, commitTag.getOrElse("delta"))
     base.unionByName(appended).orderBy("doc_id")
   }
 

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions.col
   * nightly job. The twelfth-pattern composition: the batch path IS the
   * stream path, state lives in the published artifacts.
   *
-  * Exactly-once posture: the stats artifact's `commit` column is the
-  * delta's COMMIT RECORD (it is the last publish of the stage). Each
-  * micro-batch runs under tag `batch_<epochId>`; on crash-replay Spark
-  * re-delivers the same epoch id, and
-  *   - tag already committed → every artifact mutation landed; the batch
-  *     is SKIPPED (a blind re-run would re-pack the batch after its own
-  *     tokens);
+  * Exactly-once posture: every completed stage appends its tag to the
+  * COMMIT LOG at `root/commits` ([[Pipelines.recordCommit]] — the last
+  * publish of the stage; the single-row stats record remains as a
+  * fallback for pre-log roots). Each micro-batch runs under tag
+  * `batch_<epochId>`; on crash-replay Spark re-delivers the same epoch
+  * id — and an at-least-once UPSTREAM may re-feed an old batch long
+  * after newer ones committed, which a last-stage-only record cannot
+  * detect — and
+  *   - tag already committed (log probe, any historical tag) → every
+  *     artifact mutation landed; the batch is SKIPPED (a blind re-run
+  *     would re-pack the batch after its own tokens);
   *   - tag absent → the partial run never published stats, so packing
   *     still reads the pre-delta total and the replay recomputes
   *     byte-identical artifact rows (index/label upserts are
@@ -48,9 +52,14 @@ object StreamingPlatformDelta {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val tag = s"batch_$epochId"
-          val committed = spark.read.parquet(s"$root/stats")
-            .select(col("commit")).head().getString(0)
-          if (committed != tag) {
+          // Commit-LOG probe first (exact for ANY historical tag — a
+          // delayed duplicate from an at-least-once upstream is skipped,
+          // not re-run); the stats record remains as the fallback for
+          // roots built before the log existed.
+          val committed = Pipelines.isCommitted(spark, root, tag) ||
+            spark.read.parquet(s"$root/stats")
+              .select(col("commit")).head().getString(0) == tag
+          if (!committed) {
             // Drive the stage to completion: the artifact publishes are
             // eager; the returned re-stated manifest is the artifact's
             // job, not the stream's output.

@@ -204,6 +204,36 @@ class PlatformDeltaSpec extends SparkSpec {
       "manifest-torn root's resolved manifest view diverged")
   }
 
+  test("commit log detects delayed duplicates for any historical tag") {
+    val r2 = s"$root/commitlog"
+    val isB1 = (c: Column) => c % 20 === 1
+    val isB2 = (c: Column) => c % 20 === 11
+    Pipelines.platformBuildCore(spark, sfDir, r2,
+      !isB1(col("doc_id")) && !isB2(col("doc_id")))
+    assert(Pipelines.isCommitted(spark, r2, "build"), "build tag not logged")
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    Pipelines.platformDeltaBatch(spark, docs.where(isB1(col("doc_id"))), r2,
+      commitTag = Some("batch_1")).count()
+    Pipelines.platformDeltaBatch(spark, docs.where(isB2(col("doc_id"))), r2,
+      commitTag = Some("batch_2")).count()
+    // The single-row stats record only remembers the LAST stage...
+    val statsCommit = spark.read.parquet(s"$r2/stats")
+      .select("commit").head().getString(0)
+    assert(statsCommit == "batch_2")
+    // ...so a delayed re-delivery of batch_1 (an at-least-once upstream
+    // re-feeding an old batch after newer ones committed) slips past it —
+    // the commit LOG is what catches it.
+    assert(statsCommit != "batch_1" && Pipelines.isCommitted(spark, r2, "batch_1"),
+      "delayed duplicate of batch_1 would re-run a full delta")
+    assert(Pipelines.isCommitted(spark, r2, "batch_2"))
+    assert(!Pipelines.isCommitted(spark, r2, "batch_3"),
+      "an uncommitted tag must not read as committed")
+    // Re-recording a tag (the crash-between-stats-and-commit replay
+    // window) is an idempotent partition swap, not an error.
+    Pipelines.recordCommit(spark, r2, "batch_1")
+    assert(Pipelines.isCommitted(spark, r2, "batch_1"))
+  }
+
   test("two consecutive deltas == frozen full rebuild; day-2 writes touch only day=2; compaction preserves the view") {
     val r2 = s"$root/chain"
     val isB1 = (c: Column) => c % 10 === 1
