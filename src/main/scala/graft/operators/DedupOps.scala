@@ -1176,7 +1176,74 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Canonicalize one URL column — the CommonCrawl-style URL-dedup
+    * normalizer, as pure codegen column functions (no UDF): lowercase
+    * scheme and host, strip the scheme's default port (:443 https, :80
+    * http), drop the fragment, strip a trailing path slash (empty path
+    * reads as "/"), drop `utm_*` tracking params, and SORT the surviving
+    * query params so parameter order stops mattering. Exposed for the
+    * spec's handcrafted messy-URL cases.
+    */
+  private[operators] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    val path = when(rawPath === "" || rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/$", ""))
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** URL-level dedup — the crawl pipeline's FIRST dedup rung (cheaper
+    * than any content hash: a canonical-URL match skips the fetch/parse
+    * entirely). Every document carries a synthesized messy URL (four
+    * doc_ids share one logical URL, each dressed differently: uppercase
+    * scheme+host, explicit default port, trailing slash, fragment,
+    * shuffled param order, utm_ tracking params); the operator
+    * CANONICALIZES the string with [[canonicalUrl]] and groups on the
+    * result, keeping the smallest doc_id. The oracle rebuilds the messy
+    * URL from the same doc_id formulas but states the canonical DIRECTLY
+    * — a hash match proves the Spark-side normalizer actually undid
+    * every dressing. Scale: one shuffle on the canonical string; a
+    * 100 TB crawl would pre-partition by host so the group-by is
+    * host-local and the min() map-side combines.
+    */
+  def nsDedupUrls(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("doc_id div 4")
+    val v = col("doc_id") % 4
+    def s(c: Column): Column = c.cast("string")
+    val url = concat(
+      when(v === 1, "HTTPS").otherwise("https"), lit("://"),
+      when(v === 1, concat(lit("EXAMPLE"), s(k % 50), lit(".ORG")))
+        .otherwise(concat(lit("example"), s(k % 50), lit(".org"))),
+      when(v === 3, ":443").otherwise(""),
+      concat(lit("/a"), s(k % 7), lit("/b"), s(k % 3)),
+      when(v === 2, "/").otherwise(""),
+      lit("?"),
+      when(v === 1, concat(lit("q="), s(k % 2), lit("&p="), s(k % 5)))
+        .otherwise(concat(lit("p="), s(k % 5), lit("&q="), s(k % 2))),
+      when(v === 3, concat(lit("&utm_source=s"), s(k % 3))).otherwise(""),
+      when(v === 2, concat(lit("#sec"), s(k % 5))).otherwise(""))
+    val urls = Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", canonicalUrl(col("url")))
+    val groups = urls.groupBy("canonical").agg(min("doc_id").as("keep_id"))
+    urls.join(groups, "canonical")
+      .select(col("doc_id"), col("url"), col("canonical"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_dedup_urls" -> (nsDedupUrls _),
     "ns_decontaminate" -> (nsDecontaminate _),
     "ns_dedup_lines" -> (nsDedupLines _),
     "ns_dedup_exact" -> (nsDedupExact _),
@@ -1396,6 +1463,37 @@ object DedupOps {
        |GROUP BY train_doc ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the messy URL from the same doc_id formulas but states the
+    // CANONICAL form directly — the Spark side must parse + normalize the
+    // string to agree.
+    "ns_dedup_urls" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 4 AS k, doc_id % 4 AS v FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN v = 1 THEN 'HTTPS' ELSE 'https' END || '://' ||
+        |    CASE WHEN v = 1
+        |         THEN 'EXAMPLE' || CAST(k % 50 AS VARCHAR) || '.ORG'
+        |         ELSE 'example' || CAST(k % 50 AS VARCHAR) || '.org' END ||
+        |    CASE WHEN v = 3 THEN ':443' ELSE '' END ||
+        |    '/a' || CAST(k % 7 AS VARCHAR) || '/b' || CAST(k % 3 AS VARCHAR) ||
+        |    CASE WHEN v = 2 THEN '/' ELSE '' END ||
+        |    '?' ||
+        |    CASE WHEN v = 1
+        |         THEN 'q=' || CAST(k % 2 AS VARCHAR) || '&p=' || CAST(k % 5 AS VARCHAR)
+        |         ELSE 'p=' || CAST(k % 5 AS VARCHAR) || '&q=' || CAST(k % 2 AS VARCHAR) END ||
+        |    CASE WHEN v = 3 THEN '&utm_source=s' || CAST(k % 3 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN v = 2 THEN '#sec' || CAST(k % 5 AS VARCHAR) ELSE '' END AS url,
+        |    'https://example' || CAST(k % 50 AS VARCHAR) || '.org/a' ||
+        |      CAST(k % 7 AS VARCHAR) || '/b' || CAST(k % 3 AS VARCHAR) ||
+        |      '?p=' || CAST(k % 5 AS VARCHAR) || '&q=' || CAST(k % 2 AS VARCHAR)
+        |      AS canonical
+        |  FROM u),
+        |g AS (SELECT canonical, MIN(doc_id) AS keep_id FROM b GROUP BY canonical)
+        |SELECT b.doc_id, b.url, b.canonical, g.keep_id,
+        |       b.doc_id <> g.keep_id AS is_dup
+        |FROM b JOIN g USING (canonical)
+        |ORDER BY b.doc_id""".stripMargin,
     "ns_dedup_lines" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |l AS (SELECT doc_id, w,

@@ -426,4 +426,29 @@ class DedupSpec extends SparkSpec {
     // every flagged doc is a TRAIN doc
     assert(got.forall(_(0).asInstanceOf[Long] % 50 != 0))
   }
+
+  test("URL canonicalizer: handcrafted messy forms normalize as the crawl pipeline expects") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme + host case, default https port, fragment
+      ("HTTPS://Example.ORG:443/a/b#frag", "https://example.org/a/b"),
+      // http default port, trailing slash
+      ("http://h.com:80/p/", "http://h.com/p"),
+      // non-default port survives
+      ("https://h.com:8443/p", "https://h.com:8443/p"),
+      // empty path reads as root; root slash is kept
+      ("https://h.com", "https://h.com/"),
+      ("https://h.com/?b=2&a=1", "https://h.com/?a=1&b=2"),
+      // param sort + multiple utm params dropped; all-utm query vanishes
+      ("https://h.com/p?utm_campaign=c&z=9&utm_source=s&a=1", "https://h.com/p?a=1&z=9"),
+      ("https://h.com/p?utm_source=s&utm_medium=m", "https://h.com/p"),
+      // fragment after query; empty params from && collapse
+      ("https://h.com/p?b=2&&a=1#x?y=3", "https://h.com/p?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(DedupOps.canonicalUrl(org.apache.spark.sql.functions.col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+  }
 }
