@@ -140,6 +140,46 @@ object PackingOps {
       .cache())
   }
 
+  /** Export shard size in tokens — deliberately a few chunks per shard so
+    * the fixture corpus produces a multi-shard export.
+    */
+  private[graft] val ExportShardTokens: Long = 4096L
+
+  /** Physical shard EXPORT — the pack job's FINAL publish: assign every
+    * packed document to a fixed-token output shard
+    * (`cum_before div` [[ExportShardTokens]] — a doc spanning a boundary
+    * ships with the shard its stream position starts in), WRITE the
+    * corpus partitioned one file per shard through the write-audit-publish
+    * sink (crash-safe swap, idempotent re-run), and report per-shard
+    * stats FROM THE READ-BACK — the op05b JDBC pattern: the numbers the
+    * oracle checks passed through the parquet files on disk, so a
+    * hash-match proves the round trip, not just the assignment algebra.
+    * Scale: the write is the already-partitioned stream (one task per
+    * shard under onePerPartition); the report is a map-side-combining
+    * aggregate over the exported table. At 100 TB this is the
+    * "tokenized shards to the object store" step, and the shard size
+    * would be the trainer's file-size target instead of a fixture-scale
+    * constant.
+    */
+  def nsPackExport(spark: SparkSession, dir: String): DataFrame = {
+    val packed = nsPackChunksGlobal(spark, dir)
+      .withColumn("shard_id", expr(s"cum_before div $ExportShardTokens"))
+    val root = graft.ops.ProcessTmp.dir("graft_pack_export") + "/corpus"
+    graft.ops.MergeSink.publishPartitionedCols(
+      packed.select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        col("first_chunk"), col("last_chunk"), col("shard_id")),
+      root, Seq("shard_id"), onePerPartition = true)
+    spark.read.parquet(root)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_toks"),
+        min("cum_before").as("stream_from"),
+        min("first_chunk").as("first_chunk"),
+        max("last_chunk").as("last_chunk"))
+      .orderBy("shard_id")
+  }
+
   /** SELECT-then-PACK — the end-to-end pretraining data job this family
     * exists for, as one oracled composition: DSIR importance resampling
     * ([[SamplingOps.nsCorpusDsir]]) picks the target-like documents,
@@ -232,6 +272,7 @@ object PackingOps {
     "ns_pack_chunks" -> (nsPackChunks _),
     "ns_pack_chunks_global" -> (nsPackChunksGlobal _),
     "ns_pack_bpe" -> (nsPackBpe _),
+    "ns_pack_export" -> (nsPackExport _),
     "pipe_select_pack" -> (pipeSelectPack _),
     "ns_corpus_mix" -> (nsCorpusMix _),
     "ns_corpus_mix_temp" -> (nsCorpusMixTemp _))
@@ -242,6 +283,35 @@ object PackingOps {
     * same shard-offset packing algebra as ns_pack_chunks_global.
     */
   private def packBpeOracle: String = packBpeOracleFrom("", "documents")
+
+  /** The global-pack CTE chain, shared by the chunks_global and export
+    * oracles — ends at `p` (one row per doc with cum_before/first_chunk/
+    * last_chunk); both oracles move together when the algebra changes.
+    */
+  private def globalPackCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0),
+       |o AS (
+       |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
+       |  FROM t GROUP BY lang),
+       |oo AS (
+       |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+       |  FROM o),
+       |c AS (
+       |  SELECT doc_id, lang, toks,
+       |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+       |  FROM t),
+       |p AS (
+       |  SELECT c.doc_id, c.lang, c.toks,
+       |         oo.shard_offset + c.cum_in_shard AS cum_before,
+       |         (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
+       |         (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk
+       |  FROM c JOIN oo USING (lang))""".stripMargin
 
   /** Select-then-pack oracle: the DSIR CTEs produce the keep set, the
     * BPE training CTEs run over the FULL corpus (tokenizer decoupled
@@ -315,31 +385,23 @@ object PackingOps {
     // Same window algebra as ns_pack_chunks, with the shard offset CTE on
     // top — the oracle states the semantics as the single global stream.
     "ns_pack_chunks_global" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
-         |  FROM documents
-         |  WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0),
-         |o AS (
-         |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
-         |  FROM t GROUP BY lang),
-         |oo AS (
-         |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
-         |  FROM o),
-         |c AS (
-         |  SELECT doc_id, lang, toks,
-         |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
-         |  FROM t)
-         |SELECT c.doc_id, c.lang, c.toks,
-         |       oo.shard_offset + c.cum_in_shard AS cum_before,
-         |       (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
-         |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk,
-         |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens}
-         |         - (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} + 1 AS n_chunks
-         |FROM c JOIN oo USING (lang)
+      s"""WITH $globalPackCtes
+         |SELECT doc_id, lang, toks, cum_before, first_chunk, last_chunk,
+         |       last_chunk - first_chunk + 1 AS n_chunks
+         |FROM p
          |ORDER BY lang, doc_id""".stripMargin,
+    // Shard report over the SAME pack algebra; the Spark side computes it
+    // from the exported parquet read-back.
+    "ns_pack_export" ->
+      s"""WITH $globalPackCtes
+         |SELECT cum_before // $ExportShardTokens AS shard_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS n_toks,
+         |       MIN(cum_before) AS stream_from,
+         |       MIN(first_chunk) AS first_chunk,
+         |       MAX(last_chunk) AS last_chunk
+         |FROM p GROUP BY 1
+         |ORDER BY shard_id""".stripMargin,
     "ns_pack_bpe" -> packBpeOracle,
     "pipe_select_pack" -> selectPackOracle,
     "ns_corpus_mix_temp" ->
