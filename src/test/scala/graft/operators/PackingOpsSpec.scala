@@ -210,4 +210,32 @@ class PackingOpsSpec extends SparkSpec {
       s"mix: expected one source hash exchange, got ${mixHash.map(_.outputPartitioning)}")
     assert(mixRange.size <= 1)
   }
+
+  test("shard export writes one file per shard and reports exactly what landed") {
+    val report = PackingOps.nsPackExport(spark, sfDir).collect()
+    assert(report.length > 1, "fixture corpus must produce a multi-shard export")
+    // Contiguous shard ids from 0; per-shard stream ranges don't overlap.
+    val ids = report.map(_.getAs[Long]("shard_id"))
+    assert(ids.toSeq == (0L until ids.length).toSeq, s"shard ids not contiguous: ${ids.toSeq}")
+    report.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("stream_from") < b.getAs[Long]("stream_from"))
+      case _ => ()
+    }
+    // The export layout on disk: ONE parquet file per shard_id partition
+    // (the sized-shard semantic the trainer consumes).
+    val root = new java.io.File(
+      graft.ops.ProcessTmp.dir("graft_pack_export") + "/corpus")
+    val shardDirs = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length == report.length,
+      s"${shardDirs.length} shard dirs for ${report.length} report rows")
+    shardDirs.foreach { d =>
+      val files = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName} has $files parquet files, want 1")
+    }
+    // Doc counts on disk match the read-back report.
+    val onDisk = spark.read.parquet(root.getPath).count()
+    assert(onDisk == report.map(_.getAs[Long]("n_docs")).sum)
+  }
 }
