@@ -1184,7 +1184,7 @@ object DedupOps {
     * query params so parameter order stops mattering. Exposed for the
     * spec's handcrafted messy-URL cases.
     */
-  private[operators] def canonicalUrl(url: Column): Column = {
+  private[graft] def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
