@@ -1183,6 +1183,12 @@ object DedupOps {
     * reads as "/"), drop `utm_*` tracking params, and SORT the surviving
     * query params so parameter order stops mattering. Exposed for the
     * spec's handcrafted messy-URL cases.
+    *
+    * Scheme-less / protocol-relative inputs (no `x://` prefix): every
+    * regexp_extract returns "", which would collapse all such URLs onto
+    * the single key "://" and wrongly reject unrelated documents at the
+    * admission gate — so those fall back to the RAW url as their own
+    * canonical (no normalization, but also no false merge).
     */
   private[graft] def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -1197,9 +1203,10 @@ object DedupOps {
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val kept = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.startsWith("utm_")))
-    concat(scheme, lit("://"), host, path,
+    val canonical = concat(scheme, lit("://"), host, path,
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))
+    when(scheme === "", url).otherwise(canonical)
   }
 
   /** URL-level dedup — the crawl pipeline's FIRST dedup rung (cheaper

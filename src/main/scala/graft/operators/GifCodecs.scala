@@ -79,6 +79,7 @@ object GifCodecs {
             require((bytes(pos) & 0xff) == 0, "graphic-control block not terminated")
             pos += 1
           } else { // comment / application / plain-text: skip sub-blocks
+            require(pos < bytes.length, "GIF truncated before an extension sub-block length")
             var len = bytes(pos) & 0xff
             pos += 1
             while (len != 0) {
@@ -113,12 +114,14 @@ object GifCodecs {
           pos += 1
           // Reassemble the LZW byte stream from its sub-blocks.
           val data = new java.io.ByteArrayOutputStream()
+          require(pos < bytes.length, "GIF truncated before an image sub-block length")
           var len = bytes(pos) & 0xff
           pos += 1
           while (len != 0) {
             require(pos + len <= bytes.length, "GIF truncated inside image data")
             data.write(bytes, pos, len)
             pos += len
+            require(pos < bytes.length, "GIF truncated before an image sub-block length")
             len = bytes(pos) & 0xff
             pos += 1
           }

@@ -56,10 +56,17 @@ object StreamingPlatformDelta {
           // delayed duplicate from an at-least-once upstream is skipped,
           // not re-run); the stats record remains as the fallback for
           // roots built before the log existed.
-          val committed = Pipelines.isCommitted(spark, root, tag) ||
+          val logged = Pipelines.isCommitted(spark, root, tag)
+          val statsMatch = !logged &&
             spark.read.parquet(s"$root/stats")
               .select(col("commit")).head().getString(0) == tag
-          if (!committed) {
+          // Heal the log when only the stats fallback matched: a crash
+          // between the stats publish and recordCommit left the tag out
+          // of the log forever, so a LATER delayed duplicate (after the
+          // stats row moved on) would re-run the whole delta — write the
+          // missing commit row now, in the skip path.
+          if (statsMatch) Pipelines.recordCommit(spark, root, tag)
+          if (!(logged || statsMatch)) {
             // Drive the stage to completion: the artifact publishes are
             // eager; the returned re-stated manifest is the artifact's
             // job, not the stream's output.

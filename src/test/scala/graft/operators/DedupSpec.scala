@@ -443,7 +443,12 @@ class DedupSpec extends SparkSpec {
       ("https://h.com/p?utm_campaign=c&z=9&utm_source=s&a=1", "https://h.com/p?a=1&z=9"),
       ("https://h.com/p?utm_source=s&utm_medium=m", "https://h.com/p"),
       // fragment after query; empty params from && collapse
-      ("https://h.com/p?b=2&&a=1#x?y=3", "https://h.com/p?a=1&b=2"))
+      ("https://h.com/p?b=2&&a=1#x?y=3", "https://h.com/p?a=1&b=2"),
+      // scheme-less and protocol-relative inputs fall back to the RAW
+      // url (distinct keys — no false merge onto "://")
+      ("//cdn.example.org/lib.js", "//cdn.example.org/lib.js"),
+      ("www.example.org/page", "www.example.org/page"),
+      ("not a url at all", "not a url at all"))
     val got = cases.map(_._1).toDF("url")
       .select(DedupOps.canonicalUrl(org.apache.spark.sql.functions.col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq

@@ -160,5 +160,13 @@ class GifSpec extends AnyFunSuite {
     // pixel-count mismatch vs the descriptor
     assertThrows[IllegalArgumentException](GifCodecs.lzwDecode(
       GifFixtures.lzwEncode(Array[Byte](1, 2, 3, 4), 4), 4, 5))
+    // truncation at EVERY prefix length must be the named
+    // IllegalArgumentException, never an ArrayIndexOutOfBounds — this
+    // sweeps the stream through every sub-block-length read site.
+    for (n <- 0 until good.length - 1) {
+      val e = intercept[IllegalArgumentException](
+        GifCodecs.decodeGif(java.util.Arrays.copyOf(good, n)))
+      assert(e.getMessage != null, s"unnamed failure at prefix $n")
+    }
   }
 }

@@ -80,5 +80,30 @@ class StreamingPlatformDeltaSpec extends SparkSpec {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
       strRoot, cp).awaitTermination()
     assert(snapshot(strRoot) == before, "checkpoint restart mutated the artifacts")
+
+    // Crash window between the stats publish and recordCommit: drop the
+    // commit-LOG row for batch_1 and the checkpoint's engine-level commit
+    // marker, so a restart REPLAYS epoch 1 with only the stats fallback
+    // matching. The replay must skip (artifacts untouched) AND heal the
+    // log — otherwise a later delayed duplicate of batch_1, arriving
+    // after stats.commit has moved on, would re-run the whole delta.
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmTree)
+      p.delete(); ()
+    }
+    val logRow = new java.io.File(s"$strRoot/commits/tag=batch_1")
+    assert(logRow.exists, "precondition: batch_1 commit-log row present")
+    rmTree(logRow)
+    val marker = new java.io.File(s"$cp/commits/1")
+    assert(marker.exists, "precondition: checkpoint commit marker present")
+    marker.delete()
+    new java.io.File(s"$cp/commits/.1.crc").delete() // hadoop checksum sidecar
+    StreamingPlatformDelta.deltaStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+      strRoot, cp).awaitTermination()
+    assert(snapshot(strRoot) == before, "stats-fallback replay re-ran the delta")
+    assert(new java.io.File(s"$strRoot/commits/tag=batch_1").exists,
+      "skip path did not heal the missing commit-log row")
   }
 }
