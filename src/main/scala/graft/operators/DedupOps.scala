@@ -1223,11 +1223,18 @@ object DedupOps {
     * 100 TB crawl would pre-partition by host so the group-by is
     * host-local and the min() map-side combines.
     */
-  def nsDedupUrls(spark: SparkSession, dir: String): DataFrame = {
-    val k = expr("doc_id div 4")
-    val v = col("doc_id") % 4
+  /** The synthesized messy URL for a doc_id — four consecutive ids share
+    * one logical URL, each dressed differently (uppercase scheme+host,
+    * explicit default port, trailing slash, fragment, shuffled params,
+    * utm_ tracking). Shared by [[nsDedupUrls]], the batch admission
+    * audit's URL rung, and the streaming chain specs so every consumer
+    * sees the same fixture URLs.
+    */
+  private[graft] def synthUrl(docId: Column): Column = {
+    val k = floor(docId / 4).cast("long") // doc_id ≥ 0, so floor = integer div
+    val v = docId % 4
     def s(c: Column): Column = c.cast("string")
-    val url = concat(
+    concat(
       when(v === 1, "HTTPS").otherwise("https"), lit("://"),
       when(v === 1, concat(lit("EXAMPLE"), s(k % 50), lit(".ORG")))
         .otherwise(concat(lit("example"), s(k % 50), lit(".org"))),
@@ -1239,8 +1246,21 @@ object DedupOps {
         .otherwise(concat(lit("p="), s(k % 5), lit("&q="), s(k % 2))),
       when(v === 3, concat(lit("&utm_source=s"), s(k % 3))).otherwise(""),
       when(v === 2, concat(lit("#sec"), s(k % 5))).otherwise(""))
+  }
+
+  /** Oracle-side twin of [[synthUrl]]+[[canonicalUrl]]: the CANONICAL form
+    * stated directly from the doc_id formulas (no string parsing — a
+    * hash match proves the Spark normalizer undid every dressing).
+    * A SQL expression over a column/CTE field named by `k`.
+    */
+  private[graft] def synthCanonicalSql(k: String): String =
+    s"'https://example' || CAST($k % 50 AS VARCHAR) || '.org/a' || " +
+      s"CAST($k % 7 AS VARCHAR) || '/b' || CAST($k % 3 AS VARCHAR) || " +
+      s"'?p=' || CAST($k % 5 AS VARCHAR) || '&q=' || CAST($k % 2 AS VARCHAR)"
+
+  def nsDedupUrls(spark: SparkSession, dir: String): DataFrame = {
     val urls = Tables.documents(spark, dir)
-      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
       .withColumn("canonical", canonicalUrl(col("url")))
     val groups = urls.groupBy("canonical").agg(min("doc_id").as("keep_id"))
     urls.join(groups, "canonical")
@@ -1474,7 +1494,7 @@ object DedupOps {
     // CANONICAL form directly — the Spark side must parse + normalize the
     // string to agree.
     "ns_dedup_urls" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT doc_id, doc_id // 4 AS k, doc_id % 4 AS v FROM documents),
         |b AS (
         |  SELECT doc_id,
@@ -1491,10 +1511,7 @@ object DedupOps {
         |         ELSE 'p=' || CAST(k % 5 AS VARCHAR) || '&q=' || CAST(k % 2 AS VARCHAR) END ||
         |    CASE WHEN v = 3 THEN '&utm_source=s' || CAST(k % 3 AS VARCHAR) ELSE '' END ||
         |    CASE WHEN v = 2 THEN '#sec' || CAST(k % 5 AS VARCHAR) ELSE '' END AS url,
-        |    'https://example' || CAST(k % 50 AS VARCHAR) || '.org/a' ||
-        |      CAST(k % 7 AS VARCHAR) || '/b' || CAST(k % 3 AS VARCHAR) ||
-        |      '?p=' || CAST(k % 5 AS VARCHAR) || '&q=' || CAST(k % 2 AS VARCHAR)
-        |      AS canonical
+        |    ${synthCanonicalSql("k")} AS canonical
         |  FROM u),
         |g AS (SELECT canonical, MIN(doc_id) AS keep_id FROM b GROUP BY canonical)
         |SELECT b.doc_id, b.url, b.canonical, g.keep_id,

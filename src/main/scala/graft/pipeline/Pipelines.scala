@@ -522,8 +522,11 @@ object Pipelines {
     * streaming admission chain
     * ([[graft.streaming.StreamingAdmissionChain]]): candidate documents
     * (non-eval, doc_id % 3 ≠ 0) are judged against an existing corpus
-    * (non-eval, doc_id % 3 = 0) on all four gates a pretraining ingest
+    * (non-eval, doc_id % 3 = 0) on all five gates a pretraining ingest
     * runs —
+    *   0. URL canonical duplicate (the crawl rung — cheapest gate, no
+    *      content read; URLs synthesized per doc by the
+    *      [[graft.operators.DedupOps.nsDedupUrls]] formula),
     *   1. Gopher quality rules (per-row projection, [[graft.operators.TextOps]]),
     *   2. exact duplicate of a corpus document (normalized sha256),
     *   3. MinHash near-duplicate of a corpus document (banded index,
@@ -545,8 +548,12 @@ object Pipelines {
     val isEval = col("doc_id") % 50 === 0
     val isCorpus = !isEval && col("doc_id") % 3 === 0
     val isCand = !isEval && col("doc_id") % 3 =!= 0
+    def urls(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      graft.operators.DedupOps.synthUrl(col("doc_id")).as("url"))
     admissionVerdicts(docs.where(isCand), docs.where(isCorpus),
-      docs.where(isEval)).orderBy("doc_id")
+      docs.where(isEval),
+      candUrls = Some(urls(docs.where(isCand))),
+      corpusUrls = Some(urls(docs.where(isCorpus)))).orderBy("doc_id")
   }
 
   /** Normalized-text content fingerprint (the [[graft.operators.DedupOps]]
@@ -557,14 +564,27 @@ object Pipelines {
     col("doc_id"),
     sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fp"))
 
-  /** The four-gate verdict table for `cands` against `corpus` and the
+  /** The gate-verdict table for `cands` against `corpus` and the
     * `probe` eval suite — the admission kernel shared by the oracled
     * batch query and (as the expected-value recompute) the streaming
     * chain's spec. Audit semantics: every gate is evaluated for every
     * candidate; the admitted SET is identical to an early-exit chain's.
+    *
+    * When `candUrls`/`corpusUrls` (doc_id, url) are supplied, the audit
+    * also carries gate 0 — the crawl pipeline's URL rung: a candidate is
+    * `url_dup` when its canonical URL ([[graft.operators.DedupOps.canonicalUrl]])
+    * matches a corpus document's canonical, or an earlier (smaller
+    * doc_id) candidate's — the same min-survivorship rule as
+    * [[graft.operators.DedupOps.nsDedupUrls]] and the streaming
+    * [[graft.streaming.StreamingUrlDedup]] gate. This is the CHEAPEST
+    * gate (string normalization + one shuffle on the canonical; no
+    * content ever read), which is why the early-exit streaming chain
+    * runs it first.
     */
   private[graft] def admissionVerdicts(
-      cands: DataFrame, corpus: DataFrame, probe: DataFrame): DataFrame = {
+      cands: DataFrame, corpus: DataFrame, probe: DataFrame,
+      candUrls: Option[DataFrame] = None,
+      corpusUrls: Option[DataFrame] = None): DataFrame = {
     val dedup = graft.operators.DedupOps
     val gpass = graft.operators.TextOps.gopherProfile(cands)
       .select(col("doc_id"), col("pass"))
@@ -584,18 +604,44 @@ object Pipelines {
       .where(col("drop_doc")).select("doc_id")
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
-    cands.select("doc_id")
+    val base = cands.select("doc_id")
       .join(gpass, Seq("doc_id"), "left")
       .join(flag(exactIds, "ed"), Seq("doc_id"), "left")
       .join(flag(nearIds, "nd"), Seq("doc_id"), "left")
       .join(flag(contamIds, "ct"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("pass"), lit(false)).as("gopher_pass"),
-        coalesce(col("ed"), lit(false)).as("exact_dup"),
-        coalesce(col("nd"), lit(false)).as("near_dup"),
-        coalesce(col("ct"), lit(false)).as("contaminated"))
-      .withColumn("admit", col("gopher_pass") && !col("exact_dup")
-        && !col("near_dup") && !col("contaminated"))
+    (candUrls, corpusUrls) match {
+      case (Some(cu), Some(ou)) =>
+        val canon = cu.select(col("doc_id"),
+          dedup.canonicalUrl(col("url")).as("canonical"))
+        val corpCanon = ou
+          .select(dedup.canonicalUrl(col("url")).as("canonical")).distinct()
+        // Canonical seen in the corpus, or claimed by a smaller-id
+        // candidate (min survivorship) — one shuffle on the canonical.
+        val urlIds = canon
+          .join(corpCanon, Seq("canonical"), "left_semi").select("doc_id")
+          .unionByName(canon
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy("canonical").orderBy("doc_id")))
+            .where(col("_rn") > 1).select("doc_id"))
+          .distinct()
+        base.join(flag(urlIds, "ud"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ud"), lit(false)).as("url_dup"),
+            coalesce(col("pass"), lit(false)).as("gopher_pass"),
+            coalesce(col("ed"), lit(false)).as("exact_dup"),
+            coalesce(col("nd"), lit(false)).as("near_dup"),
+            coalesce(col("ct"), lit(false)).as("contaminated"))
+          .withColumn("admit", !col("url_dup") && col("gopher_pass")
+            && !col("exact_dup") && !col("near_dup") && !col("contaminated"))
+      case _ =>
+        base.select(col("doc_id"),
+            coalesce(col("pass"), lit(false)).as("gopher_pass"),
+            coalesce(col("ed"), lit(false)).as("exact_dup"),
+            coalesce(col("nd"), lit(false)).as("near_dup"),
+            coalesce(col("ct"), lit(false)).as("contaminated"))
+          .withColumn("admit", col("gopher_pass") && !col("exact_dup")
+            && !col("near_dup") && !col("contaminated"))
+    }
   }
 
   /** The nightly CORPUS-HEALTH REPORT — one (metric, value) row per
@@ -1511,8 +1557,19 @@ object Pipelines {
     val nearDup = graft.operators.DedupOps.nearDupMatchesOracle(
       "a.doc_id % 50 <> 0 AND a.doc_id % 3 <> 0",
       "b.doc_id % 50 <> 0 AND b.doc_id % 3 = 0")
+    // Gate 0: the canonical stated DIRECTLY from the doc_id formulas
+    // (never parsed) — the hash match proves the Spark-side normalizer.
+    val canonSql = graft.operators.DedupOps.synthCanonicalSql("(doc_id // 4)")
     s"""WITH cand AS (
        |  SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 3 <> 0),
+       |uc AS (SELECT doc_id, $canonSql AS canonical FROM documents
+       |       WHERE doc_id % 50 <> 0),
+       |ud AS (
+       |  SELECT DISTINCT c.doc_id FROM uc c
+       |  WHERE c.doc_id % 3 <> 0 AND EXISTS (
+       |    SELECT 1 FROM uc o
+       |    WHERE o.canonical = c.canonical
+       |      AND (o.doc_id % 3 = 0 OR (o.doc_id % 3 <> 0 AND o.doc_id < c.doc_id)))),
        |g AS (SELECT doc_id, pass
        |      FROM (${graft.operators.TextOps.oracles("ns_text_gopher")}) gg),
        |fp AS (SELECT doc_id,
@@ -1525,13 +1582,15 @@ object Pipelines {
        |ct AS (SELECT doc_id FROM (${graft.operators.DedupOps.oracles("ns_decontaminate")}) dc
        |       WHERE drop_doc AND doc_id % 3 <> 0)
        |SELECT c.doc_id,
+       |       (ud.doc_id IS NOT NULL) AS url_dup,
        |       coalesce(g.pass, FALSE) AS gopher_pass,
        |       (ex.doc_id IS NOT NULL) AS exact_dup,
        |       (nd.doc_id IS NOT NULL) AS near_dup,
        |       (ct.doc_id IS NOT NULL) AS contaminated,
-       |       (coalesce(g.pass, FALSE) AND ex.doc_id IS NULL
+       |       (ud.doc_id IS NULL AND coalesce(g.pass, FALSE) AND ex.doc_id IS NULL
        |        AND nd.doc_id IS NULL AND ct.doc_id IS NULL) AS admit
        |FROM cand c
+       |LEFT JOIN ud ON c.doc_id = ud.doc_id
        |LEFT JOIN g ON c.doc_id = g.doc_id
        |LEFT JOIN ex ON c.doc_id = ex.doc_id
        |LEFT JOIN nd ON c.doc_id = nd.doc_id

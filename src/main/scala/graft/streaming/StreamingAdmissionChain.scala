@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * of the oracled [[Pipelines.corpusAdmission]] audit, staged cheapest
   * gate first so every early reject skips all later work:
   *
+  *   0. URL canonical duplicate — runs when the stream carries a `url`
+  *      column and `corpusUrls` is supplied: the [[StreamingUrlDedup]]
+  *      gate inline, FIRST because it is the cheapest (string
+  *      normalization, no content read — a canonical match skips the
+  *      fetch/parse entirely in a real crawler)
   *   1. Gopher quality rules   — stateless projection ([[StreamingQualityGate]])
   *   2. exact corpus duplicate — (doc_id, fp) probe vs corpus + admitted
   *   3. MinHash near-duplicate — banded index vs corpus + admitted
@@ -23,10 +28,14 @@ import org.apache.spark.sql.functions._
   * corpus + prior admissions (spec-pinned) — the chain early-exits where
   * the audit evaluates every gate, which changes work, not the set.
   *
-  * WITHIN-batch duplicates are deliberately out of scope, exactly as in
-  * [[StreamingDedup.nearDupAdmission]]: collapse within-stream dups
+  * WITHIN-batch CONTENT duplicates are deliberately out of scope, exactly
+  * as in [[StreamingDedup.nearDupAdmission]]: collapse within-stream dups
   * upstream with [[StreamingDedup.dedupStream]] (the watermarked exact
-  * gate), then admit against history here.
+  * gate), then admit against history here. The URL gate is the one
+  * exception — it applies the smallest-doc_id-per-canonical survivorship
+  * WITHIN the batch too (an exact key, costless, and intra-batch URL
+  * dups are routine for a crawler frontier), matching the batch audit's
+  * min() rule.
   *
   * Replay/restart contract: per-batch dirs overwrite; extension entries
   * are tagged with the batch that ADMITTED them, and gating excludes
@@ -52,13 +61,24 @@ object StreamingAdmissionChain {
       outPath: String,
       checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      corpusUrls: Option[DataFrame] = None,
+      onAfterUrlGate: Option[DataFrame => Unit] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val session = corpusDocs.sparkSession
+    val urlGated = corpusUrls.isDefined && docStream.columns.contains("url")
     // Static gates, materialized once at stream start.
     val benchSh = DedupOps.shingles(probeDocs).select("sh").distinct()
       .localCheckpoint()
     val corpusFp = Pipelines.contentFp(corpusDocs).localCheckpoint()
+    // Gate-0 statics: corpus canonicals (sentinel id — see
+    // StreamingUrlDedup) + the admitted-canonical extension.
+    val baseCanon =
+      if (urlGated) corpusUrls.get
+        .select(DedupOps.canonicalUrl(col("url")).as("canonical")).distinct()
+        .withColumn("doc_id", lit(-1L)).select("doc_id", "canonical")
+        .localCheckpoint()
+      else null
     val (baseBanded, baseSets) = DedupOps.corpusIndexMaterialized(corpusDocs)
     // Admitted-documents extensions, every row tagged with the batch that
     // admitted it (`src_batch`). Replay safety keys on THAT, not on the
@@ -75,6 +95,13 @@ object StreamingAdmissionChain {
     var extFp = prior.map(p => withBatchTag(p, Pipelines.contentFp(p)))
       .getOrElse(corpusFp.limit(0).withColumn("src_batch", lit(0L)))
       .localCheckpoint()
+    var extCanon =
+      if (urlGated) prior
+        .map(p => withBatchTag(p, p.select(col("doc_id"),
+          DedupOps.canonicalUrl(col("url")).as("canonical"))))
+        .getOrElse(baseCanon.limit(0).withColumn("src_batch", lit(0L)))
+        .localCheckpoint()
+      else null
     val (extB0, extS0) = prior.map { p =>
       val (b, s) = DedupOps.corpusIndexMaterialized(p)
       (withBatchTag(p, b), withBatchTag(p, s))
@@ -85,9 +112,26 @@ object StreamingAdmissionChain {
     var extSets = extS0.localCheckpoint()
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // 0. URL canonical dup vs corpus + admitted, with intra-batch
+        //    min-doc_id survivorship — BEFORE any content gate touches
+        //    the text (the onAfterUrlGate seam lets a spec pin that
+        //    ordering). Replay-safe exactly like the other extensions.
+        val s0 =
+          if (urlGated) {
+            val canon = batch.withColumn(
+              "canonical", DedupOps.canonicalUrl(col("url")))
+            val firsts = canon.withColumn("_rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("canonical").orderBy("doc_id")))
+              .where(col("_rn") === 1).drop("_rn")
+            val idx = baseCanon.select("canonical").unionByName(
+              extCanon.where(col("src_batch") =!= batchId).select("canonical"))
+            firsts.join(idx, Seq("canonical"), "left_anti").drop("canonical")
+          } else batch
+        onAfterUrlGate.foreach(f => f(s0))
         // 1. Gopher: per-row rules, no state touched.
-        val s1 = batch.join(
-          TextOps.gopherProfile(batch).where(col("pass")).select("doc_id"),
+        val s1 = s0.join(
+          TextOps.gopherProfile(s0).where(col("pass")).select("doc_id"),
           Seq("doc_id"), "left_semi")
         // 2. Exact dup vs corpus + admitted. The batch's fingerprints are
         //    micro-scale, so they BROADCAST-probe the (executor-resident)
@@ -125,6 +169,13 @@ object StreamingAdmissionChain {
           .unionByName(Pipelines.contentFp(admitted)
             .withColumn("src_batch", lit(batchId)))
           .localCheckpoint()
+        if (urlGated) {
+          extCanon = extCanon.where(col("src_batch") =!= batchId)
+            .unionByName(admitted.select(col("doc_id"),
+                DedupOps.canonicalUrl(col("url")).as("canonical"))
+              .withColumn("src_batch", lit(batchId)))
+            .localCheckpoint()
+        }
         val (nb, ns) = DedupOps.corpusIndexMaterialized(admitted)
         extBanded = extBanded.where(col("src_batch") =!= batchId)
           .unionByName(nb.withColumn("src_batch", lit(batchId)))

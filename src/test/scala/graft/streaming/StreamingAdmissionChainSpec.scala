@@ -119,4 +119,56 @@ class StreamingAdmissionChainSpec extends SparkSpec {
     assert(admittedRows.sorted.toSeq == Seq(1L, 8L),
       s"got ${admittedRows.toSeq} — redelivery duplicated or gates leaked")
   }
+
+  test("URL gate runs FIRST: canonical dups are gone before any content gate sees the batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def passText(seed: Int, n: Int = 24): String =
+      (Seq("the", "of") ++ (0 until n - 2).map(i => s"u${seed}y$i"))
+        .mkString(" ")
+    val corpus = Seq((100L, passText(100))).toDF("doc_id", "text")
+    val probe = Seq((200L, passText(200))).toDF("doc_id", "text")
+    val corpusUrls = Seq((100L, "https://site.org/a?x=1")).toDF("doc_id", "url")
+    val input = MemoryStream[(Long, String, String)]
+    val out = tmp("graft_chain3_out") + "/admitted"
+    val cp = tmp("graft_chain3_cp")
+    // The ordering pin: capture the post-URL-gate survivor ids per batch.
+    val afterUrl = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val query = StreamingAdmissionChain.admissionStream(
+      input.toDS().toDF("doc_id", "url", "text"), corpus, probe, out, cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      corpusUrls = Some(corpusUrls),
+      onAfterUrlGate = Some(df => afterUrl +=
+        df.select("doc_id").collect().map(_.getLong(0)).toSet))
+    try {
+      // Batch 1:
+      //   doc 1: PERFECT text but its url is a dressed variant of the
+      //          corpus url -> URL gate rejects (content never judged)
+      //   doc 2: fresh text, fresh url -> admitted
+      //   doc 3: gopher-failing text, fresh url -> content gate rejects
+      //   docs 4+5: same canonical (two dressings), fresh texts ->
+      //          intra-batch min survivorship keeps 4, drops 5
+      input.addData(Seq(
+        (1L, "HTTPS://SITE.ORG:443/a?utm_source=s&x=1#frag", passText(1)),
+        (2L, "https://site.org/b", passText(2)),
+        (3L, "https://site.org/c", "x y z"),
+        (4L, "https://site.org/d?p=1&q=2", passText(4)),
+        (5L, "HTTPS://site.org/d/?q=2&p=1", passText(5))))
+      query.processAllAvailable()
+      // Batch 2: doc 6's url canonicalizes to doc 2's ADMITTED url ->
+      // rejected via the sink-fed canonical extension; doc 7 fresh.
+      input.addData(Seq(
+        (6L, "https://SITE.org/b?utm_medium=m", passText(6)),
+        (7L, "https://site.org/e", passText(7))))
+      query.processAllAvailable()
+    } finally query.stop()
+    // Ordering: URL dups (1, 5) were gone BEFORE any content gate ran --
+    // the seam sits between gate 0 and gate 1.
+    assert(afterUrl.toSeq == Seq(Set(2L, 3L, 4L), Set(7L)),
+      s"post-URL-gate survivors: ${afterUrl.toSeq}")
+    // Final admissions: URL gate (1, 5, 6 out), gopher (3 out).
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(2L, 4L, 7L), s"got $admitted")
+  }
 }
