@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
 object AggOps {
 
   private val dayEpoch = floor(unix_timestamp(col("ts")) / 86400L)
+
+  /** Order-free exact micro-unit sum with the declared overflow
+    * behavior ENFORCED: BIGINT sum that FAILS LOUD past ±2^63−1
+    * micro-units (~9.2e12 in value per group) instead of Spark's silent
+    * non-ANSI wrap. `try_sum` is the overflow-checked BIGINT sum (null
+    * on overflow, codegen'd, order-free); the lazy `coalesce` turns that
+    * null into a named error telling the operator to promote the
+    * aggregate to DECIMAL(38,0) — the documented escape for
+    * trillion-unit groups. Empty / all-null groups stay null (count
+    * guard), matching plain `sum`. Cost vs raw sum(BIGINT): one extra
+    * count per group and a checked add — nothing at any scale.
+    */
+  private[graft] def microUnitSumChecked(micro: Column, site: String): Column =
+    when(count(micro) === 0, lit(null).cast("long"))
+      .otherwise(coalesce(try_sum(micro), raise_error(lit(
+        s"micro-unit BIGINT sum overflow at $site (>9.2e18 micro-units " +
+          "in one group): promote this aggregate to DECIMAL(38,0)"))))
 
   /** OP-27 grouped MAX/MIN (high-water marks,
     * reference: /root/reference/src/validator_income_handler.py:59-69).
@@ -55,18 +72,20 @@ object AggOps {
     // disagree (measured: op30 at the 10× sf1 sweep). Integer sums are
     // order-free and exact up to BIGINT range — ~9.2e18 micro-units, i.e.
     // ~9.2e12 in value per group, ampler than any per-group price total
-    // this framework targets but NOT unbounded: Spark's non-ANSI
-    // sum(BIGINT) wraps silently past it, so an sf100-class deployment
-    // with trillion-unit groups would move these to DECIMAL(38,0) (still
-    // order-free). One IEEE divide at the end.
+    // this framework targets but NOT unbounded: past it the sum FAILS
+    // LOUD ([[microUnitSumChecked]] — Spark's non-ANSI sum(BIGINT) would
+    // wrap silently) and the named error tells the operator to promote
+    // to DECIMAL(38,0) (still order-free). One IEEE divide at the end.
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(avg(col("l_discount")), 6).as("avg_disc"),
-        round(sum(expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)")) / 1e6, 6)
-          .as("sum_price"),
-        round(sum(expr("CAST(round(l_quantity * 1000000) AS BIGINT)")) / 1e6, 6)
-          .as("sum_qty"),
+        round(microUnitSumChecked(
+          expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)"),
+          "op30.sum_price") / 1e6, 6).as("sum_price"),
+        round(microUnitSumChecked(
+          expr("CAST(round(l_quantity * 1000000) AS BIGINT)"),
+          "op30.sum_qty") / 1e6, 6).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
