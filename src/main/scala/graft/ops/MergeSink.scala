@@ -222,7 +222,8 @@ object MergeSink {
       seqCol: String = "seq"): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    math.max(maxSeqIn(fs, p, seqCol), maxClaimIn(fs, p, seqCol)) + 1
+    math.max(maxSeqIn(fs, p, seqCol),
+      maxClaimIn(new HadoopClaimStore(fs), p, seqCol)) + 1
   }
 
   private def maxSeqIn(
@@ -244,9 +245,9 @@ object MergeSink {
     * and all "win". Local paths therefore go through
     * `java.io.File.createNewFile` (O_CREAT|O_EXCL — the POSIX atomic);
     * everything else uses the HDFS-atomic create. Object-store
-    * deployments swap in their conditional-put here.
+    * deployments inject their conditional-put via [[ClaimStore]].
     */
-  private def createExclusive(
+  private[graft] def hadoopCreateExclusive(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
@@ -261,14 +262,11 @@ object MergeSink {
   }
 
   private def maxClaimIn(
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      seqCol: String): Int = {
-    val dir = claimsDir(root)
-    if (!fs.exists(dir)) -1
-    else fs.listStatus(dir).map(_.getPath.getName)
+      store: ClaimStore, root: org.apache.hadoop.fs.Path,
+      seqCol: String): Int =
+    store.listMarkers(claimsDir(root))
       .filter(_.startsWith(seqCol + "=")).map(_.stripPrefix(seqCol + "=").toInt)
       .foldLeft(-1)(math.max)
-  }
 
   /** Atomically CLAIM the next sequence number of an append log — the
     * multi-writer form of [[nextSeq]]. The number is max over PUBLISHED
@@ -281,17 +279,22 @@ object MergeSink {
     * max-seq, compaction folds whatever exists) — and compaction GCs
     * markers at or below the folded max. Underscore-prefixed, so Spark's
     * parquet reads ignore the directory like `_staging`/`_trash`. Same
-    * FS-primitive caveat as the publish lock: `create(overwrite=false)`
-    * is HDFS-atomic; object-store deployments swap in conditional put.
+    * FS-primitive caveat as the publish lock: the marker atomics live in
+    * [[ClaimStore]] — POSIX O_EXCL / HDFS create / object-store
+    * conditional put, injectable per backend via `store`. Only
+    * `createExclusive` carries safety; the listings pick the STARTING
+    * number, so an eventually-consistent list costs retries, never
+    * correctness.
     */
   private[graft] def claimSeq(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      seqCol: String = "seq"): Int = {
+      seqCol: String = "seq", store: Option[ClaimStore] = None): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(claimsDir(root))
-    var seq = math.max(maxSeqIn(fs, root, seqCol), maxClaimIn(fs, root, seqCol)) + 1
-    while (!createExclusive(fs,
+    val st = storeFor(spark, root, store)
+    st.mkdirs(claimsDir(root))
+    var seq = math.max(maxSeqIn(fs, root, seqCol), maxClaimIn(st, root, seqCol)) + 1
+    while (!st.createExclusive(
         new org.apache.hadoop.fs.Path(claimsDir(root), s"$seqCol=$seq")))
       seq += 1 // lost the race for this number
     seq
@@ -305,10 +308,9 @@ object MergeSink {
     * a leftover marker only burns a number.
     */
   private def releaseClaim(
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      store: ClaimStore, root: org.apache.hadoop.fs.Path,
       seqCol: String, seq: Int): Unit =
-    try fs.delete(new org.apache.hadoop.fs.Path(claimsDir(root), s"$seqCol=$seq"), false)
-    catch { case _: java.io.IOException => () }
+    store.delete(new org.apache.hadoop.fs.Path(claimsDir(root), s"$seqCol=$seq"))
 
   /** How long an UNPUBLISHED claim marker may sit before compaction
     * treats its writer as crashed and sweeps it. Same class of assumption
@@ -318,6 +320,12 @@ object MergeSink {
     * entire cost of leaving it, so the window errs long.
     */
   private[graft] val ClaimStaleMs: Long = 6L * 3600 * 1000
+
+  private def storeFor(
+      spark: org.apache.spark.sql.SparkSession, root: org.apache.hadoop.fs.Path,
+      injected: Option[ClaimStore]): ClaimStore =
+    injected.getOrElse(new HadoopClaimStore(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)))
 
   /** Row-group size for coalesced bucketed logs: small enough that a
     * bucket-predicate read prunes at sub-file granularity (a row group
@@ -356,18 +364,23 @@ object MergeSink {
     * generation no concurrent appender can also pick, [[publishLogSeq]]
     * swaps it in, and the claim marker is released only AFTER the publish
     * succeeds (a failed publish leaves the marker, burning the number
-    * rather than letting a later appender collide with a retry). Returns
-    * the generation published.
+    * rather than letting a later appender collide with a retry) — EXCEPT
+    * on backends whose listing can lag ([[ClaimStore.retainOnPublish]]):
+    * there the marker is retained until compaction folds the generation,
+    * closing the window where a contender sees neither the marker nor
+    * the generation and re-claims the number. Returns the generation
+    * published.
     */
   private[graft] def appendLogSeq(
       df: DataFrame, path: String, files: Int,
-      sortCols: Seq[String], seqCol: String = "seq"): Int = {
+      sortCols: Seq[String], seqCol: String = "seq",
+      store: Option[ClaimStore] = None): Int = {
     val spark = df.sparkSession
-    val seq = claimSeq(spark, path, seqCol)
-    publishLogSeq(df, path, seq, files, sortCols, seqCol)
     val root = new org.apache.hadoop.fs.Path(path)
-    releaseClaim(root.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      root, seqCol, seq)
+    val st = storeFor(spark, root, store)
+    val seq = claimSeq(spark, path, seqCol, Some(st))
+    publishLogSeq(df, path, seq, files, sortCols, seqCol)
+    if (!st.retainOnPublish) releaseClaim(st, root, seqCol, seq)
     seq
   }
 
@@ -435,20 +448,30 @@ object MergeSink {
     */
   private def retireFolded(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
-      seqCol: String, folded: Seq[(Int, org.apache.hadoop.fs.Path)]): Unit = {
+      seqCol: String, folded: Seq[(Int, org.apache.hadoop.fs.Path)],
+      store: ClaimStore): Unit = {
     folded.filter(_._1 != 0).sortBy(_._1).foreach { case (n, p) =>
       fs.delete(p, true)
-      releaseClaim(fs, root, seqCol, n)
+      releaseClaim(store, root, seqCol, n)
     }
-    val dir = claimsDir(root)
-    if (fs.exists(dir)) {
-      val cutoff = System.currentTimeMillis() - ClaimStaleMs
-      fs.listStatus(dir)
-        .filter(s => s.getPath.getName.startsWith(seqCol + "=")
-          && s.getModificationTime < cutoff
-          && !fs.exists(new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
-        .foreach(s => try fs.delete(s.getPath, false)
-          catch { case _: java.io.IOException => () })
+    // The stale-orphan sweep needs marker AGE, which only the Hadoop
+    // backend exposes (mod times); an object store keys the same sweep on
+    // its object timestamps in its own backend code. Folded-generation GC
+    // above works on every backend — on retainOnPublish stores it is the
+    // ONLY place retained markers are reclaimed.
+    store match {
+      case _: HadoopClaimStore =>
+        val dir = claimsDir(root)
+        if (fs.exists(dir)) {
+          val cutoff = System.currentTimeMillis() - ClaimStaleMs
+          fs.listStatus(dir)
+            .filter(s => s.getPath.getName.startsWith(seqCol + "=")
+              && s.getModificationTime < cutoff
+              && !fs.exists(new org.apache.hadoop.fs.Path(root, s.getPath.getName)))
+            .foreach(s => try fs.delete(s.getPath, false)
+              catch { case _: java.io.IOException => () })
+        }
+      case _ => ()
     }
   }
 
@@ -471,7 +494,8 @@ object MergeSink {
       spark: org.apache.spark.sql.SparkSession, path: String,
       keys: Seq[String], files: Int, sortCols: Seq[String],
       seqCol: String = "seq",
-      onAfterPin: () => Unit = () => ()): Unit = {
+      onAfterPin: () => Unit = () => (),
+      store: Option[ClaimStore] = None): Unit = {
     val rootDir = new org.apache.hadoop.fs.Path(path)
     val fs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = listSeqDirs(fs, rootDir, seqCol)
@@ -484,7 +508,7 @@ object MergeSink {
       .localCheckpoint() // pin before any delete (the compactLog contract)
     publishLogSeq(resolved, path, 0, files, sortCols, seqCol)
     onAfterPin()
-    retireFolded(fs, rootDir, seqCol, gens)
+    retireFolded(fs, rootDir, seqCol, gens, storeFor(spark, rootDir, store))
   }
 
   /** Compact an APPEND-FRIENDLY LOG table — the layout where each batch
@@ -508,7 +532,8 @@ object MergeSink {
       keys: Seq[String],
       seqCol: String,
       subCols: Seq[String] = Nil,
-      onAfterPin: () => Unit = () => ()): Unit = {
+      onAfterPin: () => Unit = () => (),
+      store: Option[ClaimStore] = None): Unit = {
     // An EMPTY log is a legal state (a gate that rejects every document
     // publishes zero partitions) — compacting it is a no-op, not a
     // schema-inference failure.
@@ -527,7 +552,7 @@ object MergeSink {
       .localCheckpoint()
     publishPartitionedCols(resolved, path, seqCol +: subCols)
     onAfterPin()
-    retireFolded(rootFs, rootDir, seqCol, gens)
+    retireFolded(rootFs, rootDir, seqCol, gens, storeFor(spark, rootDir, store))
   }
 
   private def acquireLock(
@@ -541,7 +566,7 @@ object MergeSink {
       // check-then-create on the local FS, so simultaneous publishers
       // could BOTH take the lock (measured under a barrier in
       // ConcurrentLogSpec's claim test before the primitive was fixed).
-      if (createExclusive(fs, lock)) acquired = true
+      if (hadoopCreateExclusive(fs, lock)) acquired = true
       else {
           // Stale-lock break: a crashed publisher's lock older than the
           // timeout is CLAIMED by renaming it to a unique name — rename
