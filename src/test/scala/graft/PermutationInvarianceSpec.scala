@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * VALUE — including every rounded double — must survive any input
   * order.
   *
-  * Query list = the op/pipe/ops registered queries whose output schema
-  * carries a double (derived from a Verify dump's parquet schemas),
-  * minus the external-source scans (REST/GraphQL/JDBC — no parquet
-  * input to permute), plus the ns-side aggregators that previously bit
-  * at sf1 (classifier, bigram LM) and the session/jaccard reducers.
+  * Query list = DERIVED, not hand-maintained: every registered query
+  * whose constructed output schema carries a float/double anywhere
+  * (including inside arrays/structs), minus the external-source scans
+  * (REST/GraphQL/JDBC — no parquet input to permute, identified as the
+  * SourceSinkOps registry). A new float-emitting query joins the gate
+  * the moment it is registered; an anchor assertion keeps a derivation
+  * bug from silently shrinking coverage below the round-11 hand list.
   */
 class PermutationInvarianceSpec extends SparkSpec {
 
@@ -53,32 +55,46 @@ class PermutationInvarianceSpec extends SparkSpec {
   private lazy val permA = permute(1, 7)
   private lazy val permB = permute(2, 3)
 
-  // Derivation: queries whose Verify output schema carries double/float
-  // (r11 dump), restricted to the op/pipe/ops families that read the
-  // parquet fixtures, plus the four ns aggregators named above.
-  private val queries = Seq(
-    "op11_project_rename", "op13_range_filter", "op15_semi_join",
-    "op17_broadcast_semi_join", "op18_sign_split", "op19_spike_filter",
-    "op20_groupwise_max", "op21_nested_join", "op22_composite_key_join",
-    "op23_join_min_marker", "op26_left_outer_default", "op28_grouped_sum",
-    "op29_grouped_avg", "op30_multi_agg", "op32_grouped_mean",
-    "op33_mean_of_means", "op34_two_level_agg", "op35_trailing_delta",
-    "op36_lag_delta", "op37_delta_split_sums", "op38_cumulative_income",
-    "op39_apr_scalar", "op43_top_n", "op44_topk_multi_metric",
-    "op45_sorted_group_output", "op50_math_units", "op53_domain_formula",
-    "op53b_rate_formulas", "op53c_nav_slippage", "ops_bucketed_join",
-    "ops_salted_sum", "pipe_apr_between_epochs", "pipe_average_index_apr",
-    "pipe_daily_apr", "pipe_epoch_wise_apr", "pipe_income_snapshot",
-    "pipe_index_apr_average", "pipe_index_deth_earned",
-    "pipe_index_epoch_apr", "pipe_index_leaderboard",
-    "pipe_index_redemption_rate", "pipe_index_validators",
-    "pipe_leaderboard", "pipe_lsd_wise_apr", "pipe_mev_watch",
-    "pipe_top_indexes", "pipe_training_corpus", "pipe_user_income",
-    "pipe_user_income_mev", "pipe_user_income_node_runner",
-    "pipe_validator_lsd_score", "pipe_validator_slot_withdrawals",
-    "pipe_withdrawals_slot_range",
-    "ns_text_classify_trained", "ns_text_bigram_lm", "ns_dedup_jaccard",
-    "ns_session_agg")
+  private def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+  }
+
+  /** DERIVED query list: construct every registered query against the
+    * fixture dir and keep those whose schema carries a float anywhere.
+    * External-source scans (the SourceSinkOps registry: REST, GraphQL,
+    * JDBC, queue/file cursors) have no parquet input to permute and are
+    * excluded as a family.
+    */
+  private lazy val queries: Seq[String] = {
+    val external = graft.ops.SourceSinkOps.queries.keySet
+    val derived = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(external)
+      .filter { q =>
+        val keep = hasFloat(SparkEntry.queries(q)(spark, sfDir).schema)
+        spark.sharedState.cacheManager.clearCache()
+        keep
+      }
+    // Coverage floor: the round-11 hand list must stay a subset — a
+    // derivation bug (schema probe failing, registry rename) fails here
+    // instead of silently ungating queries.
+    val anchors = Set(
+      "op21_nested_join", "op30_multi_agg", "op38_cumulative_income",
+      "pipe_user_income", "pipe_index_epoch_apr", "ops_salted_sum",
+      "ns_text_classify_trained", "ns_text_bigram_lm", "ns_dedup_jaccard",
+      "ns_session_agg")
+    val missing = anchors -- derived.toSet
+    assert(missing.isEmpty, s"derivation lost anchor queries: $missing")
+    assert(derived.size >= 56,
+      s"derived float-query list shrank below the r11 hand list: ${derived.size}")
+    derived
+  }
 
   private def run(q: String, dir: String): Seq[String] = {
     val rows = SparkEntry.queries(q)(spark, dir).collect()
