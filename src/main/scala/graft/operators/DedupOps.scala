@@ -874,6 +874,21 @@ object DedupOps {
       .select(col("component"), col("n_docs"), col("keep_doc_id"))
       .orderBy("component")
 
+  /** Near-dup survivorship of an ARBITRARY document subset: minhash
+    * pairs within `docs` only (banding is per-doc deterministic, so the
+    * pair set equals the full-corpus pairs restricted to the subset),
+    * connected components, min-id representative per component. The
+    * composition building block the crawl pipeline's survivorship stage
+    * uses after its admission gates have shrunk the crawl.
+    */
+  private[operators] def survivorIdsOf(docs: DataFrame): DataFrame = {
+    val (sets, sig) = materializedSetsAndSig(docs)
+    val pairs = minhashNearDupPairs(sets, sig, 0.5).select("doc_a", "doc_b")
+    val labels = componentLabelsFromEdges(docs.select("doc_id"), pairs)
+    sets.unpersist(); sig.unpersist()
+    labels.groupBy("component").agg(min("doc_id").as("doc_id")).select("doc_id")
+  }
+
   /** The end-to-end dedup deliverable: the SURVIVING corpus. Each
     * near-dup component keeps its min-id document; the output row carries
     * how many near-duplicates the survivor displaced. This is the

@@ -161,12 +161,20 @@ object PackingOps {
     * would be the trainer's file-size target instead of a fixture-scale
     * constant.
     */
-  def nsPackExport(spark: SparkSession, dir: String): DataFrame = {
-    val packed = nsPackChunksGlobal(spark, dir)
+  def nsPackExport(spark: SparkSession, dir: String): DataFrame =
+    shardReportOf(nsPackChunksGlobal(spark, dir), "graft_pack_export")
+
+  /** The export tail shared by [[nsPackExport]] and the crawl
+    * composition: assign fixed-token shards, physically write one file
+    * per shard through the crash-safe publish, report FROM THE READ-BACK.
+    */
+  private def shardReportOf(packed: DataFrame, tmpTag: String): DataFrame = {
+    val spark = packed.sparkSession
+    val sharded = packed
       .withColumn("shard_id", expr(s"cum_before div $ExportShardTokens"))
-    val root = graft.ops.ProcessTmp.dir("graft_pack_export") + "/corpus"
+    val root = graft.ops.ProcessTmp.dir(tmpTag) + "/corpus"
     graft.ops.MergeSink.publishPartitionedCols(
-      packed.select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+      sharded.select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
         col("first_chunk"), col("last_chunk"), col("shard_id")),
       root, Seq("shard_id"), onePerPartition = true)
     spark.read.parquet(root)
@@ -204,6 +212,116 @@ object PackingOps {
         TextOps.bpeTokenCountCol(merges).as("toks"))
       .where(col("toks") > 0)
       .cache())
+  }
+
+  /** CRAWL → SHARDS, end to end — the composition a production
+    * pretraining-data pipeline actually ships, every stage one of the
+    * published operators, as ONE oracled query:
+    *
+    *   0. URL survivorship   — canonical-URL dedup, min-id per canonical
+    *      (the admission chain's gate 0; cheapest, no content read)
+    *   1. Gopher quality     — per-row rule battery
+    *   2. decontamination    — drop docs overlapping the eval probe
+    *      suite (doc_id % 50 = 0, excluded from the crawl itself)
+    *   3. survivorship       — MinHash near-dup connected components
+    *      WITHIN the gate survivors, min-id representative
+    *   4. classify           — the TRAINED quality classifier's keep bit
+    *      (model fit on the full corpus, like the tokenizer: decoupled
+    *      from the selection so one model serves every mix)
+    *   5. select             — DSIR importance resampling keep set
+    *   6. pack               — global-continuity packing under REAL BPE
+    *      token counts (tokenizer trained on the full corpus)
+    *   7. shard export       — fixed-token physical shards, one file per
+    *      shard through the crash-safe publish, report FROM THE
+    *      READ-BACK (hash-match proves the files on disk, not just the
+    *      assignment algebra)
+    *
+    * Scale shape: gates 0-2 are one cheap shuffle each (canonical / fp /
+    * broadcast probe); survivorship is the banded-pair machinery
+    * (edge-proportional, never all-pairs); classify/select are keep-set
+    * semi-joins on doc_id (one exchange family); pack + export reuse the
+    * two-pass shard-offset algebra and the already-partitioned write. At
+    * 100 TB every stage keeps its published posture — the composition
+    * adds joins on the uniform doc_id key only.
+    */
+  def pipeCrawlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 50 === 0
+    val crawl = docs.where(!isEval)
+    val urlKeep = crawl
+      .select(col("doc_id"), DedupOps.synthUrl(col("doc_id")).as("url"))
+      .withColumn("canonical", DedupOps.canonicalUrl(col("url")))
+      .groupBy("canonical").agg(min("doc_id").as("doc_id"))
+    val s0 = crawl.join(urlKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val s1 = s0.join(
+      TextOps.gopherProfile(s0).where(col("pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val probeSh = DedupOps.shingles(docs.where(isEval)).select("sh").distinct()
+    val contam = DedupOps
+      .contaminationProfile(DedupOps.shingles(s1), probeSh)
+      .where(col("drop_doc")).select("doc_id")
+    val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+    val surv = DedupOps.survivorIdsOf(s2)
+    val clsKeep = TextOps.nsTextClassifyTrained(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val dsirKeep = SamplingOps.nsCorpusDsir(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val selected = surv
+      .join(clsKeep, Seq("doc_id"), "left_semi")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    val merges = TextOps.trainBpeMerges(spark, dir)
+    val packed = packGlobalFrom(docs
+      .join(selected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache())
+    shardReportOf(packed, "graft_crawl_export")
+  }
+
+  /** Oracle for [[pipeCrawlCorpus]]: the gate chain as CTEs (canonical
+    * stated from the doc_id formulas; gopher/decon/classifier oracles as
+    * nested subqueries; the banded near-dup pairs restricted to the gate
+    * survivors feeding a recursive component closure; the DSIR keep
+    * CTEs), then the shared BPE pack chain ending in the shard report.
+    */
+  private def crawlCorpusOracle: String = {
+    val canonSql = DedupOps.synthCanonicalSql("(doc_id // 4)")
+    val nearDup = DedupOps.nearDupMatchesOracle(
+      "a.doc_id IN (SELECT doc_id FROM s2)",
+      "b.doc_id IN (SELECT doc_id FROM s2)")
+    val prefix =
+      s"""uc AS (SELECT doc_id, $canonSql AS canonical
+         |       FROM documents WHERE doc_id % 50 <> 0),
+         |uk AS (SELECT MIN(doc_id) AS doc_id FROM uc GROUP BY canonical),
+         |gph AS (SELECT doc_id FROM (${TextOps.oracles("ns_text_gopher")}) gg WHERE pass),
+         |s1g AS (SELECT uk.doc_id FROM uk JOIN gph USING (doc_id)),
+         |ctm AS (SELECT doc_id FROM (${DedupOps.oracles("ns_decontaminate")}) dc WHERE drop_doc),
+         |s2 AS (SELECT doc_id FROM s1g WHERE doc_id NOT IN (SELECT doc_id FROM ctm)),
+         |ndp AS (SELECT batch_doc AS doc_a, corpus_doc AS doc_b FROM ($nearDup) m),
+         |edg AS (SELECT doc_a, doc_b FROM ndp
+         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ndp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM s2
+         |  UNION
+         |  SELECT reach.doc_id, edg.doc_b FROM reach JOIN edg ON reach.r = edg.doc_a),
+         |cmp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+         |surv AS (SELECT MIN(doc_id) AS doc_id FROM cmp GROUP BY component),
+         |clsk AS (SELECT doc_id FROM (${TextOps.oracles("ns_text_classify_trained")}) cc WHERE keep),
+         |${SamplingOps.dsirCtes},
+         |keepsel AS (SELECT doc_id FROM sd WHERE n_grams > 0 AND llr_u > 0),
+         |fin AS (SELECT surv.doc_id FROM surv
+         |        JOIN clsk USING (doc_id) JOIN keepsel USING (doc_id)),
+         |""".stripMargin
+    s"""WITH RECURSIVE ${packBpeCtesFrom(prefix, "documents dd JOIN fin USING (doc_id)")}
+       |SELECT cum_before // $ExportShardTokens AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(toks) AS BIGINT) AS n_toks,
+       |       MIN(cum_before) AS stream_from,
+       |       MIN(first_chunk) AS first_chunk,
+       |       MAX(last_chunk) AS last_chunk
+       |FROM pk GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
   }
 
   /** Deterministic weighted source interleave (the "temperature mixing"
@@ -274,6 +392,7 @@ object PackingOps {
     "ns_pack_bpe" -> (nsPackBpe _),
     "ns_pack_export" -> (nsPackExport _),
     "pipe_select_pack" -> (pipeSelectPack _),
+    "pipe_crawl_corpus" -> (pipeCrawlCorpus _),
     "ns_corpus_mix" -> (nsCorpusMix _),
     "ns_corpus_mix_temp" -> (nsCorpusMixTemp _))
 
@@ -323,12 +442,17 @@ object PackingOps {
        |""".stripMargin,
     "documents dd JOIN keep USING (doc_id)")
 
-  private def packBpeOracleFrom(prefixCtes: String, docwFrom: String): String = {
+  /** The BPE-token global-pack CTE chain (no leading WITH) ending at
+    * `pk` — one row per packed doc with cum_before/first_chunk/
+    * last_chunk. Shared by the per-doc oracles and the crawl
+    * composition's shard report so every consumer moves together.
+    */
+  private def packBpeCtesFrom(prefixCtes: String, docwFrom: String): String = {
     val chain = (1 to TextOps.BpeMerges).map { i =>
       s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
          |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $prefixCtes${TextOps.bpeTrainCtes},
+    s"""$prefixCtes${TextOps.bpeTrainCtes},
        |docw AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
        |  FROM $docwFrom),
@@ -352,16 +476,21 @@ object PackingOps {
        |  SELECT doc_id, lang, toks,
        |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
-       |  FROM t)
-       |SELECT c.doc_id, c.lang, c.toks,
-       |       oo.shard_offset + c.cum_in_shard AS cum_before,
-       |       (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
-       |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk,
-       |       (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens}
-       |         - (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} + 1 AS n_chunks
-       |FROM c JOIN oo USING (lang)
-       |ORDER BY lang, doc_id""".stripMargin
+       |  FROM t),
+       |pk AS (
+       |  SELECT c.doc_id, c.lang, c.toks,
+       |         oo.shard_offset + c.cum_in_shard AS cum_before,
+       |         (oo.shard_offset + c.cum_in_shard) // ${ChunkTokens} AS first_chunk,
+       |         (oo.shard_offset + c.cum_in_shard + c.toks - 1) // ${ChunkTokens} AS last_chunk
+       |  FROM c JOIN oo USING (lang))""".stripMargin
   }
+
+  private def packBpeOracleFrom(prefixCtes: String, docwFrom: String): String =
+    s"""WITH ${packBpeCtesFrom(prefixCtes, docwFrom)}
+       |SELECT doc_id, lang, toks, cum_before, first_chunk, last_chunk,
+       |       last_chunk - first_chunk + 1 AS n_chunks
+       |FROM pk
+       |ORDER BY lang, doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ns_pack_chunks" ->
@@ -404,6 +533,7 @@ object PackingOps {
          |ORDER BY shard_id""".stripMargin,
     "ns_pack_bpe" -> packBpeOracle,
     "pipe_select_pack" -> selectPackOracle,
+    "pipe_crawl_corpus" -> crawlCorpusOracle,
     "ns_corpus_mix_temp" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,
