@@ -66,6 +66,43 @@ object ScaleRehearsal {
     docs.coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** REALISTIC-VOCABULARY variant of [[generate]]: identical corpus
+    * shape (30..89 words, the same %10==9 near-dup planting, same
+    * lang/source columns) but the token space SCALES WITH THE CORPUS —
+    * Zipf(s=1) over max(65536, 2·nDocs) distinct tokens via the
+    * inverse-CDF `rank = floor(V^u)` (P(rank ≤ r) = ln r / ln V, pmf ∝
+    * 1/r), u hash-uniform per (doc, pos). This is the fixture that
+    * separates a BAND-SCHEME property from a FIXTURE artifact: the
+    * ~3.2k-token generator above makes band buckets collide spuriously
+    * more and more as N grows (candidate count ∝ corpus at fixed vocab),
+    * while real text's token space dwarfs the corpus — under this
+    * generator spurious band collisions stay ~corpus-independent, so a
+    * candidate shuffle that still grew with N would indict the bands,
+    * not the fixture.
+    */
+  private def generateZipf(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    val v = math.max(65536L, nDocs * 2)
+    val lnV = math.log(v.toDouble)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("src_id", when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+        .otherwise(col("doc_id")))
+      .withColumn("n_words", (pmod(hash(col("src_id") * 7), lit(60)) + lit(30)).cast("int"))
+      .withColumn("words", expr(
+        s"transform(sequence(1, n_words), p -> concat('w', CAST(" +
+          s"greatest(1L, least(${v}L, CAST(exp((pmod(hash(src_id * 131 + p), 1000000) / 1000000.0) * $lnV) AS BIGINT))) AS STRING)))"))
+      .withColumn("text",
+        when(col("doc_id") % 10 === 9,
+          concat(array_join(col("words"), " "), lit(" dedup")))
+          .otherwise(array_join(col("words"), " ")))
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod(hash(col("doc_id") * 3), lit(3)) + 1).cast("int")))
+      .withColumn("source", element_at(array(lit("web"), lit("wiki"), lit("code")),
+        (pmod(hash(col("doc_id") * 5), lit(3)) + 1).cast("int")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   /** Deterministic 64-d embeddings matching the driver fixture's schema
     * (vec_id, embedding float[], label): hash-derived uniform components in
     * [-0.5, 0.5); every vec_id % 10 == 9 copies vec_id-1's vector with one
@@ -438,6 +475,32 @@ object ScaleRehearsal {
           (name, dir)
       }
       for ((sfName, dir) <- bigScales) {
+        measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
+        measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
+      }
+    }
+
+    // Round-12: the REALISTIC-VOCABULARY sweep — the r11 verdict's one
+    // argued (not measured) 100 TB claim. The highdup500 candidate
+    // shuffle grew ~linearly with the corpus on the fixed-3.2k-token
+    // fixture (13→126 MB over 50k→512k at flat wall), attributed to
+    // spurious band collisions at fixed vocab. The Zipf generator scales
+    // the token space with the corpus (real text's regime): if the
+    // attribution is right, the candidate shuffle flattens to
+    // batch-proportional here; if it doesn't, the band scheme — not the
+    // fixture — owns the growth. Select with trailing arg
+    // `platform_delta_zipf`.
+    if (only.isEmpty || only("platform_delta_zipf")) {
+      val zipfScales = Seq(
+        ("zipf50k", 50000L), ("zipf256k", 256000L), ("zipf512k", 512000L))
+        .map { case (name, n) =>
+          val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+          if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) {
+            generateZipf(spark, dir, n)
+          }
+          (name, dir)
+        }
+      for ((sfName, dir) <- zipfScales) {
         measureDelta("fixed500", c => c % 10 === 1 && c < 5000, sfName, dir)
         measureDelta("highdup500", c => c % 10 === 9 && c < 5000, sfName, dir)
       }

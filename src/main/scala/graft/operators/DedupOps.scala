@@ -498,18 +498,48 @@ object DedupOps {
           .select("doc_id", "band_key")
       },
       candIds => {
-        val touched = candIds
-          .select(pmod(col("doc_id"), lit(setsBuckets.toLong))
-            .cast("int").as("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        // Collect the candidate ids themselves (bounded: limit cap+1 —
+        // the same driver-state class as the bucket collect). Inlining
+        // them as a pushed IN filter matters at scale: a bucket-only
+        // filter reads touched buckets WHOLE — ~500 scattered candidates
+        // touch ~min(500, buckets) buckets × 512 rows ≈ 256k fat rows
+        // shuffled into the verify, the corpus-proportional-until-the-
+        // knee term the round-12 Zipf sweep isolated (byte-identical
+        // across vocabularies, so structural, not band collisions). With
+        // the id filter the scan prunes row groups INSIDE each bucket
+        // (the log is sorted (bucket, doc_id)) and the verify's input is
+        // exactly the candidate rows — batch-proportional at any corpus.
+        val idArr = candIds.select("doc_id").distinct()
+          .limit(VerifyInlineIds + 1)
+          .collect().map(_.getLong(0))
         val log = spark.read.parquet(s"$root/sets")
         // No candidates (a fully-novel batch): skip the read entirely.
-        (if (touched.isEmpty) log.where(lit(false))
-         else log.where(col("bucket").isin(touched: _*)))
+        (if (idArr.isEmpty) log.where(lit(false))
+         else if (idArr.length <= VerifyInlineIds) {
+           val touched = idArr.map(id => (id % setsBuckets).toInt).distinct.toSeq
+           log.where(col("bucket").isin(touched: _*)
+             && col("doc_id").isin(idArr.map(Long.box).toSeq: _*))
+         } else {
+           // Adversarially wide candidate sets fall back to the
+           // bucket-granular read rather than inlining an unbounded
+           // literal list into the plan.
+           val touched = candIds
+             .select(pmod(col("doc_id"), lit(setsBuckets.toLong))
+               .cast("int").as("bucket"))
+             .distinct().collect().map(_.getInt(0)).toSeq
+           log.where(col("bucket").isin(touched: _*))
+         })
           .select("doc_id", "shs", "c")
       },
       threshold)
   }
+
+  /** Cap on candidate ids inlined into the fat-sets scan as a pushed IN
+    * filter — far above any sane batch's verified-candidate count, far
+    * below an expression size that would strain codegen; Spark compiles
+    * lists this long to an O(1) InSet probe.
+    */
+  private val VerifyInlineIds = 4096
 
   /** Shared core of the batch-vs-index edge probe. The corpus sides come
     * from LOADERS so the pruned path can derive each read from the frame
