@@ -167,7 +167,18 @@ object PackingOps {
   /** The export tail shared by [[nsPackExport]] and the crawl
     * composition: assign fixed-token shards, physically write one file
     * per shard through the crash-safe publish, report FROM THE READ-BACK.
+    *
+    * The read declares its schema: an EMPTY selection is a legal state —
+    * a gate chain can reject every document (measured: the trained
+    * classifier keeps nothing on the tiled sf1 fixture, the same class
+    * of fixture property as gopher rejecting the rehearsal vocabulary) —
+    * and the zero-shard day must report an empty table, not throw
+    * UNABLE_TO_INFER_SCHEMA (the manifestLogSchema precedent).
     */
+  private val exportSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, toks BIGINT, cum_before BIGINT, " +
+      "first_chunk BIGINT, last_chunk BIGINT, shard_id BIGINT")
+
   private def shardReportOf(packed: DataFrame, tmpTag: String): DataFrame = {
     val spark = packed.sparkSession
     val sharded = packed
@@ -177,7 +188,10 @@ object PackingOps {
       sharded.select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
         col("first_chunk"), col("last_chunk"), col("shard_id")),
       root, Seq("shard_id"), onePerPartition = true)
-    spark.read.parquet(root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(rootPath) // zero partitions published: read an empty dir, not a missing one
+    spark.read.schema(exportSchema).parquet(root)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
