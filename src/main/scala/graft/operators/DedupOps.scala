@@ -516,7 +516,13 @@ object DedupOps {
         // No candidates (a fully-novel batch): skip the read entirely.
         (if (idArr.isEmpty) log.where(lit(false))
          else if (idArr.length <= VerifyInlineIds) {
-           val touched = idArr.map(id => (id % setsBuckets).toInt).distinct.toSeq
+           // floorMod, not %: the log is written with pmod (IndexOps), so
+           // a negative doc_id must land on the same non-negative bucket
+           // here — Scala % would compute a negative bucket, match no
+           // stored rows, and silently drop that candidate's edges.
+           val touched =
+             idArr.map(id => Math.floorMod(id, setsBuckets.toLong).toInt)
+               .distinct.toSeq
            log.where(col("bucket").isin(touched: _*)
              && col("doc_id").isin(idArr.map(Long.box).toSeq: _*))
          } else {
@@ -1235,24 +1241,43 @@ object DedupOps {
     * admission gate — so those fall back to the RAW url as their own
     * canonical (no normalization, but also no false merge).
     */
-  private[graft] def canonicalUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
-    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-      .otherwise(hostPort)
-    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
-    val path = when(rawPath === "" || rawPath === "/", lit("/"))
-      .otherwise(regexp_replace(rawPath, "/$", ""))
-    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
-    val kept = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.startsWith("utm_")))
-    val canonical = concat(scheme, lit("://"), host, path,
-      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
-        .otherwise(lit("")))
-    when(scheme === "", url).otherwise(canonical)
-  }
+  /** Expression-level let-binding: evaluate `c` ONCE per row and hand the
+    * bound value to `f` as a lambda variable. This expression tree holds
+    * higher-order functions, so it evaluates INTERPRETED (no codegen, no
+    * common-subexpression elimination) — without the binds every repeated
+    * subterm re-runs its regex per reference (the r12 `ns_dedup_urls`
+    * 1.46x regression: the scheme-less `when` re-evaluated the extract
+    * chain). A single-element `transform` is the cheapest let the
+    * expression language offers; the per-row array alloc is far below one
+    * regex evaluation.
+    */
+  private def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  private[graft] def canonicalUrl(url: Column): Column =
+    bound(regexp_replace(url, "#.*$", "")) { noFrag =>
+      bound(lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))) { scheme =>
+        val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+        // `when` branches evaluate lazily, so hostPort's regex runs once
+        // per row (only the taken branch evaluates it).
+        val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+          .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+          .otherwise(hostPort)
+        val path = bound(
+          regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)) { rawPath =>
+          when(rawPath === "" || rawPath === "/", lit("/"))
+            .otherwise(regexp_replace(rawPath, "/$", ""))
+        }
+        val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+        val params = bound(array_sort(filter(split(query, "&"),
+          p => p =!= "" && !p.startsWith("utm_")))) { kept =>
+          when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+            .otherwise(lit(""))
+        }
+        val canonical = concat(scheme, lit("://"), host, path, params)
+        when(scheme === "", url).otherwise(canonical)
+      }
+    }
 
   /** URL-level dedup — the crawl pipeline's FIRST dedup rung (cheaper
     * than any content hash: a canonical-URL match skips the fetch/parse
@@ -1276,7 +1301,11 @@ object DedupOps {
     * sees the same fixture URLs.
     */
   private[graft] def synthUrl(docId: Column): Column = {
-    val k = floor(docId / 4).cast("long") // doc_id ≥ 0, so floor = integer div
+    // Exact integer `doc_id div 4` at ANY id: 4 is a power of two, so an
+    // arithmetic shift IS the division (and floor-matches the oracle's
+    // `//` for hypothetical negatives too). floor(docId / 4) went through
+    // IEEE double division, which loses exactness above 2^53.
+    val k = shiftright(docId.cast("long"), 2)
     val v = docId % 4
     def s(c: Column): Column = c.cast("string")
     concat(

@@ -29,20 +29,52 @@ object SamplingOps {
   private[graft] val sampleKeyCol: Column =
     pmod(col("doc_id") * lit(SampleKeyA) + lit(SampleKeyB), lit(SampleKeyP)).as("sample_key")
 
+  /** Range count for the distributed per-lang rank: the sample-key axis
+    * ([0, [[SampleKeyP]])) is cut into this many fixed-width ranges, so
+    * the rank window partitions by (lang, range) — parallelism scales
+    * with ranges x langs — and the offset frame stays ≤ |langs| x 1024
+    * rows. The affine key is near-uniform on its domain by construction,
+    * so equal-width ranges are balanced without a sampling pass.
+    */
+  private[graft] val SampleRanges = 1024L
+  private val SampleRangeWidth = SampleKeyP / SampleRanges + 1L
+
   /** Exact stratified 20% sample: per-language quota = ceil(0.2 · |lang|),
-    * taken in sample-key order. One exchange on `lang` feeds the count
-    * window, the rank window, and nothing else. Languages are few and
-    * skewed (en ≈ 44%): at 100 TB the per-lang rank would be taken via
-    * per-partition pre-rank + offset merge, or the hash-threshold variant
-    * below — which needs NO shuffle at all — replaces it.
+    * taken in sample-key order — via PER-RANGE PRE-RANK + OFFSET MERGE
+    * (the 100 TB path this query's r12 comment only documented):
+    *
+    *  1. per-(lang, sample-key-range) row counts — a map-side-combining
+    *     aggregate over a 2-column scan to a ≤ |langs| x [[SampleRanges]]
+    *     frame; per-lang running rank offsets via a window over THAT tiny
+    *     frame (ranges are monotonic in the rank order key, and key ties
+    *     share a range, so offsets compose exactly); per-lang totals for
+    *     the quota from the same aggregate;
+    *  2. row_number within (lang, range) ordered by (sample_key, doc_id)
+    *     over doc rows + the broadcast offset = the global per-lang rank,
+    *     byte-identical to the single per-lang window form
+    *     (SamplingOpsSpec pins the equality).
+    *
+    * No stage's parallelism is bounded by the language count (en ≈ 44 %
+    * of a real corpus). The hash-threshold variant below remains the
+    * zero-shuffle alternative when binomial per-stratum counts suffice.
     */
   def nsCorpusSampleExact(spark: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy("lang")
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKeyCol)
-      .withColumn("sample_rank",
-        row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
-      .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.2))
+      .withColumn("_rg", expr(s"sample_key div $SampleRangeWidth"))
+    val rgAgg = docs.groupBy("lang", "_rg").agg(count(lit(1)).as("_rg_n"))
+    val rgOrder = Window.partitionBy("lang").orderBy("_rg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rgOffsets = rgAgg
+      .withColumn("_rg_offset", coalesce(sum("_rg_n").over(rgOrder), lit(0L)))
+      .select("lang", "_rg", "_rg_offset")
+    val quotas = rgAgg.groupBy("lang").agg(ceil(sum("_rg_n") * 0.2).as("quota"))
+    val inRg = Window.partitionBy("lang", "_rg").orderBy("sample_key", "doc_id")
+    docs
+      .withColumn("_rank_in_rg", row_number().over(inRg).cast("long"))
+      .join(broadcast(rgOffsets), Seq("lang", "_rg"))
+      .withColumn("sample_rank", col("_rg_offset") + col("_rank_in_rg"))
+      .join(broadcast(quotas), Seq("lang"))
       .where(col("sample_rank") <= col("quota"))
       .select("doc_id", "lang", "source", "n_chars", "sample_key", "sample_rank")
       .orderBy("lang", "sample_rank")

@@ -21,8 +21,14 @@ object AggOps {
     * null into a named error telling the operator to promote the
     * aggregate to DECIMAL(38,0) — the documented escape for
     * trillion-unit groups. Empty / all-null groups stay null (count
-    * guard), matching plain `sum`. Cost vs raw sum(BIGINT): one extra
-    * count per group and a checked add — nothing at any scale.
+    * guard), matching plain `sum`. Both aggregate functions share ONE
+    * hash-aggregate pass (same grouping); the per-group when/coalesce is
+    * post-aggregation arithmetic. CALLER CONTRACT: pass a PROJECTED
+    * column, not an inline expression — `count(micro)` and
+    * `try_sum(micro)` each evaluate their child per row, so an inline
+    * round/cast chain would run twice per row (measured: op30 full-eval
+    * 0.53 → 0.90 s at sf0.1 when the micro expressions were inlined;
+    * projecting them first returns the checked sum to plain-sum cost).
     */
   private[graft] def microUnitSumChecked(micro: Column, site: String): Column =
     when(count(micro) === 0, lit(null).cast("long"))
@@ -76,16 +82,21 @@ object AggOps {
     // LOUD ([[microUnitSumChecked]] — Spark's non-ANSI sum(BIGINT) would
     // wrap silently) and the named error tells the operator to promote
     // to DECIMAL(38,0) (still order-free). One IEEE divide at the end.
+    // Micro-unit quantization PROJECTED once per row before the agg:
+    // count+try_sum each evaluate their child, so inlining the cast/round
+    // chain into microUnitSumChecked ran it twice per row (the r12 op30
+    // regression — see the contract note on microUnitSumChecked).
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_discount"),
+        expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)").as("price_u"),
+        expr("CAST(round(l_quantity * 1000000) AS BIGINT)").as("qty_u"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(avg(col("l_discount")), 6).as("avg_disc"),
-        round(microUnitSumChecked(
-          expr("CAST(round(l_extendedprice * 1000000) AS BIGINT)"),
-          "op30.sum_price") / 1e6, 6).as("sum_price"),
-        round(microUnitSumChecked(
-          expr("CAST(round(l_quantity * 1000000) AS BIGINT)"),
-          "op30.sum_qty") / 1e6, 6).as("sum_qty"),
+        round(microUnitSumChecked(col("price_u"), "op30.sum_price") / 1e6, 6)
+          .as("sum_price"),
+        round(microUnitSumChecked(col("qty_u"), "op30.sum_qty") / 1e6, 6)
+          .as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 

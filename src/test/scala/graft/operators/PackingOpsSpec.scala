@@ -193,15 +193,86 @@ class PackingOpsSpec extends SparkSpec {
         s"(inmemory=$memScans, parquet=$pqScans):\n${nodes.map(_.nodeName)}")
   }
 
-  test("packing plans: one hash exchange per stream window, none for the mix ranks beyond source") {
-    val packShuffles = noAqeNodes(PackingOps.nsPackChunks(spark, sfDir))
-      .collect { case e: ShuffleExchangeExec => e }
-    val (packRange, packHash) = packShuffles.partition(
-      _.outputPartitioning.toString.toLowerCase.contains("range"))
-    assert(packHash.size == 1 && packHash.head.outputPartitioning.toString.contains("lang"),
-      s"pack: expected one lang hash exchange, got ${packHash.map(_.outputPartitioning)}")
-    assert(packRange.size <= 1)
+  /** THE scale rule of the prefix-sum rewrite (r12 verdict finding #1):
+    * doc rows must never ride a window/exchange whose partitioning is
+    * `lang` alone (parallelism ceiling = |langs|; en ≈ 44 % of a real
+    * corpus puts ~44 % of all rows in one task). A lang-only partition
+    * spec is legal ONLY over an aggregated (metadata-scale) frame.
+    */
+  private def assertNoLangOnlyDocWindow(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan], tag: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"$tag: no window found — pin vacuous")
+    windows.foreach { w =>
+      val langOnly = w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.references.toSeq.exists(_.name == "lang")
+      if (langOnly)
+        assert(collectAllPlans(w.child)
+          .exists(_.nodeName.toLowerCase.contains("aggregate")),
+          s"$tag: lang-only window over raw doc rows (parallelism = |langs|):\n$w")
+    }
+    // And the doc-row prefix window actually exists in its parallel form:
+    // a window partitioned by BOTH lang and the range column.
+    assert(windows.exists(w => w.partitionSpec.size == 2 &&
+      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains("lang")),
+      s"$tag: no (lang, range) doc-row window — prefix scan missing")
+  }
 
+  test("pack/sample plans: doc rows never ride lang-only windows or exchanges") {
+    for ((tag, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "ns_pack_chunks" -> (() => PackingOps.nsPackChunks(spark, sfDir)),
+      "ns_pack_chunks_global" -> (() => PackingOps.nsPackChunksGlobal(spark, sfDir)),
+      "ns_corpus_sample_exact" -> (() => SamplingOps.nsCorpusSampleExact(spark, sfDir)))) {
+      val nodes = noAqeNodes(build())
+      assertNoLangOnlyDocWindow(nodes, tag)
+      // Exchange form of the same rule: a hash exchange on lang alone may
+      // only carry aggregated rows.
+      nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        val p = e.outputPartitioning.toString
+        if (p.contains("lang") && !p.contains("_rg") && !p.toLowerCase.contains("range"))
+          assert(collectAllPlans(e.child)
+            .exists(_.nodeName.toLowerCase.contains("aggregate")),
+            s"$tag: lang-only hash exchange of raw doc rows: $p")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("langPrefix equals the per-lang window form on adversarial id layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def check(rows: Seq[(Long, String, Long)], tag: String): Unit = {
+      val docs = rows.toDF("doc_id", "lang", "toks").cache()
+      // Explicit select: the (lang, _rg) join moves its keys to the
+      // front; production callers re-project, so the pin does too.
+      val got = PackingOps.langPrefix(docs, "cum")
+        .select("doc_id", "lang", "toks", "cum")
+        .orderBy("lang", "doc_id").collect().map(_.toSeq).toSeq
+      val want = docs.withColumn("cum", coalesce(sum("toks").over(win), lit(0L)))
+        .orderBy("lang", "doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"$tag: prefix sums diverge from the window form")
+      docs.unpersist()
+    }
+    // Dense interleaved ids, skewed lang mix (the en ≈ 44 % shape).
+    check((0L until 400L).map(i =>
+      (i, if (i % 9 < 4) "en" else s"l${i % 9}", i % 7 + 1)), "dense-skewed")
+    // ALL ids clustered into one range (worst case for equal-width cuts:
+    // the scan degenerates to per-lang serial but must stay exact).
+    check((0L until 50L).map(i => (4000000000L + i, s"l${i % 3}", i + 1)),
+      "clustered-high")
+    // Sparse ids spanning the long domain + a single-language corpus.
+    check(Seq((0L, "en", 3L), (1L << 40, "en", 5L), (1L << 55, "en", 7L),
+      (1L << 62, "en", 11L)), "sparse-wide")
+    // Empty frame: no rows, no failure.
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "toks").cache()
+    assert(PackingOps.langPrefix(empty, "cum").collect().isEmpty)
+    empty.unpersist()
+  }
+
+  test("mix plan: no hash exchange beyond source") {
     val mixShuffles = noAqeNodes(PackingOps.nsCorpusMix(spark, sfDir))
       .collect { case e: ShuffleExchangeExec => e }
     val (mixRange, mixHash) = mixShuffles.partition(

@@ -81,4 +81,26 @@ class SamplingOpsSpec extends SparkSpec {
     assert(plans.exists(_.nodeName.contains("WindowGroupLimit")),
       s"no WindowGroupLimit in:\n${plans.map(_.nodeName).distinct}")
   }
+
+  test("exact stratified sample: range pre-rank + offset merge equals the per-lang rank window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SamplingOps.nsCorpusSampleExact(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // The semantics stated as the single per-lang window the production
+    // plan deliberately avoids (its parallelism ceiling is |langs|).
+    val byLang = Window.partitionBy("lang")
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        SamplingOps.sampleKeyCol)
+      .withColumn("sample_rank",
+        row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
+      .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.2))
+      .where(col("sample_rank") <= col("quota"))
+      .select("doc_id", "lang", "source", "n_chars", "sample_key", "sample_rank")
+      .orderBy("lang", "sample_rank")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      "range-offset stratified sample diverges from the window form")
+  }
 }
