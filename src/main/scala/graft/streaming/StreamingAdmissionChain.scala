@@ -72,13 +72,15 @@ object StreamingAdmissionChain {
       .localCheckpoint()
     val corpusFp = Pipelines.contentFp(corpusDocs).localCheckpoint()
     // Gate-0 statics: corpus canonicals (sentinel id — see
-    // StreamingUrlDedup) + the admitted-canonical extension.
-    val baseCanon =
-      if (urlGated) corpusUrls.get
+    // StreamingUrlDedup) + the admitted-canonical extension. Option, not
+    // a null sentinel: a missed urlGated guard fails to compile against
+    // an Option instead of NPE-ing at stream start.
+    val baseCanon: Option[DataFrame] =
+      if (urlGated) Some(corpusUrls.get
         .select(DedupOps.canonicalUrl(col("url")).as("canonical")).distinct()
         .withColumn("doc_id", lit(-1L)).select("doc_id", "canonical")
-        .localCheckpoint()
-      else null
+        .localCheckpoint())
+      else None
     val (baseBanded, baseSets) = DedupOps.corpusIndexMaterialized(corpusDocs)
     // Admitted-documents extensions, every row tagged with the batch that
     // admitted it (`src_batch`). Replay safety keys on THAT, not on the
@@ -95,13 +97,18 @@ object StreamingAdmissionChain {
     var extFp = prior.map(p => withBatchTag(p, Pipelines.contentFp(p)))
       .getOrElse(corpusFp.limit(0).withColumn("src_batch", lit(0L)))
       .localCheckpoint()
-    var extCanon =
-      if (urlGated) prior
+    var extCanon: Option[DataFrame] = baseCanon.map { bc =>
+      // Restart rebuild GUARDED on the prior sink actually carrying a
+      // `url` column: a URL-gated stream restarted over admitted output
+      // written BEFORE URL gating existed must fall back to the empty
+      // extension (those admissions have no canonicals to replay), not
+      // throw AnalysisException at select("url") on stream start.
+      prior.filter(_.columns.contains("url"))
         .map(p => withBatchTag(p, p.select(col("doc_id"),
           DedupOps.canonicalUrl(col("url")).as("canonical"))))
-        .getOrElse(baseCanon.limit(0).withColumn("src_batch", lit(0L)))
+        .getOrElse(bc.limit(0).withColumn("src_batch", lit(0L)))
         .localCheckpoint()
-      else null
+    }
     val (extB0, extS0) = prior.map { p =>
       val (b, s) = DedupOps.corpusIndexMaterialized(p)
       (withBatchTag(p, b), withBatchTag(p, s))
@@ -116,18 +123,19 @@ object StreamingAdmissionChain {
         //    min-doc_id survivorship — BEFORE any content gate touches
         //    the text (the onAfterUrlGate seam lets a spec pin that
         //    ordering). Replay-safe exactly like the other extensions.
-        val s0 =
-          if (urlGated) {
+        val s0 = (baseCanon, extCanon) match {
+          case (Some(bc), Some(ec)) =>
             val canon = batch.withColumn(
               "canonical", DedupOps.canonicalUrl(col("url")))
             val firsts = canon.withColumn("_rn", row_number().over(
                 org.apache.spark.sql.expressions.Window
                   .partitionBy("canonical").orderBy("doc_id")))
               .where(col("_rn") === 1).drop("_rn")
-            val idx = baseCanon.select("canonical").unionByName(
-              extCanon.where(col("src_batch") =!= batchId).select("canonical"))
+            val idx = bc.select("canonical").unionByName(
+              ec.where(col("src_batch") =!= batchId).select("canonical"))
             firsts.join(idx, Seq("canonical"), "left_anti").drop("canonical")
-          } else batch
+          case _ => batch
+        }
         onAfterUrlGate.foreach(f => f(s0))
         // 1. Gopher: per-row rules, no state touched.
         val s1 = s0.join(
@@ -169,13 +177,11 @@ object StreamingAdmissionChain {
           .unionByName(Pipelines.contentFp(admitted)
             .withColumn("src_batch", lit(batchId)))
           .localCheckpoint()
-        if (urlGated) {
-          extCanon = extCanon.where(col("src_batch") =!= batchId)
-            .unionByName(admitted.select(col("doc_id"),
-                DedupOps.canonicalUrl(col("url")).as("canonical"))
-              .withColumn("src_batch", lit(batchId)))
-            .localCheckpoint()
-        }
+        extCanon = extCanon.map(_.where(col("src_batch") =!= batchId)
+          .unionByName(admitted.select(col("doc_id"),
+              DedupOps.canonicalUrl(col("url")).as("canonical"))
+            .withColumn("src_batch", lit(batchId)))
+          .localCheckpoint())
         val (nb, ns) = DedupOps.corpusIndexMaterialized(admitted)
         extBanded = extBanded.where(col("src_batch") =!= batchId)
           .unionByName(nb.withColumn("src_batch", lit(batchId)))

@@ -23,7 +23,16 @@ import org.apache.spark.sql.functions._
   * (REST/GraphQL/JDBC — no parquet input to permute, identified as the
   * SourceSinkOps registry). A new float-emitting query joins the gate
   * the moment it is registered; an anchor assertion keeps a derivation
-  * bug from silently shrinking coverage below the round-11 hand list.
+  * bug from silently shrinking coverage below the round-11 hand list,
+  * and a canary test feeds the filter a throwaway registry to prove a
+  * new float query would be picked up.
+  *
+  * Cost/robustness shape (r12 advice): many constructors are EAGER
+  * (cache().count(), BPE merge training, physical shard publishes), so
+  * the schema probe and the base run share ONE construction per query —
+  * probing first and re-running would pay each eager constructor twice —
+  * and a constructor that throws is reported BY NAME instead of killing
+  * the whole gate opaquely.
   */
 class PermutationInvarianceSpec extends SparkSpec {
 
@@ -66,21 +75,56 @@ class PermutationInvarianceSpec extends SparkSpec {
     }
   }
 
-  /** DERIVED query list: construct every registered query against the
-    * fixture dir and keep those whose schema carries a float anywhere.
-    * External-source scans (the SourceSinkOps registry: REST, GraphQL,
-    * JDBC, queue/file cursors) have no parquet input to permute and are
-    * excluded as a family.
+  /** The derivation FILTER, factored over an arbitrary registry so the
+    * canary test can exercise it without constructing real queries:
+    * gate = registered, not an external-source scan, float anywhere in
+    * the schema.
     */
-  private lazy val queries: Seq[String] = {
+  private def floatGate(
+      names: Seq[String],
+      external: Set[String],
+      schemaOf: String => org.apache.spark.sql.types.StructType): Seq[String] =
+    names.sorted.filterNot(external).filter(q => hasFloat(schemaOf(q)))
+
+  private def clearState(): Unit =
+    spark.sharedState.cacheManager.clearCache()
+
+  private def run(q: String, dir: String): Seq[String] = {
+    val rows = SparkEntry.queries(q)(spark, dir).collect()
+      .map(_.toString).toSeq.sorted
+    clearState()
+    rows
+  }
+
+  test("float-emitting op/pipe queries are byte-identical under input permutation") {
     val external = graft.ops.SourceSinkOps.queries.keySet
-    val derived = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(external)
-      .filter { q =>
-        val keep = hasFloat(SparkEntry.queries(q)(spark, sfDir).schema)
-        spark.sharedState.cacheManager.clearCache()
-        keep
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    val derived = scala.collection.mutable.ListBuffer[String]()
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(external).flatMap { q =>
+      scala.util.Try {
+        // ONE construction serves the schema probe AND the base run.
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        if (!hasFloat(df.schema)) { clearState(); None }
+        else {
+          derived += q
+          val base = df.collect().map(_.toString).toSeq.sorted
+          clearState()
+          assert(base.nonEmpty, s"$q returned no rows at sf0.001 — test is vacuous")
+          val diffs = Seq("permA" -> permA, "permB" -> permB).collect {
+            case (name, dir) if run(q, dir) != base => name
+          }
+          if (diffs.isEmpty) None else Some(s"$q (${diffs.mkString(",")})")
+        }
+      } match {
+        case scala.util.Success(r) => r
+        case scala.util.Failure(e) =>
+          clearState()
+          failures += s"$q: ${Option(e.getMessage).getOrElse(e.toString).take(300)}"
+          None
       }
+    }
+    assert(failures.isEmpty,
+      s"query constructors/runs threw (gate cannot vouch for them): $failures")
     // Coverage floor: the round-11 hand list must stay a subset — a
     // derivation bug (schema probe failing, registry rename) fails here
     // instead of silently ungating queries.
@@ -93,26 +137,29 @@ class PermutationInvarianceSpec extends SparkSpec {
     assert(missing.isEmpty, s"derivation lost anchor queries: $missing")
     assert(derived.size >= 56,
       s"derived float-query list shrank below the r11 hand list: ${derived.size}")
-    derived
-  }
-
-  private def run(q: String, dir: String): Seq[String] = {
-    val rows = SparkEntry.queries(q)(spark, dir).collect()
-      .map(_.toString).toSeq.sorted
-    spark.sharedState.cacheManager.clearCache()
-    rows
-  }
-
-  test("float-emitting op/pipe queries are byte-identical under input permutation") {
-    val bad = queries.flatMap { q =>
-      val base = run(q, sfDir)
-      assert(base.nonEmpty, s"$q returned no rows at sf0.001 — test is vacuous")
-      val diffs = Seq("permA" -> permA, "permB" -> permB).collect {
-        case (name, dir) if run(q, dir) != base => name
-      }
-      if (diffs.isEmpty) None else Some(s"$q (${diffs.mkString(",")})")
-    }
     assert(bad.isEmpty,
       s"input-order-dependent output (distributed float hazard): $bad")
+  }
+
+  test("canary: a newly registered float query joins the gate; non-float and external ones do not") {
+    import org.apache.spark.sql.types._
+    val schemas = Map(
+      "zz_canary_float" -> StructType(Seq(StructField("k", LongType),
+        StructField("score", DoubleType))),
+      "zz_canary_nested_float" -> StructType(Seq(StructField("k", LongType),
+        StructField("v", ArrayType(StructType(Seq(
+          StructField("w", FloatType))))))),
+      "zz_canary_int" -> StructType(Seq(StructField("k", LongType))),
+      "zz_canary_external" -> StructType(Seq(StructField("x", DoubleType))))
+    val gated = floatGate(schemas.keys.toSeq, Set("zz_canary_external"), schemas)
+    assert(gated == Seq("zz_canary_float", "zz_canary_nested_float"),
+      s"derivation filter mis-gates a new query: $gated")
+    // And the real registry goes through the SAME filter function: spot
+    // anchor op30 via a construct-free schema stub to keep this cheap.
+    val real = floatGate(Seq("op30_multi_agg", "op31_distinct"),
+      graft.ops.SourceSinkOps.queries.keySet,
+      q => SparkEntry.queries(q)(spark, sfDir).schema)
+    clearState()
+    assert(real == Seq("op30_multi_agg"), s"real-registry filter drifted: $real")
   }
 }

@@ -43,6 +43,39 @@ class ObjectStoreClaimSpec extends SparkSpec {
     }
   }
 
+  /** The fuzz variant: `listMarkers` serves an ARBITRARY stale view per
+    * call — each live marker is independently visible with probability
+    * 3/4, and a deleted marker may linger visible (list-after-delete
+    * staleness) with probability 1/4 — driven by a SEEDED rng, so every
+    * failing schedule replays. Safety must never rest on the list:
+    * `createExclusive` stays linearizable per key, exactly the S3/GCS
+    * conditional-put contract.
+    */
+  private final class FuzzObjectStore(rnd: scala.util.Random) extends ClaimStore {
+    val keys: java.util.Set[String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val ghosts: java.util.Set[String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def createExclusive(p: Path): Boolean = keys.add(p.toString)
+    def delete(p: Path): Unit = {
+      if (keys.remove(p.toString) && rnd.nextBoolean()) ghosts.add(p.toString)
+      ()
+    }
+    def listMarkers(dir: Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val prefix = dir.toString + "/"
+      val live = keys.asScala.toSeq.sorted.filter(_ => rnd.nextInt(4) > 0)
+      val stale = ghosts.asScala.toSeq.sorted.filter(_ => rnd.nextInt(4) == 0)
+      (live ++ stale).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    }
+    def mkdirs(dir: Path): Unit = ()
+    def retainOnPublish: Boolean = true
+    def markerNames: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      keys.asScala.map(_.split('/').last).toSet
+    }
+  }
+
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(name).toString
 
@@ -104,6 +137,70 @@ class ObjectStoreClaimSpec extends SparkSpec {
     val gs = gens.toArray(new Array[Integer](0)).map(_.toInt).toSeq
     assert(gs.distinct.size == 2, s"generation collision: $gs")
     assert(store.markerNames == (gs :+ gen).map(s => s"seq=$s").toSet)
+  }
+
+  test("fuzz: 1200 randomized list-lag schedules — claims stay collision-free, published numbers unreachable") {
+    // Store-level fuzz of the claim WALK (no Spark publishes, so 1200
+    // schedules run in seconds): under arbitrary per-call list staleness
+    // the walk must terminate, never hand two claimants one number, and
+    // never hand anyone a number whose marker is retained (= published
+    // on a lagging-list store).
+    for (seed <- 0 until 1200) {
+      val rnd = new scala.util.Random(seed)
+      val store = new FuzzObjectStore(rnd)
+      val path = s"${tmp(s"graft_osf")}/t"
+      // Pre-existing state: a random set of retained markers (published
+      // generations + crashed claimants) and a few deleted ones whose
+      // ghosts may still pollute listings.
+      val retained = (1 to 8).filter(_ => rnd.nextBoolean())
+      retained.foreach(n => store.createExclusive(
+        new Path(s"$path/_claims", s"seq=$n")))
+      (9 to 11).filter(_ => rnd.nextBoolean()).foreach { n =>
+        val p = new Path(s"$path/_claims", s"seq=$n")
+        store.createExclusive(p); store.delete(p)
+      }
+      val got = (1 to 3).map(_ =>
+        MergeSink.claimSeq(spark, path, store = Some(store)))
+      assert(got.distinct.size == 3, s"seed=$seed: duplicate claims $got")
+      got.foreach { s =>
+        assert(!retained.contains(s),
+          s"seed=$seed: re-claimed a retained (published) number $s")
+        assert(store.markerNames.contains(s"seq=$s"),
+          s"seed=$seed: claim $s left no marker")
+      }
+    }
+  }
+
+  test("fuzz: randomized lag through real append + compact cycles keeps retention and the resolved view exact") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val store = new FuzzObjectStore(rnd)
+      val path = s"${tmp(s"graft_osg")}/t"
+      def df(tag: String) = (1L to 4L).map(k => (k, s"$tag$k"))
+        .toDF("k", "v").withColumn("bucket", pmod(col("k"), lit(2)).cast("int"))
+      MergeSink.publishLogSeq(df("base"), path, 0, 1, Seq("bucket", "k"))
+      val gens = (0 until 2 + rnd.nextInt(2)).map(i =>
+        i -> MergeSink.appendLogSeq(df(s"d$i"), path, 1, Seq("bucket", "k"),
+          store = Some(store)))
+      // Distinct generations; every published one keeps its marker
+      // (retainOnPublish) no matter what the lagging list showed.
+      assert(gens.map(_._2).distinct.size == gens.size, s"seed=$seed: $gens")
+      assert(store.markerNames == gens.map(g => s"seq=${g._2}").toSet,
+        s"seed=$seed: markers ${store.markerNames} != ${gens.map(_._2)}")
+      gens.foreach { case (_, g) =>
+        assert(!store.createExclusive(new Path(s"$path/_claims", s"seq=$g")),
+          s"seed=$seed: published generation $g re-claimable")
+      }
+      MergeSink.compactKeyLog(spark, path, Seq("k"), 1, Seq("bucket", "k"),
+        store = Some(store))
+      assert(store.markerNames.isEmpty,
+        s"seed=$seed: compaction left markers ${store.markerNames}")
+      val last = s"d${gens.last._1}"
+      val v = MergeSink.resolveKeyLog(spark, path, Seq("k"))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v == (1L to 4L).map(k => k -> s"$last$k").toMap, s"seed=$seed: $v")
+    }
   }
 
   test("compaction's folded-generation GC is what reclaims retained markers") {
