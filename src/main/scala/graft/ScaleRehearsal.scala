@@ -506,6 +506,104 @@ object ScaleRehearsal {
       }
     }
 
+    // Round-13: THE PACK PREFIX-SUM MEASUREMENT (r12 verdict finding #1).
+    // The r12 packing kernel computed the running token sum with
+    // Window.partitionBy("lang") — parallelism ceiling = |langs|, and a
+    // realistic corpus is SKEWED (en ≈ 44 %), so one task owned ~44 % of
+    // all rows. The r13 kernel (PackingOps.langPrefix) is the two-pass
+    // range-offset scan. This arm isolates EXACTLY the kernel: a cached,
+    // pre-materialized (doc_id, lang, toks) frame under the skewed
+    // 44 %-en / 8-minor-lang mix (tokenization excluded — it dominated
+    // the corpus-level walls and hid the window), timing the old window
+    // form against the ranged form at 2M and 8M rows. The claim: the
+    // ranged form's wall parallelizes (flat-ish per row as N grows,
+    // faster than the window form, whose en task serializes 44 % of the
+    // sum). Byte-equality of the two forms is spec-pinned
+    // (PackingOpsSpec); this row records the PERFORMANCE claim. Select
+    // with trailing arg `pack_prefix`.
+    if (only.isEmpty || only("pack_prefix")) {
+      for ((sfName, n) <- Seq(("rows2m", 2000000L), ("rows8m", 8000000L),
+          ("rows32m", 32000000L))) {
+        val docs = spark.range(n).select(col("id").as("doc_id"))
+          .withColumn("lang",
+            when(pmod(hash(col("doc_id") * 13), lit(100)) < 44, lit("en"))
+              .otherwise(concat(lit("l"),
+                pmod(hash(col("doc_id") * 29), lit(8)).cast("string"))))
+          .withColumn("toks",
+            (pmod(hash(col("doc_id") * 7), lit(100)) + lit(20)).cast("long"))
+          .select("doc_id", "lang", "toks")
+          .cache()
+        docs.count() // materialize outside both timed windows
+        // By-name build: langPrefix runs its width action at CONSTRUCTION
+        // time, which must land inside the timed window.
+        def fullEval(build: => org.apache.spark.sql.DataFrame, tag: String): Double = {
+          readB.reset(); writeB.reset()
+          val t0 = System.nanoTime()
+          val df = build
+          df.queryExecution.toRdd.foreachPartition { it =>
+            while (it.hasNext) it.next()
+          }
+          val sec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+          val w = math.round(writeB.sum / 1e5) / 10.0
+          println(s"""{"query":"$tag","sf":"$sfName","rows":$n,"sec":$sec,"shuffle_write_mb":$w}""")
+          sec
+        }
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        fullEval(docs.withColumn("cum",
+          coalesce(sum("toks").over(byLang), lit(0L))), "pack_prefix_window")
+        fullEval(graft.operators.PackingOps.langPrefix(docs, "cum"),
+          "pack_prefix_ranged")
+        docs.unpersist()
+      }
+    }
+
+    // Round-13: THE CRAWL DELTA MEASUREMENT — pipe_crawl_delta's day-2
+    // stage with the batch held FIXED at 500 docs while the day-1 crawl
+    // grows 25k → 100k: the claim is the same as the platform delta's
+    // (wall ∝ batch, not corpus) for the crawl-shaped read path — the
+    // bucket-pruned seen-URL probe, the pruned banded/fat-set probes,
+    // the frozen-model scoring, and the touched-shard read-back. The
+    // synthetic vocabulary fails gopher for every doc (the
+    // platform-build note above) on the fixed-vocab corpora, so the arm
+    // runs on the ZIPF corpora, whose plain alnum tokens pass; admitted
+    // sets are still small — the mechanical per-gate cost is the
+    // subject; admission CONTENT is the oracle's job on the driver
+    // fixtures. Select with trailing arg `crawl_delta`.
+    if (only.isEmpty || only("crawl_delta")) {
+      val crawlScales = Seq(("zipf25k", 25000L), ("zipf50k", 50000L),
+        ("zipf100k", 100000L)).map { case (name, n) =>
+        val dir = sys.props("java.io.tmpdir") + s"/graft_$name"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").isFile) {
+          generateZipf(spark, dir, n)
+        }
+        (name, dir)
+      }
+      val isBatch = (c: Column) => c % 10 === 1 && c < 5000
+      for ((sfName, dir) <- crawlScales) {
+        val root = s"$deltaRoot/crawl_$sfName"
+        readB.reset(); writeB.reset()
+        val tb = System.nanoTime()
+        graft.operators.PackingOps.buildCrawlBase(spark, dir, root,
+          crawlFilter = col("doc_id") % 50 =!= 0 && !isBatch(col("doc_id")))
+        val buildSec = math.round((System.nanoTime() - tb) / 1e7) / 100.0
+        val bw = math.round(writeB.sum / 1e5) / 10.0
+        cleanup()
+        println(s"""{"query":"crawl_day1_build","sf":"$sfName","sec":$buildSec,"shuffle_write_mb":$bw}""")
+        readB.reset(); writeB.reset()
+        val td = System.nanoTime()
+        val rows = graft.operators.PackingOps.crawlDeltaStage(spark, dir, root,
+          batchFilter = col("doc_id") % 50 =!= 0 && isBatch(col("doc_id")))
+          .count()
+        val deltaSec = math.round((System.nanoTime() - td) / 1e7) / 100.0
+        val dw = math.round(writeB.sum / 1e5) / 10.0
+        val dr = math.round(readB.sum / 1e5) / 10.0
+        cleanup()
+        println(s"""{"query":"crawl_delta_stage","sf":"$sfName","rows":$rows,"sec":$deltaSec,"shuffle_write_mb":$dw,"shuffle_read_mb":$dr}""")
+      }
+    }
+
     // Round-10: the MULTI-DAY chain — what a nightly pipeline actually
     // accumulates. Day-1 build on the 100k corpus minus SEVEN disjoint
     // 500-doc batches, then the seven deltas in sequence (each reads the

@@ -354,6 +354,439 @@ object PackingOps {
     shardReportOf(packed, "graft_crawl_export")
   }
 
+  // ---- incremental crawl delta --------------------------------------------
+
+  /** Day-1 / day-2 population split of the crawl-delta fixture: the eval
+    * suite (doc_id ≡ 0 mod 50) is never crawled; day 2's batch is every
+    * third URL GROUP ((doc_id div 4) ≡ 1 mod 3 — wide enough that a
+    * multi-gate funnel stays non-vacuous on the 500-doc fixtures) — group-aligned so a
+    * four-doc URL group never straddles the day boundary (an id-level
+    * split would put day-1 siblings in every batch group and gate 0
+    * would reject the whole batch by fixture construction); day 1
+    * crawled everything else.
+    */
+  private val day1Pred = "doc_id % 50 <> 0 AND (doc_id // 4) % 3 <> 1"
+  private val batchPred = "doc_id % 50 <> 0 AND (doc_id // 4) % 3 = 1"
+  private def day1Col =
+    col("doc_id") % 50 =!= 0 && shiftright(col("doc_id"), 2) % 3 =!= 1
+  private def batchCol =
+    col("doc_id") % 50 =!= 0 && shiftright(col("doc_id"), 2) % 3 === 1
+
+  /** The crawl-delta fixture URL — [[DedupOps.synthUrl]]'s canonical
+    * space is tiny by design (residues mod lcm(50,7,3,5,2) = 1050 — the
+    * URL-dedup operator's point), which would make EVERY batch canonical
+    * day-1-seen at any realistic corpus size. This variant keys the
+    * canonical by the four-doc URL GROUP id itself (unbounded space,
+    * like a real crawl frontier), keeps dressing variants the
+    * canonicalizer must undo (trailing slash, fragment, utm params), and
+    * ALIASES every third batch group (k ≡ 1 mod 30 → k−1, a day-1
+    * group) so the cross-day rejection path is genuinely exercised
+    * alongside the unseen-URL path and the intra-batch min-id
+    * survivorship.
+    */
+  private[graft] def synthWideUrl(docId: Column): Column = {
+    val k = shiftright(docId.cast("long"), 2)
+    val kk = when(k % 30 === 1, k - 1).otherwise(k)
+    val v = docId % 4
+    def s(c: Column): Column = c.cast("string")
+    concat(
+      lit("https://example"), s(kk % 50), lit(".org/d"), s(kk),
+      when(v === 2, "/").otherwise(""),
+      lit("?p="), s(kk % 5),
+      when(v === 3, concat(lit("&utm_source=s"), s(kk % 3))).otherwise(""),
+      when(v === 1, concat(lit("#sec"), s(kk % 5))).otherwise(""))
+  }
+
+  /** Oracle twin of [[synthWideUrl]] + canonicalization: the canonical
+    * stated directly from the group id (`k` = a SQL expression for
+    * doc_id // 4) — a hash match proves the Spark canonicalizer undid
+    * every dressing.
+    */
+  private def synthWideCanonicalSql(k: String): String = {
+    val kk = s"(CASE WHEN ($k) % 30 = 1 THEN ($k) - 1 ELSE ($k) END)"
+    s"'https://example' || CAST($kk % 50 AS VARCHAR) || '.org/d' || " +
+      s"CAST($kk AS VARCHAR) || '?p=' || CAST($kk % 5 AS VARCHAR)"
+  }
+
+  /** Schema of the day-partitioned shard export (declared for reads: a
+    * fully-rejected batch is a legal zero-new-shard day).
+    */
+  private val deltaExportSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, toks BIGINT, cum_before BIGINT, " +
+      "first_chunk BIGINT, last_chunk BIGINT, day INT, shard_id BIGINT")
+
+  private[graft] def crawlDeltaRoot(dir: String): String =
+    graft.ops.ProcessTmp.dir("graft_crawl_delta") + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** INCREMENTAL CRAWL → SHARDS — the daily form of [[pipeCrawlCorpus]],
+    * as one oracled query: day 1 runs the full crawl build and PUBLISHES
+    * its artifacts (seen-URL log, eval probe shingles, banded/sets
+    * near-dup index of the whole day-1 crawl, trained classifier
+    * weights, DSIR llr table, BPE merges, token-total stats, day=0 shard
+    * export); day 2 admits an arriving batch through the same gate chain
+    * against those STORED artifacts — no model retrains, no corpus text
+    * re-reads — and APPENDS its packed documents to the shard export
+    * after the stored token total, so chunk and shard ids continue the
+    * existing stream. The output is the per-shard report of the shards
+    * the delta TOUCHED, computed from the READ-BACK of the exported
+    * files across BOTH days — the boundary shard's totals mix day-0 and
+    * day-1 rows, so a hash match proves the append physically continued
+    * the stream on disk.
+    *
+    * Batch-proportional posture, gate by gate: the seen-URL probe reads
+    * only the batch's canonical-hash buckets of the coalesced URL log
+    * (the banded-log pruning pattern); gopher is per-row; decon probes
+    * the broadcast stored eval shingles; near-dup is
+    * [[DedupOps.batchIndexAndEdgesPruned]] (banded batch probe +
+    * candidate-id-pruned fat-set reads); classifier/DSIR score the batch
+    * under stored weight vectors (model-dimension driver state); the
+    * pack runs on batch survivors only with the stored base offset; the
+    * report reads ONLY the touched shard partitions (partition-pruned on
+    * shard_id). Frontier/index MAINTENANCE (folding day-2 admissions
+    * into the stored index for day 3) is the platform delta's machinery
+    * ([[graft.operators.IndexOps.updateDedupIndex]],
+    * `MergeSink.appendLogSeq`) and is exercised there; this composition
+    * pins the crawl-shaped read path.
+    *
+    * Replay: the day-1 build is commit-gated (a re-evaluation in the
+    * same process skips it); the day-2 stage is deterministic and its
+    * one publish swaps the whole `day=1` subtree, so re-runs are
+    * byte-idempotent.
+    */
+  def pipeCrawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    val root = crawlDeltaRoot(dir)
+    if (!graft.pipeline.Pipelines.isCommitted(spark, root, "crawl_build"))
+      buildCrawlBase(spark, dir, root)
+    crawlDeltaStage(spark, dir, root)
+  }
+
+  /** Day-1 crawl build + artifact publish at `root` — [[pipeCrawlCorpus]]
+    * restricted to the day-1 population, with every frozen input of the
+    * day-2 stage persisted: models train on what EXISTS on day 1 (the
+    * crawled corpus), exactly the decoupling a daily pipeline runs
+    * (tokenizer/classifier/llr version slowly; selection runs daily).
+    */
+  private[graft] def buildCrawlBase(
+      spark: SparkSession, dir: String, root: String,
+      crawlFilter: Column = day1Col): Unit = {
+    import spark.implicits._
+    val sink = graft.ops.MergeSink
+    val docs = Tables.documents(spark, dir)
+    val crawl = docs.where(crawlFilter)
+    // Seen-URL log: distinct canonicals of everything crawled on day 1
+    // (rejected docs too — a crawler never refetches a seen URL),
+    // coalesced + bucketed by canonical hash so the day-2 probe reads
+    // only its touched buckets.
+    val urlBuckets = graft.ops.ArtifactMeta.bucketsFor(crawl.count())
+    sink.publishLogSeq(
+      crawl.select(DedupOps.canonicalUrl(synthWideUrl(col("doc_id")))
+          .as("canonical")).distinct()
+        .withColumn("bucket",
+          pmod(xxhash64(col("canonical")), lit(urlBuckets.toLong)).cast("int")),
+      s"$root/urlseen", 0, graft.ops.ArtifactMeta.filesFor(urlBuckets),
+      Seq("bucket", "canonical"))
+    graft.ops.ArtifactMeta.write(spark, root,
+      Map("buckets.urlseen" -> urlBuckets.toLong))
+    // Gates 0-2 over the day-1 crawl (the pipeCrawlCorpus chain).
+    val urlKeep = crawl
+      .select(col("doc_id"), synthWideUrl(col("doc_id")).as("url"))
+      .withColumn("canonical", DedupOps.canonicalUrl(col("url")))
+      .groupBy("canonical").agg(min("doc_id").as("doc_id"))
+    val s0 = crawl.join(urlKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val s1 = s0.join(
+      TextOps.gopherProfile(s0).where(col("pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    sink.publishPartitioned(
+      DedupOps.shingles(docs.where(col("doc_id") % 50 === 0))
+        .select("sh").distinct().withColumn("bucket", lit(0)),
+      s"$root/evalsh", "bucket")
+    val contam = DedupOps.contaminationProfile(
+        DedupOps.shingles(s1),
+        spark.read.parquet(s"$root/evalsh").select("sh"))
+      .where(col("drop_doc")).select("doc_id")
+    val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+    // Near-dup index over the WHOLE day-1 crawl — the content-level
+    // "seen" set, mirroring the URL frontier: day 2 dedups against
+    // everything crawled, not just what survived selection (and the
+    // artifact stays non-empty even on a corpus whose quality gates
+    // reject every doc — the zipf rehearsal fixture does exactly that).
+    // Day-1 survivorship restricts the published pairs to the gate
+    // survivors (banding is per-doc deterministic, so the restricted
+    // pair set equals pairs computed within s2 — the survivorIdsOf
+    // argument, here from the artifact).
+    graft.operators.IndexOps.buildDedupIndex(crawl, root)
+    val s2ids = s2.select("doc_id")
+    val pairs = graft.operators.IndexOps.dedupEdgesFromIndex(spark, root)
+      .select("doc_a", "doc_b")
+      .join(s2ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(s2ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val surv = DedupOps.componentLabelsFromEdges(s2ids, pairs)
+      .where(col("doc_id") === col("component")).select("doc_id")
+    // Frozen models, trained on the day-1 crawl, published as artifacts.
+    graft.operators.IndexOps.buildClassifierIndex(crawl, root)
+    val clsKeep = graft.operators.IndexOps
+      .queryClassifierIndex(spark, root, crawl)
+      .where(col("keep")).select("doc_id")
+    val llrU = SamplingOps.dsirLlrTable(crawl)
+    sink.publishPartitioned(
+      llrU.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("b", "llr_u").withColumn("bucket", lit(0)),
+      s"$root/dsir", "bucket")
+    val dsirKeep = SamplingOps.dsirKeepDocs(crawl, llrU)
+    val merges = TextOps.trainBpeMerges(spark, dir, crawlFilter)
+    sink.publishPartitioned(
+      merges.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+        .withColumn("bucket", lit(0)),
+      s"$root/merges", "bucket")
+    val fin = surv
+      .join(clsKeep, Seq("doc_id"), "left_semi")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    // Day-1 pack + day=0 shard export + the token-total stats record the
+    // delta's append offset reads.
+    val packInput = docs.join(fin, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache()
+    sink.publishPartitionedCols(
+      packGlobalFrom(packInput)
+        .withColumn("shard_id", expr(s"cum_before div $ExportShardTokens"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+          col("first_chunk"), col("last_chunk"), col("shard_id"))
+        .withColumn("day", lit(0)),
+      s"$root/export", Seq("day", "shard_id"), onePerPartition = true)
+    sink.publishPartitioned(
+      packInput.agg(coalesce(sum("toks"), lit(0L)).as("total_toks"))
+        .withColumn("bucket", lit(0)),
+      s"$root/stats", "bucket")
+    packInput.unpersist()
+    graft.pipeline.Pipelines.recordCommit(spark, root, "crawl_build")
+  }
+
+  /** The day-2 stage alone over published day-1 artifacts — separated so
+    * the scale rehearsal can time it apart from the build (the claim:
+    * delta wall ∝ batch, not corpus).
+    */
+  private[graft] def crawlDeltaStage(
+      spark: SparkSession, dir: String, root: String,
+      batchFilter: Column = batchCol): DataFrame = {
+    val batch = Tables.documents(spark, dir).where(batchFilter)
+    // Gate 0: seen-URL probe (touched buckets only) + intra-batch min-id
+    // survivorship per canonical.
+    val urlBuckets = graft.ops.ArtifactMeta.readBuckets(spark, root, "urlseen")
+    val bCanon = batch.select(col("doc_id"),
+      DedupOps.canonicalUrl(synthWideUrl(col("doc_id"))).as("canonical"))
+    val touched = bCanon
+      .select(pmod(xxhash64(col("canonical")), lit(urlBuckets.toLong))
+        .cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ bucket count
+    val urlLog = spark.read.parquet(s"$root/urlseen")
+    val seen = (if (touched.isEmpty) urlLog.where(lit(false))
+                else urlLog.where(col("bucket").isin(touched: _*)))
+      .select("canonical")
+    val s0 = batch.join(
+      bCanon.join(seen, Seq("canonical"), "left_anti")
+        .groupBy("canonical").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // Gate 1: gopher (per-row). Gate 2: stored eval probes (broadcast).
+    val s1 = s0.join(
+      TextOps.gopherProfile(s0).where(col("pass")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val contam = DedupOps.contaminationProfile(
+        DedupOps.shingles(s1),
+        spark.read.parquet(s"$root/evalsh").select("sh"))
+      .where(col("drop_doc")).select("doc_id")
+    val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+    // Gate 3: near-dup vs the stored index (pruned probe) — a batch doc
+    // matching the day-1 corpus is a duplicate and drops; the remainder
+    // run intra-batch survivorship (min-id per component).
+    val (batchSets, edges) = DedupOps.batchIndexAndEdgesPruned(s2, root)
+    val s2Ids = s2.select("doc_id")
+    val corpusMatched = edges
+      .join(s2Ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("doc_id")).distinct()
+    val remIds = s2Ids.join(corpusMatched, Seq("doc_id"), "left_anti")
+    val batchPairs = edges
+      .join(remIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(remIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b")
+    val survB = DedupOps.componentLabelsFromEdges(remIds, batchPairs)
+      .where(col("doc_id") === col("component")).select("doc_id")
+    batchSets.unpersist()
+    // Gates 4-5: frozen stored models (no retraining).
+    val clsKeep = graft.operators.IndexOps
+      .queryClassifierIndex(spark, root, batch)
+      .where(col("keep")).select("doc_id")
+    val dsirKeep = SamplingOps.dsirKeepDocs(
+      batch, graft.pipeline.Pipelines.readLlr(spark, root))
+    val finB = survB
+      .join(clsKeep, Seq("doc_id"), "left_semi")
+      .join(dsirKeep, Seq("doc_id"), "left_semi")
+    // Pack after the stored total under the frozen merges; append day=1.
+    val merges = graft.pipeline.Pipelines.readMerges(spark, root)
+    val baseToks = spark.read.parquet(s"$root/stats")
+      .select("total_toks").head().getLong(0)
+    val packInput = batch.join(finB, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        TextOps.bpeTokenCountCol(merges).as("toks"))
+      .where(col("toks") > 0)
+      .cache()
+    val appended = packGlobalFrom(packInput, baseToks)
+      .withColumn("shard_id", expr(s"cum_before div $ExportShardTokens"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("cum_before"),
+        col("first_chunk"), col("last_chunk"), col("shard_id"))
+      .localCheckpoint() // pin: feeds the publish AND the touched-shard list
+    graft.ops.MergeSink.publishPartitionedCols(
+      appended.withColumn("day", lit(1)),
+      s"$root/export", Seq("day", "shard_id"), onePerPartition = true)
+    // Report ONLY the touched shards, from the cross-day read-back
+    // (partition-pruned on shard_id): batch-proportional, and the
+    // boundary shard mixes day-0 rows — the continuity proof.
+    val touchedShards = appended.select("shard_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: ~batch tokens / shard size
+    val rootPath = new org.apache.hadoop.fs.Path(s"$root/export")
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(rootPath) // zero-new-shard day: read an empty dir, not a missing one
+    val export = spark.read.schema(deltaExportSchema).parquet(s"$root/export")
+    (if (touchedShards.isEmpty) export.where(lit(false))
+     else export.where(col("shard_id").isin(touchedShards.map(Long.box): _*)))
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("day") === 1, 1L).otherwise(0L)).as("n_new_docs"),
+        sum("toks").as("n_toks"),
+        min("cum_before").as("stream_from"),
+        min("first_chunk").as("first_chunk"),
+        max("last_chunk").as("last_chunk"))
+      .orderBy("shard_id")
+  }
+
+  /** Oracle for [[pipeCrawlDelta]]: the day-1 selection chain (crawl
+    * population, day-1-trained classifier/DSIR/BPE via the parameterized
+    * generators), the day-2 admission chain against it (seen-URL set =
+    * day-1 canonicals; near-dup pairs batch-vs-day-1-survivors and
+    * batch-vs-batch; frozen-model keeps), one shared BPE encode over the
+    * union, both pack streams (day 2 offset by day 1's token total), and
+    * the touched-shard report.
+    */
+  private def crawlDeltaOracle: String = {
+    val canon1 = synthWideCanonicalSql("doc_id // 4")
+    val nearDup1 = DedupOps.nearDupMatchesOracle(
+      "a.doc_id IN (SELECT doc_id FROM s2)",
+      "b.doc_id IN (SELECT doc_id FROM s2)")
+    val nearDup2 = DedupOps.nearDupMatchesOracle(
+      "a.doc_id IN (SELECT doc_id FROM s2b)",
+      s"(b.doc_id % 50 <> 0 AND (b.doc_id // 4) % 3 <> 1) " +
+        "OR b.doc_id IN (SELECT doc_id FROM s2b)")
+    val clsOracle = TextOps.classifyTrainedOracleOn(
+      s"SELECT doc_id FROM documents WHERE $day1Pred")
+    def packStream(sfx: String, sel: String, base: String): String =
+      s"""t$sfx AS (
+         |  SELECT d.doc_id, d.lang, tok.toks
+         |  FROM documents d JOIN tok USING (doc_id) JOIN $sel USING (doc_id)
+         |  WHERE tok.toks > 0),
+         |o$sfx AS (
+         |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS shard_toks
+         |  FROM t$sfx GROUP BY lang),
+         |oo$sfx AS (
+         |  SELECT lang, CAST(COALESCE(SUM(shard_toks) OVER (ORDER BY lang
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+         |  FROM o$sfx),
+         |c$sfx AS (
+         |  SELECT doc_id, lang, toks,
+         |         CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_in_shard
+         |  FROM t$sfx),
+         |pk$sfx AS (
+         |  SELECT c.doc_id, c.toks,
+         |         $base + oo.shard_offset + c.cum_in_shard AS cum_before,
+         |         ($base + oo.shard_offset + c.cum_in_shard) // $ChunkTokens AS first_chunk,
+         |         ($base + oo.shard_offset + c.cum_in_shard + c.toks - 1) // $ChunkTokens AS last_chunk
+         |  FROM c$sfx c JOIN oo$sfx oo USING (lang))""".stripMargin
+    val encodeChain = (1 to TextOps.BpeMerges).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(s, '|' || l || '|' || r || '|', '|' || l || r || '|') AS s
+         |        FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |uc AS MATERIALIZED (SELECT doc_id, $canon1 AS canonical
+       |       FROM documents WHERE $day1Pred),
+       |uk AS (SELECT MIN(doc_id) AS doc_id FROM uc GROUP BY canonical),
+       |gph AS MATERIALIZED (SELECT doc_id FROM (${TextOps.oracles("ns_text_gopher")}) gg WHERE pass),
+       |s1g AS (SELECT uk.doc_id FROM uk JOIN gph USING (doc_id)),
+       |ctm AS MATERIALIZED (SELECT doc_id FROM (${DedupOps.oracles("ns_decontaminate")}) dc WHERE drop_doc),
+       |s2 AS MATERIALIZED (SELECT doc_id FROM s1g WHERE doc_id NOT IN (SELECT doc_id FROM ctm)),
+       |ndp AS MATERIALIZED (SELECT batch_doc AS doc_a, corpus_doc AS doc_b FROM ($nearDup1) m),
+       |edg AS (SELECT doc_a, doc_b FROM ndp
+       |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ndp),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM s2
+       |  UNION
+       |  SELECT reach.doc_id, edg.doc_b FROM reach JOIN edg ON reach.r = edg.doc_a),
+       |cmp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM cmp GROUP BY component),
+       |clsk AS MATERIALIZED (SELECT doc_id FROM ($clsOracle) cc WHERE keep),
+       |${SamplingOps.dsirCtesModelFrom(day1Pred)},
+       |keepsel AS MATERIALIZED (SELECT doc_id FROM sd WHERE n_grams > 0 AND llr_u > 0),
+       |fin AS MATERIALIZED (SELECT surv.doc_id FROM surv
+       |        JOIN clsk USING (doc_id) JOIN keepsel USING (doc_id)),
+       |ucb AS (SELECT doc_id, $canon1 AS canonical
+       |        FROM documents WHERE $batchPred),
+       |s0b AS (SELECT MIN(doc_id) AS doc_id FROM ucb
+       |        WHERE canonical NOT IN (SELECT canonical FROM uc)
+       |        GROUP BY canonical),
+       |s1b AS (SELECT s0b.doc_id FROM s0b JOIN gph USING (doc_id)),
+       |s2b AS MATERIALIZED (SELECT doc_id FROM s1b WHERE doc_id NOT IN (SELECT doc_id FROM ctm)),
+       |ndb AS MATERIALIZED (SELECT batch_doc AS doc_a, corpus_doc AS doc_b FROM ($nearDup2) m2),
+       |rejb AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id FROM ndb
+       |         WHERE doc_b NOT IN (SELECT doc_id FROM s2b)),
+       |remb AS MATERIALIZED (SELECT doc_id FROM s2b WHERE doc_id NOT IN (SELECT doc_id FROM rejb)),
+       |edgb AS (
+       |  SELECT doc_a, doc_b FROM ndb
+       |  WHERE doc_a IN (SELECT doc_id FROM remb) AND doc_b IN (SELECT doc_id FROM remb)
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM ndb
+       |  WHERE doc_a IN (SELECT doc_id FROM remb) AND doc_b IN (SELECT doc_id FROM remb)),
+       |reachb(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM remb
+       |  UNION
+       |  SELECT reachb.doc_id, edgb.doc_b FROM reachb JOIN edgb ON reachb.r = edgb.doc_a),
+       |cmpb AS (SELECT doc_id, MIN(r) AS component FROM reachb GROUP BY doc_id),
+       |survb AS (SELECT MIN(doc_id) AS doc_id FROM cmpb GROUP BY component),
+       |finb AS MATERIALIZED (SELECT survb.doc_id FROM survb
+       |         JOIN clsk USING (doc_id) JOIN keepsel USING (doc_id)),
+       |selall AS (SELECT doc_id FROM fin UNION SELECT doc_id FROM finb),
+       |${TextOps.bpeTrainCtesFrom(day1Pred)},
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS wd
+       |  FROM documents dd JOIN selall USING (doc_id)),
+       |e0 AS (SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS s FROM docw),
+       |$encodeChain,
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS toks
+       |  FROM e${TextOps.BpeMerges} GROUP BY doc_id),
+       |${packStream("1", "fin", "0")},
+       |basetk AS (SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS base FROM t1),
+       |${packStream("2", "finb", "(SELECT base FROM basetk)")},
+       |allpk AS (
+       |  SELECT doc_id, toks, cum_before, first_chunk, last_chunk, FALSE AS is_new FROM pk1
+       |  UNION ALL
+       |  SELECT doc_id, toks, cum_before, first_chunk, last_chunk, TRUE AS is_new FROM pk2),
+       |tsh AS (SELECT DISTINCT cum_before // $ExportShardTokens AS shard_id FROM pk2)
+       |SELECT cum_before // $ExportShardTokens AS shard_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs,
+       |       CAST(SUM(toks) AS BIGINT) AS n_toks,
+       |       MIN(cum_before) AS stream_from,
+       |       MIN(first_chunk) AS first_chunk,
+       |       MAX(last_chunk) AS last_chunk
+       |FROM allpk
+       |WHERE cum_before // $ExportShardTokens IN (SELECT shard_id FROM tsh)
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
+  }
+
   /** Oracle for [[pipeCrawlCorpus]]: the gate chain as CTEs (canonical
     * stated from the doc_id formulas; gopher/decon/classifier oracles as
     * nested subqueries; the banded near-dup pairs restricted to the gate
@@ -468,6 +901,7 @@ object PackingOps {
     "ns_pack_export" -> (nsPackExport _),
     "pipe_select_pack" -> (pipeSelectPack _),
     "pipe_crawl_corpus" -> (pipeCrawlCorpus _),
+    "pipe_crawl_delta" -> (pipeCrawlDelta _),
     "ns_corpus_mix" -> (nsCorpusMix _),
     "ns_corpus_mix_temp" -> (nsCorpusMixTemp _))
 
@@ -609,6 +1043,7 @@ object PackingOps {
     "ns_pack_bpe" -> packBpeOracle,
     "pipe_select_pack" -> selectPackOracle,
     "pipe_crawl_corpus" -> crawlCorpusOracle,
+    "pipe_crawl_delta" -> crawlDeltaOracle,
     "ns_corpus_mix_temp" ->
       s"""WITH h AS (
         |  SELECT doc_id, source, lang,

@@ -1626,6 +1626,24 @@ object TextOps {
   private def classifierTrainCtes: String =
     classifierTrainCtesOn("SELECT doc_id FROM documents")
 
+  /** The complete trained-classifier oracle (train under `trainSel`
+    * membership, score the FULL corpus) as one nestable SQL — the
+    * `ns_text_classify_trained` oracle is the `trainSel = every doc`
+    * instance, and composed oracles whose frozen classifier was fit on a
+    * restricted day-1 population (pipe_crawl_delta) nest it as a
+    * subquery with the day-1 predicate.
+    */
+  private[graft] def classifyTrainedOracleOn(trainSel: String): String =
+    s"""WITH ${classifierTrainCtesOn(trainSel)},
+       |csc AS (
+       |  SELECT f.doc_id, f.y_u,
+       |         CAST(${sdivSql("SUM(w.wu * f.xn_u)", "1000000", "//")} AS BIGINT) AS m_u
+       |  FROM cfeat f JOIN w$ClsIters w USING (bucket)
+       |  GROUP BY f.doc_id, f.y_u)
+       |SELECT doc_id, round(CAST(m_u AS DOUBLE) / 1000000.0, 6) AS logit,
+       |       m_u > 0 AS keep, y_u = 1000000 AS label
+       |FROM csc ORDER BY doc_id""".stripMargin
+
   /** [[classifierTrainCtes]] with the TRAINING MEMBERSHIP parameterized:
     * `trainSel` selects the doc_ids the gradient rounds see (features
     * `cfeat` still cover the full corpus so scoring consumers can rank
@@ -2189,15 +2207,7 @@ object TextOps {
          |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(wu AS BIGINT) AS weight_u
          |FROM w$ClsIters ORDER BY bucket""".stripMargin,
     "ns_text_classify_trained" ->
-      s"""WITH $classifierTrainCtes,
-         |csc AS (
-         |  SELECT f.doc_id, f.y_u,
-         |         CAST(${sdivSql("SUM(w.wu * f.xn_u)", "1000000", "//")} AS BIGINT) AS m_u
-         |  FROM cfeat f JOIN w$ClsIters w USING (bucket)
-         |  GROUP BY f.doc_id, f.y_u)
-         |SELECT doc_id, round(CAST(m_u AS DOUBLE) / 1000000.0, 6) AS logit,
-         |       m_u > 0 AS keep, y_u = 1000000 AS label
-         |FROM csc ORDER BY doc_id""".stripMargin,
+      classifyTrainedOracleOn("SELECT doc_id FROM documents"),
     "ns_text_classify_eval" ->
       s"""WITH $classifierTrainCtes,
          |csc AS (

@@ -796,14 +796,14 @@ object Pipelines {
     s"$platformTmp/${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$digest"
   }
 
-  private def readMerges(spark: SparkSession, root: String): Seq[(Long, String, String, String, Long)] =
+  private[graft] def readMerges(spark: SparkSession, root: String): Seq[(Long, String, String, String, Long)] =
     spark.read.parquet(s"$root/merges")
       .select("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
 
-  private def readLlr(spark: SparkSession, root: String): Array[Long] =
+  private[graft] def readLlr(spark: SparkSession, root: String): Array[Long] =
     spark.read.parquet(s"$root/dsir")
       .select(col("b").cast("int"), col("llr_u"))
       .collect().sortBy(_.getInt(0)).map(_.getLong(1))
