@@ -837,13 +837,13 @@ object PackingOps {
     * merge in order of rank/weight — a source with weight w contributes
     * w rows per unit of mix position. The position is kept in EXACT
     * integer arithmetic (rank·6/w with w ∈ {1,2,3}) so both engines
-    * order identically with no float ties. Per-source windows only; the
+    * order identically with no float ties. The per-source rank rides the
+    * range-offset scan ([[SamplingOps.rangedSampleRank]] — sources are
+    * few and skewed, the same parallelism ceiling as languages); the
     * merge itself is just a sort key, not a global window.
     */
   def nsCorpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Window.partitionBy("source")
-      .orderBy("sample_key", "doc_id")
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         SamplingOps.sampleKeyCol)
       // Unbounded substr: both engines parse the FULL numeric suffix of
@@ -854,7 +854,11 @@ object PackingOps {
       // numeric.
       .withColumn("src_weight",
         (expr("substr(source, 4)").cast("long") % 3 + 1))
-      .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
+    // Per-source dense rank via the range-offset scan (the r13 prefix-sum
+    // discipline): a real mix has a handful of skewed sources, so a
+    // row_number over Window.partitionBy(source) would serialize the
+    // biggest source into one task — same ceiling as the per-lang pack.
+    SamplingOps.rangedSampleRank(docs, "source", "rank_in_source")
       .withColumn("pos6", expr("rank_in_source * 6 div src_weight"))
       .select("doc_id", "source", "lang", "src_weight", "rank_in_source", "pos6")
       .orderBy("pos6", "source", "doc_id")
@@ -870,22 +874,20 @@ object PackingOps {
     * the flattening is visible on the fixture (spec asserts the share
     * ratio strictly between the count ratio and 1).
     *
-    * Scale posture: identical to nsCorpusMix — per-source windows plus a
-    * broadcast of the (source, weight) aggregate; the merge is a sort
-    * key, not a global window.
+    * Scale posture: identical to nsCorpusMix — range-offset per-source
+    * ranks plus a broadcast of the (source, weight) aggregate; the merge
+    * is a sort key, not a global window.
     */
   def nsCorpusMixTemp(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Window.partitionBy("source")
-      .orderBy("sample_key", "doc_id")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         SamplingOps.sampleKeyCol)
     val weights = docs.groupBy("source")
       .agg(count(lit(1)).as("src_count"))
       .withColumn("src_weight", expr("CAST(floor(sqrt(src_count)) AS BIGINT)"))
-    docs
-      .join(broadcast(weights), "source")
-      .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
+    // Range-offset per-source rank — see nsCorpusMix.
+    SamplingOps.rangedSampleRank(docs.join(broadcast(weights), "source"),
+        "source", "rank_in_source")
       // K = 720720 = lcm(1..16) headroom: exact integer positions for any
       // plausible per-source weight, same div discipline as pos6.
       .withColumn("posk", expr("rank_in_source * 720720 div src_weight"))

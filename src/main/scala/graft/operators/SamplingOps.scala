@@ -58,22 +58,41 @@ object SamplingOps {
     * of a real corpus). The hash-threshold variant below remains the
     * zero-shuffle alternative when binomial per-stratum counts suffice.
     */
+  /** Global dense rank per `partCol` in (sample_key, doc_id) order, via
+    * the range-offset scan over the sample-key axis: per-(part, range)
+    * counts → per-part running offsets on the tiny aggregate → within-
+    * (part, range) row_number + broadcast offset. Byte-identical to
+    * `row_number().over(Window.partitionBy(partCol).orderBy(sample_key,
+    * doc_id))` with parallelism |part values| × [[SampleRanges]] instead
+    * of |part values| — shared by the exact stratified sampler (per
+    * lang) and BOTH corpus mixes (per source: a real mix has a handful
+    * of skewed sources, the same ceiling as languages). Input must carry
+    * `sample_key`; output column order is re-projected by callers (the
+    * range join moves its keys to the front).
+    */
+  private[graft] def rangedSampleRank(
+      docs: DataFrame, partCol: String, outCol: String): DataFrame = {
+    val withRg = docs.withColumn("_rg", expr(s"sample_key div $SampleRangeWidth"))
+    val rgOrder = Window.partitionBy(partCol).orderBy("_rg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partCol-only window, but over the RANGE AGGREGATE (≤ |part| x
+    // 1024 rows) — the tiny-frame pattern, never a doc-row window.
+    val rgOffsets = withRg.groupBy(partCol, "_rg").agg(count(lit(1)).as("_rg_n"))
+      .withColumn("_rg_offset", coalesce(sum("_rg_n").over(rgOrder), lit(0L)))
+      .select(partCol, "_rg", "_rg_offset")
+    val inRg = Window.partitionBy(partCol, "_rg").orderBy("sample_key", "doc_id")
+    withRg
+      .withColumn("_rank_in_rg", row_number().over(inRg).cast("long"))
+      .join(broadcast(rgOffsets), Seq(partCol, "_rg"))
+      .withColumn(outCol, col("_rg_offset") + col("_rank_in_rg"))
+      .drop("_rg", "_rg_offset", "_rank_in_rg")
+  }
+
   def nsCorpusSampleExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), sampleKeyCol)
-      .withColumn("_rg", expr(s"sample_key div $SampleRangeWidth"))
-    val rgAgg = docs.groupBy("lang", "_rg").agg(count(lit(1)).as("_rg_n"))
-    val rgOrder = Window.partitionBy("lang").orderBy("_rg")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rgOffsets = rgAgg
-      .withColumn("_rg_offset", coalesce(sum("_rg_n").over(rgOrder), lit(0L)))
-      .select("lang", "_rg", "_rg_offset")
-    val quotas = rgAgg.groupBy("lang").agg(ceil(sum("_rg_n") * 0.2).as("quota"))
-    val inRg = Window.partitionBy("lang", "_rg").orderBy("sample_key", "doc_id")
-    docs
-      .withColumn("_rank_in_rg", row_number().over(inRg).cast("long"))
-      .join(broadcast(rgOffsets), Seq("lang", "_rg"))
-      .withColumn("sample_rank", col("_rg_offset") + col("_rank_in_rg"))
+    val quotas = docs.groupBy("lang").agg(ceil(count(lit(1)) * 0.2).as("quota"))
+    rangedSampleRank(docs, "lang", "sample_rank")
       .join(broadcast(quotas), Seq("lang"))
       .where(col("sample_rank") <= col("quota"))
       .select("doc_id", "lang", "source", "n_chars", "sample_key", "sample_rank")

@@ -199,41 +199,44 @@ class PackingOpsSpec extends SparkSpec {
     * corpus puts ~44 % of all rows in one task). A lang-only partition
     * spec is legal ONLY over an aggregated (metadata-scale) frame.
     */
-  private def assertNoLangOnlyDocWindow(
-      nodes: Seq[org.apache.spark.sql.execution.SparkPlan], tag: String): Unit = {
+  private def assertNoKeyOnlyDocWindow(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
+      tag: String, key: String): Unit = {
     import org.apache.spark.sql.execution.window.WindowExec
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, s"$tag: no window found — pin vacuous")
     windows.foreach { w =>
-      val langOnly = w.partitionSpec.size == 1 &&
-        w.partitionSpec.head.references.toSeq.exists(_.name == "lang")
-      if (langOnly)
+      val keyOnly = w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.references.toSeq.exists(_.name == key)
+      if (keyOnly)
         assert(collectAllPlans(w.child)
           .exists(_.nodeName.toLowerCase.contains("aggregate")),
-          s"$tag: lang-only window over raw doc rows (parallelism = |langs|):\n$w")
+          s"$tag: $key-only window over raw doc rows (parallelism = |$key|):\n$w")
     }
     // And the doc-row prefix window actually exists in its parallel form:
-    // a window partitioned by BOTH lang and the range column.
+    // a window partitioned by BOTH the key and the range column.
     assert(windows.exists(w => w.partitionSpec.size == 2 &&
-      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains("lang")),
-      s"$tag: no (lang, range) doc-row window — prefix scan missing")
+      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains(key)),
+      s"$tag: no ($key, range) doc-row window — prefix scan missing")
   }
 
-  test("pack/sample plans: doc rows never ride lang-only windows or exchanges") {
-    for ((tag, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
-      "ns_pack_chunks" -> (() => PackingOps.nsPackChunks(spark, sfDir)),
-      "ns_pack_chunks_global" -> (() => PackingOps.nsPackChunksGlobal(spark, sfDir)),
-      "ns_corpus_sample_exact" -> (() => SamplingOps.nsCorpusSampleExact(spark, sfDir)))) {
+  test("pack/sample/mix plans: doc rows never ride low-cardinality-key-only windows or exchanges") {
+    for ((tag, key, build) <- Seq[(String, String, () => org.apache.spark.sql.DataFrame)](
+      ("ns_pack_chunks", "lang", () => PackingOps.nsPackChunks(spark, sfDir)),
+      ("ns_pack_chunks_global", "lang", () => PackingOps.nsPackChunksGlobal(spark, sfDir)),
+      ("ns_corpus_sample_exact", "lang", () => SamplingOps.nsCorpusSampleExact(spark, sfDir)),
+      ("ns_corpus_mix", "source", () => PackingOps.nsCorpusMix(spark, sfDir)),
+      ("ns_corpus_mix_temp", "source", () => PackingOps.nsCorpusMixTemp(spark, sfDir)))) {
       val nodes = noAqeNodes(build())
-      assertNoLangOnlyDocWindow(nodes, tag)
-      // Exchange form of the same rule: a hash exchange on lang alone may
-      // only carry aggregated rows.
+      assertNoKeyOnlyDocWindow(nodes, tag, key)
+      // Exchange form of the same rule: a hash exchange on the key alone
+      // may only carry aggregated rows.
       nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
         val p = e.outputPartitioning.toString
-        if (p.contains("lang") && !p.contains("_rg") && !p.toLowerCase.contains("range"))
+        if (p.contains(key) && !p.contains("_rg") && !p.toLowerCase.contains("range"))
           assert(collectAllPlans(e.child)
             .exists(_.nodeName.toLowerCase.contains("aggregate")),
-            s"$tag: lang-only hash exchange of raw doc rows: $p")
+            s"$tag: $key-only hash exchange of raw doc rows: $p")
       }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -272,14 +275,20 @@ class PackingOpsSpec extends SparkSpec {
     empty.unpersist()
   }
 
-  test("mix plan: no hash exchange beyond source") {
-    val mixShuffles = noAqeNodes(PackingOps.nsCorpusMix(spark, sfDir))
-      .collect { case e: ShuffleExchangeExec => e }
-    val (mixRange, mixHash) = mixShuffles.partition(
-      _.outputPartitioning.toString.toLowerCase.contains("range"))
-    assert(mixHash.size == 1 && mixHash.head.outputPartitioning.toString.contains("source"),
-      s"mix: expected one source hash exchange, got ${mixHash.map(_.outputPartitioning)}")
-    assert(mixRange.size <= 1)
+  test("mix: range-offset rank equals the per-source window form") {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    val got = PackingOps.nsCorpusMix(spark, sfDir).collect().map(_.toSeq).toSeq
+    val want = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), SamplingOps.sampleKeyCol)
+      .withColumn("src_weight", (expr("substr(source, 4)").cast("long") % 3 + 1))
+      .withColumn("rank_in_source", row_number().over(bySource).cast("long"))
+      .withColumn("pos6", expr("rank_in_source * 6 div src_weight"))
+      .select("doc_id", "source", "lang", "src_weight", "rank_in_source", "pos6")
+      .orderBy("pos6", "source", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      "range-offset mix rank diverges from the window form")
   }
 
   test("shard export writes one file per shard and reports exactly what landed") {
