@@ -30,55 +30,98 @@ object PackingOps {
     */
   private[graft] val PrefixRanges = 1024L
 
-  /** Per-lang running token total BEFORE each row (ordered by doc_id
-    * within lang) as `outCol` — the scale-safe TWO-PASS PARTITION-OFFSET
-    * PREFIX SUM replacing the r12 `Window.partitionBy("lang")` form
-    * (whose parallelism ceiling was the language count — the one `weak`
-    * kernel of the round-12 verdict):
-    *
-    *  1. cut doc_id into ≤ [[PrefixRanges]]+1 equal-width ranges (`div`
-    *     on a width derived from max(doc_id) — one bounded driver
-    *     scalar, the same class as the stored-stats read). Ranges are
-    *     monotonic in doc_id, so per-(lang, range) sums compose into
-    *     exact per-lang offsets;
-    *  2. per-(lang, range) token sums — a map-side-combining aggregate
-    *     to a ≤ |langs| x 1025-row frame; per-lang running offsets via a
-    *     window over THAT tiny frame; broadcast back;
-    *  3. the within-(lang, range) running sum rides a (lang, range)
-    *     window over doc rows — parallelism = |langs| x ranges.
-    *
-    * Byte-identical to the per-lang window form (PackingOpsSpec pins the
-    * equality on adversarial id layouts) with zero lang-cardinality
-    * stages over doc rows. Equal-width id ranges assume ids spread
-    * across their domain (fixture ids are dense from 0; a production
-    * job with pathological id clustering would range-partition by
-    * sampled quantiles instead — the classic RangePartitioner — at the
-    * cost of a sampling pass; width-by-max keeps the cut deterministic
-    * for the oracle).
-    *
-    * CALLER CONTRACT: `docs` must be cached — the width scalar, the
-    * offset aggregate, and the doc-row pass each read it.
+  /** Occupancy guard floor for [[rangedPrefix]]: frames below this many
+    * rows never trip the collapsed-range check (a small fixture fits one
+    * range legitimately; the guard exists for corpus-scale inputs).
     */
-  private[graft] def langPrefix(docs: DataFrame, outCol: String): DataFrame = {
-    val maxId = docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
-    val width = math.max(1L, maxId / PrefixRanges + 1L)
-    val withRg = docs.withColumn("_rg", expr(s"doc_id div $width"))
-    val rgOrder = Window.partitionBy("lang").orderBy("_rg")
+  private[graft] val GuardMinRows: Long = 1L << 16
+
+  /** Equal-width range cut between the realized id bounds — anchoring at
+    * `minId` (not 0) keeps a narrow id band far from the origin spread
+    * across ~[[PrefixRanges]] parallel ranges (the snowflake-id case;
+    * spec-pinned on a 2^10-wide band near 2^40).
+    */
+  private[graft] def prefixRangeWidth(minId: Long, maxId: Long): Long =
+    math.max(1L, (maxId - minId) / PrefixRanges + 1L)
+
+  /** Per-key running `valCol` total BEFORE each row (ordered by doc_id
+    * within `partCol`) as `outCol` — the scale-safe TWO-PASS
+    * PARTITION-OFFSET PREFIX SUM replacing a low-cardinality
+    * `Window.partitionBy(partCol)` over doc rows (whose parallelism
+    * ceiling is the key cardinality — the r12 `weak` kernel):
+    *
+    *  1. cut doc_id into ≤ [[PrefixRanges]]+1 equal-width ranges between
+    *     min(doc_id) and max(doc_id) (`div` on a width derived from one
+    *     bounded driver scalar, the same class as the stored-stats
+    *     read). Ranges are monotonic in doc_id, so per-(key, range) sums
+    *     compose into exact per-key offsets — and anchoring at the MIN
+    *     keeps the cut parallel for id spaces clustered far from zero
+    *     (snowflake-style ids sharing high bits collapse a 0-anchored
+    *     cut into one range);
+    *  2. per-(key, range) sums — a map-side-combining aggregate to a
+    *     ≤ |keys| x 1025-row frame; per-key running offsets via a window
+    *     over THAT tiny frame; broadcast back. The same aggregate
+    *     carries the realized range occupancy, and the offset column
+    *     raises a named error if one range holds the majority of a
+    *     ≥ [[GuardMinRows]]-row frame (interior id clustering the
+    *     min/max anchor can't see) — a collapsed cut fails LOUD instead
+    *     of silently serializing; the recut is a sampled-quantile range
+    *     cut (the classic RangePartitioner), not a silent fallback;
+    *  3. the within-(key, range) running sum rides a (key, range)
+    *     window over doc rows — parallelism = |keys| x ranges.
+    *
+    * Byte-identical to the per-key window form for ANY monotonic range
+    * cut (PackingOpsSpec pins the equality on adversarial id layouts)
+    * with zero key-cardinality stages over doc rows.
+    *
+    * CALLER CONTRACT: `docs` must be cached — the bounds scalar (an
+    * EAGER driver action at construction time), the offset aggregate,
+    * and the doc-row pass each read it.
+    */
+  private[graft] def rangedPrefix(
+      docs: DataFrame, partCol: String, valCol: String, outCol: String): DataFrame = {
+    val bounds = docs.agg(
+      coalesce(min("doc_id"), lit(0L)), coalesce(max("doc_id"), lit(0L))).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val width = prefixRangeWidth(minId, maxId)
+    val withRg = docs.withColumn("_rg", expr(s"(doc_id - $minId) div $width"))
+    val rgOrder = Window.partitionBy(partCol).orderBy("_rg")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // Per-lang window, but over the RANGE AGGREGATE (≤ |langs| x 1025
-    // rows) — the blessed tiny-frame pattern, not a doc-row window.
-    val rgOffsets = withRg.groupBy("lang", "_rg")
-      .agg(sum("toks").as("_rg_toks"))
-      .withColumn("_rg_offset", coalesce(sum("_rg_toks").over(rgOrder), lit(0L)))
-      .select("lang", "_rg", "_rg_offset")
-    val inRg = Window.partitionBy("lang", "_rg").orderBy("doc_id")
+    // Per-key window, but over the RANGE AGGREGATE (≤ |keys| x 1025
+    // rows) — the blessed tiny-frame pattern, not a doc-row window. The
+    // occupancy guard windows ride the same tiny frame; folding the
+    // guard into the offset column keeps it alive through pruning.
+    val perRange = Window.partitionBy("_rg")
+    val whole = Window.partitionBy()
+    val rgOffsets = withRg.groupBy(partCol, "_rg")
+      .agg(sum(valCol).as("_rg_val"), count(lit(1)).as("_rg_rows"))
+      .withColumn("_rg_total", sum("_rg_rows").over(perRange))
+      .withColumn("_n_total", sum("_rg_rows").over(whole))
+      .withColumn("_guard", when(
+        col("_n_total") >= GuardMinRows && col("_rg_total") * 2 > col("_n_total"),
+        raise_error(concat(
+          lit("rangedPrefix: range cut collapsed — range "), col("_rg"),
+          lit(" holds "), col("_rg_total"), lit(" of "), col("_n_total"),
+          lit(" rows; id space is clustered in the interior — recut by sampled quantiles")))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("_rg_offset",
+        coalesce(sum("_rg_val").over(rgOrder), lit(0L)) + col("_guard"))
+      .select(partCol, "_rg", "_rg_offset")
+    val inRg = Window.partitionBy(partCol, "_rg").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     withRg
-      .withColumn("_cum_in_rg", coalesce(sum("toks").over(inRg), lit(0L)))
-      .join(broadcast(rgOffsets), Seq("lang", "_rg"))
+      .withColumn("_cum_in_rg", coalesce(sum(valCol).over(inRg), lit(0L)))
+      .join(broadcast(rgOffsets), Seq(partCol, "_rg"))
       .withColumn(outCol, col("_rg_offset") + col("_cum_in_rg"))
       .drop("_rg", "_rg_offset", "_cum_in_rg")
   }
+
+  /** [[rangedPrefix]] over the packing family's (doc_id, lang, toks)
+    * frames — kept as the named per-lang entry point its specs and
+    * rehearsal arms pin.
+    */
+  private[graft] def langPrefix(docs: DataFrame, outCol: String): DataFrame =
+    rangedPrefix(docs, "lang", "toks", outCol)
 
   /** Tokens per training chunk. Fixture docs run ~10-110 BPE-ish tokens,
     * so 256 gives multi-document chunks with regular straddles.

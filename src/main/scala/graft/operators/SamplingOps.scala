@@ -58,20 +58,26 @@ object SamplingOps {
     * of a real corpus). The hash-threshold variant below remains the
     * zero-shuffle alternative when binomial per-stratum counts suffice.
     */
-  /** Global dense rank per `partCol` in (sample_key, doc_id) order, via
+  /** Global dense rank per `partCol` in (sample_key, `idCol`) order, via
     * the range-offset scan over the sample-key axis: per-(part, range)
     * counts → per-part running offsets on the tiny aggregate → within-
     * (part, range) row_number + broadcast offset. Byte-identical to
     * `row_number().over(Window.partitionBy(partCol).orderBy(sample_key,
-    * doc_id))` with parallelism |part values| × [[SampleRanges]] instead
+    * idCol))` with parallelism |part values| × [[SampleRanges]] instead
     * of |part values| — shared by the exact stratified sampler (per
-    * lang) and BOTH corpus mixes (per source: a real mix has a handful
-    * of skewed sources, the same ceiling as languages). Input must carry
-    * `sample_key`; output column order is re-projected by callers (the
-    * range join moves its keys to the front).
+    * lang), BOTH corpus mixes (per source: a real mix has a handful
+    * of skewed sources, the same ceiling as languages), the corpus-build
+    * composition (per predicted lang), and the topic-balanced selection
+    * (per topic, `idCol` = vec_id). Input must carry `sample_key`;
+    * output column order is re-projected by callers (the range join
+    * moves its keys to the front). The affine key is near-uniform on its
+    * domain by construction, so equal-width ranges never collapse — no
+    * occupancy guard needed (unlike the doc_id-cut
+    * [[PackingOps.rangedPrefix]]).
     */
   private[graft] def rangedSampleRank(
-      docs: DataFrame, partCol: String, outCol: String): DataFrame = {
+      docs: DataFrame, partCol: String, outCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val withRg = docs.withColumn("_rg", expr(s"sample_key div $SampleRangeWidth"))
     val rgOrder = Window.partitionBy(partCol).orderBy("_rg")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -80,7 +86,7 @@ object SamplingOps {
     val rgOffsets = withRg.groupBy(partCol, "_rg").agg(count(lit(1)).as("_rg_n"))
       .withColumn("_rg_offset", coalesce(sum("_rg_n").over(rgOrder), lit(0L)))
       .select(partCol, "_rg", "_rg_offset")
-    val inRg = Window.partitionBy(partCol, "_rg").orderBy("sample_key", "doc_id")
+    val inRg = Window.partitionBy(partCol, "_rg").orderBy("sample_key", idCol)
     withRg
       .withColumn("_rank_in_rg", row_number().over(inRg).cast("long"))
       .join(broadcast(rgOffsets), Seq(partCol, "_rg"))
@@ -161,34 +167,57 @@ object SamplingOps {
     * — exact Long arithmetic, so the rank order is engine-identical with
     * (q_u DESC, doc_id) tiebreaks and no float ever enters the ordering.
     *
-    * One exchange on `source` feeds both the rank window and the output
-    * sort. Sources are the classic skewed key (a crawl's top domain can
-    * be ~10% of the corpus): the window itself never materializes a
-    * group — `rank <= cap` pushes map-side via WindowGroupLimit, so each
-    * partition forwards at most cap rows per source before the final
-    * per-source top-cap merge — the same bounded-partial shape as op43's
-    * per-key top-N. For a single source too hot for one reducer even
-    * after that, the exact-decile histogram trick of ns_corpus_curriculum
-    * (score-histogram offsets instead of a doc-row window) applies
-    * unchanged, because q_u is already a bounded integer domain.
+    * TWO-LEVEL TOP-N — sources are the classic skewed key (a crawl's top
+    * domain can be ~10% of the corpus), and the order key is a COMPUTED
+    * quality, so the monotone-axis range-offset rank doesn't apply. The
+    * scale-safe exact form is a local pre-prune: each (source,
+    * sample-key range) group keeps its local top-[[SourceCap]] — the
+    * only rows that can possibly survive globally (a global top-cap row
+    * is in the top cap of EVERY subgroup that contains it, for any
+    * partitioning) — under a (source, range) window whose parallelism is
+    * |sources| × [[SampleRanges]]; the global rank window then runs over
+    * the ≤ |sources| × ranges × cap remainder, a bounded metadata-scale
+    * frame, never over raw doc rows. The range key is the affine sample
+    * key's range (uniform by construction — no clustering pathology, no
+    * extra bounds pass); ANY deterministic row split is correct here
+    * because the prune needs no cross-range monotonicity, only
+    * subgroup-top-cap ⊇ global-top-cap. Byte-identical to the single
+    * per-source window form (SamplingOpsSpec pins the equality on a
+    * skewed fixture); WindowGroupLimit additionally prunes both windows
+    * map-side to cap rows per task.
     */
   def nsCorpusSourceCap(spark: SparkSession, dir: String): DataFrame = {
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
     val stopHits =
       "size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','is','to','in')))"
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .where(size(ws) > 0)
       .select(
         col("doc_id"), col("source"),
         size(ws).cast("long").as("n_words"),
         expr(s"(CAST($stopHits AS BIGINT) * 1000000) DIV CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)")
           .as("q_u"))
-      .withColumn("src_rank",
-        row_number().over(Window.partitionBy("source")
-          .orderBy(col("q_u").desc, col("doc_id").asc)).cast("long"))
+    sourceCapRanked(scored)
       .where(col("src_rank") <= SourceCap)
       .orderBy("source", "src_rank")
   }
+
+  /** The pre-pruned per-source quality rank over a (doc_id, source, …,
+    * q_u) frame — split out so the scale rehearsal can time exactly this
+    * kernel against the single-window form.
+    */
+  private[graft] def sourceCapRanked(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("_rg", expr(
+        s"pmod(doc_id * $SampleKeyA + $SampleKeyB, $SampleKeyP) div $SampleRangeWidth"))
+      .withColumn("_local_rank",
+        row_number().over(Window.partitionBy("source", "_rg")
+          .orderBy(col("q_u").desc, col("doc_id").asc)))
+      .where(col("_local_rank") <= SourceCap)
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("q_u").desc, col("doc_id").asc)).cast("long"))
+      .drop("_rg", "_local_rank")
 
   // ---- DSIR importance resampling -----------------------------------------
 

@@ -992,31 +992,32 @@ object SimilarityOps {
     * constants on vec_id), so the selection is a uniform pseudo-random
     * draw both engines replay.
     *
-    * Scale shape: one scan for assignment, one k-row stats aggregate, and
-    * ONE exchange on the topic key for the rank window. k is 16 here; in
-    * production k grows with the corpus (the SemDeDup k ∝ N argument), so
-    * the window's key cardinality scales with the data — and the
-    * curriculum bucketing machinery ([[TextOps]]) replaces the window
-    * outright if per-topic ranks ever dominate.
+    * Scale shape: one scan for assignment (cached — the rank kernel's
+    * offset aggregate and doc-row pass both read it), one k-row stats
+    * aggregate, and the per-topic rank riding the shared range-offset
+    * scan ([[SamplingOps.rangedSampleRank]] on the vec_id affine key):
+    * doc-scale rows only ever see (topic, range) windows — parallelism
+    * |topics| × 1024, never the topic count alone. k is 16 here and in
+    * production k grows with the corpus (the SemDeDup k ∝ N argument),
+    * but k is a quality knob, not a parallelism guarantee — the ranged
+    * rank holds either way.
     */
   def nsCorpusTopics(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
     val cents = centLits(trainCentroids(emb))
     val assigned = emb.select(col("vec_id"),
       centroidRanking(cents)(0)("cent_id").cast("long").as("topic"))
+      .withColumn("sample_key", pmod(
+        col("vec_id") * lit(SamplingOps.SampleKeyA) + lit(SamplingOps.SampleKeyB),
+        lit(SamplingOps.SampleKeyP)))
+      .cache()
     val stats = assigned.groupBy("topic").agg(count(lit(1)).as("n_topic"))
     val minN = stats.agg(min("n_topic").as("n_min"))
     val quotas = stats.crossJoin(broadcast(minN))
       .select(col("topic"), col("n_topic"),
         floor(sqrt((col("n_topic") * col("n_min")).cast("double")))
           .cast("long").as("quota"))
-    assigned
-      .withColumn("sample_key", pmod(
-        col("vec_id") * lit(SamplingOps.SampleKeyA) + lit(SamplingOps.SampleKeyB),
-        lit(SamplingOps.SampleKeyP)))
-      .withColumn("keep_rank", row_number()
-        .over(Window.partitionBy("topic").orderBy("sample_key", "vec_id"))
-        .cast("long"))
+    SamplingOps.rangedSampleRank(assigned, "topic", "keep_rank", idCol = "vec_id")
       .join(broadcast(quotas), "topic")
       .where(col("keep_rank") <= col("quota"))
       .select("vec_id", "topic", "n_topic", "quota", "keep_rank")

@@ -478,11 +478,18 @@ object TextOps {
     *     rows BY CONSTRUCTION (mean_p_u is an integer micro-unit
     *     probability), independent of corpus size — and its running
     *     offsets window over that bounded table only;
-    *  2. doc rows get rank = score_offset + row_number within their
-    *     score group (a score-keyed window, uniformly hashed), and the
-    *     decile is integer arithmetic against the broadcast total.
+    *  2. doc rows get rank = score_offset + within-score rank, where
+    *     the within-score rank itself rides the range-offset scan
+    *     ([[graft.operators.PackingOps.rangedPrefix]] counting rows in
+    *     doc_id order): doc rows only ever see (mean_p_u, id-range)
+    *     windows — the score key's cardinality is DATA-DEPENDENT (a
+    *     corpus whose docs concentrate on few scores would funnel a
+    *     score-only window), so it gets the same treatment as the
+    *     lang/source keys — and the decile is integer arithmetic
+    *     against the broadcast total.
     * The oracle states the same semantics as one global window — the
-    * plan never runs one over doc rows.
+    * plan never runs one over doc rows. Construction runs the prefix
+    * scan's bounded eager id-bounds action (rangedPrefix contract).
     */
   def nsCorpusCurriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -490,19 +497,21 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_trans"),
         expr("CAST(sum(p_u) div count(1) AS BIGINT)").as("mean_p_u"))
-      .cache() // histogram + join-back both read it
+      .withColumn("_one", lit(1L))
+      .cache() // histogram + rank-kernel passes all read it
     val byScore = Window.orderBy("mean_p_u")
       .rowsBetween(Window.unboundedPreceding, -1)
     val hist = scored.groupBy("mean_p_u").agg(count(lit(1)).as("c"))
       .withColumn("cum_before", coalesce(sum("c").over(byScore), lit(0L)))
       .select("mean_p_u", "cum_before")
     val total = scored.agg(count(lit(1)).as("n"))
-    scored
+    // Within-score rank = (count of preceding rows in doc_id order) + 1
+    // — the ranged prefix scan over a unit column.
+    graft.operators.PackingOps
+      .rangedPrefix(scored, "mean_p_u", "_one", "_cnt_before")
       .join(broadcast(hist), "mean_p_u")
-      .withColumn("rank_in_score", row_number().over(
-        Window.partitionBy("mean_p_u").orderBy("doc_id")).cast("long"))
       .crossJoin(broadcast(total))
-      .withColumn("rnk", col("cum_before") + col("rank_in_score"))
+      .withColumn("rnk", col("cum_before") + col("_cnt_before") + 1L)
       .withColumn("decile", expr("(rnk - 1) * 10 div n + 1"))
       .select("doc_id", "n_trans", "mean_p_u", "rnk", "decile")
       .orderBy("doc_id")

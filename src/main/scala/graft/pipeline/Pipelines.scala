@@ -486,14 +486,20 @@ object Pipelines {
     * [[graft.operators.TextOps]], [[graft.operators.SamplingOps]]'s
     * affine key, [[graft.operators.PackingOps]]'s chunk arithmetic); the
     * oracle composes those operators' published SQL the same way. Scale
-    * shape: the dedup stage dominates (banded, see PLANS.md); everything
-    * after is one exchange on predicted_lang shared by the sample-rank
-    * window, the packing window, and nothing else.
+    * shape: the dedup stage dominates (banded, see PLANS.md); the tail
+    * is the shared low-cardinality-window sweep — the sample rank rides
+    * [[graft.operators.SamplingOps.rangedSampleRank]] (doc rows on
+    * (predicted_lang, sample-key-range) windows), the quota is a plain
+    * per-lang total broadcast back (no doc-row window at all), and the
+    * packing running sum rides
+    * [[graft.operators.PackingOps.rangedPrefix]] ((predicted_lang,
+    * id-range) windows) — predicted_lang alone (en ≈ 44 % of a real
+    * corpus) never partitions doc-scale rows. NOTE: construction runs
+    * bounded EAGER driver actions (the prefix scan's id-bounds scalar),
+    * so building the frame launches Spark jobs — the rangedPrefix
+    * caller-contract class.
     */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy("predicted_lang")
-    val packW = byLang.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val survivors = graft.operators.DedupOps.nsDedupCorpus(spark, dir).select("doc_id")
     val quality = graft.operators.TextOps.nsTextQuality(spark, dir)
       .select("doc_id", "tier").where(col("tier") =!= "low")
@@ -502,13 +508,25 @@ object Pipelines {
     val toks = Tables.documents(spark, dir).select(col("doc_id"),
       graft.operators.PackingOps.bpeTokens.as("toks"))
       .where(col("toks") > 0) // zero-token docs span no chunk (see PackingOps)
-    survivors.join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+    // Cached: the quota aggregate and the rank kernel's two passes all
+    // read the joined frame — the upstream dedup/quality/lang stages
+    // must run once, not three times.
+    val base = survivors.join(quality, "doc_id").join(lang, "doc_id")
+      .join(toks, "doc_id")
       .withColumn("sample_key", graft.operators.SamplingOps.sampleKeyCol)
-      .withColumn("sample_rank",
-        row_number().over(byLang.orderBy("sample_key", "doc_id")).cast("long"))
-      .withColumn("quota", ceil(count(lit(1)).over(byLang) * 0.5))
+      .cache()
+    val quotas = base.groupBy("predicted_lang")
+      .agg(ceil(count(lit(1)) * 0.5).as("quota"))
+    // Cached for the same reason: the prefix scan's bounds scalar,
+    // offset aggregate and doc-row pass all read the selected frame.
+    val selected = graft.operators.SamplingOps
+      .rangedSampleRank(base, "predicted_lang", "sample_rank")
+      .join(broadcast(quotas), "predicted_lang")
       .where(col("sample_rank") <= col("quota"))
-      .withColumn("cum_before", coalesce(sum("toks").over(packW), lit(0L)))
+      .select("doc_id", "predicted_lang", "tier", "toks", "sample_rank")
+      .cache()
+    graft.operators.PackingOps
+      .rangedPrefix(selected, "predicted_lang", "toks", "cum_before")
       .select(
         col("doc_id"), col("predicted_lang"), col("tier"), col("toks"),
         col("sample_rank"), col("cum_before"),

@@ -193,11 +193,27 @@ class PackingOpsSpec extends SparkSpec {
         s"(inmemory=$memScans, parquet=$pqScans):\n${nodes.map(_.nodeName)}")
   }
 
+  /** A key-alone partition spec is legal only when the rows below it are
+    * already BOUNDED: an aggregated (metadata-scale) frame, or the
+    * remainder of a (key, range) pre-prune/pre-rank (the two-level top-N
+    * and range-offset forms — ≤ |key| × ranges × cap rows survive the
+    * local window's rank filter).
+    */
+  private def boundedBelow(
+      plan: org.apache.spark.sql.execution.SparkPlan, key: String): Boolean = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    collectAllPlans(plan).exists {
+      case w: WindowExec => w.partitionSpec.size == 2 &&
+        w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains(key)
+      case p => p.nodeName.toLowerCase.contains("aggregate")
+    }
+  }
+
   /** THE scale rule of the prefix-sum rewrite (r12 verdict finding #1):
     * doc rows must never ride a window/exchange whose partitioning is
     * `lang` alone (parallelism ceiling = |langs|; en ≈ 44 % of a real
     * corpus puts ~44 % of all rows in one task). A lang-only partition
-    * spec is legal ONLY over an aggregated (metadata-scale) frame.
+    * spec is legal ONLY over a bounded frame ([[boundedBelow]]).
     */
   private def assertNoKeyOnlyDocWindow(
       nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
@@ -209,8 +225,7 @@ class PackingOpsSpec extends SparkSpec {
       val keyOnly = w.partitionSpec.size == 1 &&
         w.partitionSpec.head.references.toSeq.exists(_.name == key)
       if (keyOnly)
-        assert(collectAllPlans(w.child)
-          .exists(_.nodeName.toLowerCase.contains("aggregate")),
+        assert(boundedBelow(w.child, key),
           s"$tag: $key-only window over raw doc rows (parallelism = |$key|):\n$w")
     }
     // And the doc-row prefix window actually exists in its parallel form:
@@ -226,20 +241,64 @@ class PackingOpsSpec extends SparkSpec {
       ("ns_pack_chunks_global", "lang", () => PackingOps.nsPackChunksGlobal(spark, sfDir)),
       ("ns_corpus_sample_exact", "lang", () => SamplingOps.nsCorpusSampleExact(spark, sfDir)),
       ("ns_corpus_mix", "source", () => PackingOps.nsCorpusMix(spark, sfDir)),
-      ("ns_corpus_mix_temp", "source", () => PackingOps.nsCorpusMixTemp(spark, sfDir)))) {
+      ("ns_corpus_mix_temp", "source", () => PackingOps.nsCorpusMixTemp(spark, sfDir)),
+      // Round-14 sweep completion (r13 verdict findings #1-3 + #5):
+      ("ns_corpus_source_cap", "source", () => SamplingOps.nsCorpusSourceCap(spark, sfDir)),
+      ("pipe_corpus_build", "predicted_lang",
+        () => graft.pipeline.Pipelines.corpusBuild(spark, sfDir)),
+      ("ns_corpus_topics", "topic", () => SimilarityOps.nsCorpusTopics(spark, sfDir)),
+      ("ns_corpus_curriculum", "mean_p_u", () => TextOps.nsCorpusCurriculum(spark, sfDir)))) {
       val nodes = noAqeNodes(build())
       assertNoKeyOnlyDocWindow(nodes, tag, key)
       // Exchange form of the same rule: a hash exchange on the key alone
-      // may only carry aggregated rows.
+      // may only carry bounded (aggregated or pre-pruned) rows.
       nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
         val p = e.outputPartitioning.toString
         if (p.contains(key) && !p.contains("_rg") && !p.toLowerCase.contains("range"))
-          assert(collectAllPlans(e.child)
-            .exists(_.nodeName.toLowerCase.contains("aggregate")),
+          assert(boundedBelow(e.child, key),
             s"$tag: $key-only hash exchange of raw doc rows: $p")
       }
       spark.sharedState.cacheManager.clearCache()
     }
+  }
+
+  test("plan rule fires on a deliberately key-only doc-row window (negative canary)") {
+    import org.apache.spark.sql.expressions.Window
+    // The shape the rule exists to forbid: raw doc rows ranked under a
+    // lang-only window with no aggregate and no (key, range) pre-prune.
+    val bad = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("r", row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+    val nodes = noAqeNodes(bad)
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertNoKeyOnlyDocWindow(nodes, "negative-canary", "lang")
+    }
+    // The exchange form fires on the same plan: its lang-only shuffle
+    // carries raw doc rows, so boundedBelow must reject it.
+    val keyed = nodes.collect { case e: ShuffleExchangeExec => e }.filter { e =>
+      val p = e.outputPartitioning.toString
+      p.contains("lang") && !p.contains("_rg") && !p.toLowerCase.contains("range")
+    }
+    assert(keyed.nonEmpty, "canary plan lost its lang-only exchange")
+    assert(keyed.exists(e => !boundedBelow(e.child, "lang")),
+      "exchange rule failed to fire on raw doc rows")
+    // And the rule's skip condition matches BOTH parallel kernels'
+    // partitioning strings: langPrefix and rangedSampleRank each name
+    // their range column `_rg`, so their doc-row exchanges are excluded
+    // by the `_rg` guard, not by accident.
+    import spark.implicits._
+    val frame = (0L until 64L).map(i => (i, s"l${i % 3}", i % 7 + 1))
+      .toDF("doc_id", "lang", "toks")
+      .withColumn("sample_key", SamplingOps.sampleKeyCol).cache()
+    for ((tag, df) <- Seq(
+        ("langPrefix", PackingOps.langPrefix(frame, "cum")),
+        ("rangedSampleRank", SamplingOps.rangedSampleRank(frame, "lang", "rk")))) {
+      val exs = noAqeNodes(df).collect { case e: ShuffleExchangeExec => e }
+        .map(_.outputPartitioning.toString)
+        .filter(p => p.contains("lang") && p.contains("_rg"))
+      assert(exs.nonEmpty, s"$tag: no (lang, _rg) exchange found — skip-guard mismatch")
+    }
+    frame.unpersist()
   }
 
   test("langPrefix equals the per-lang window form on adversarial id layouts") {
@@ -262,8 +321,9 @@ class PackingOpsSpec extends SparkSpec {
     // Dense interleaved ids, skewed lang mix (the en ≈ 44 % shape).
     check((0L until 400L).map(i =>
       (i, if (i % 9 < 4) "en" else s"l${i % 9}", i % 7 + 1)), "dense-skewed")
-    // ALL ids clustered into one range (worst case for equal-width cuts:
-    // the scan degenerates to per-lang serial but must stay exact).
+    // Ids clustered far from zero (the snowflake shape — the r14
+    // min-anchored cut spreads these across parallel ranges; a
+    // 0-anchored cut collapsed them into one).
     check((0L until 50L).map(i => (4000000000L + i, s"l${i % 3}", i + 1)),
       "clustered-high")
     // Sparse ids spanning the long domain + a single-language corpus.
@@ -273,6 +333,57 @@ class PackingOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "toks").cache()
     assert(PackingOps.langPrefix(empty, "cum").collect().isEmpty)
     empty.unpersist()
+  }
+
+  test("range cut stays parallel on clustered id spaces; interior collapse fails loud") {
+    import spark.implicits._
+    // The r13 verdict's pathological fixture: every id inside a
+    // 2^10-wide band near 2^40. The min-anchored cut realizes ~512
+    // parallel ranges (width 2), where a 0-anchored cut realized ONE.
+    val lo = 1L << 40
+    assert(PackingOps.prefixRangeWidth(lo, lo + 1023L) == 1L,
+      "band-of-1024 must cut into unit-width (fully parallel) ranges")
+    assert(PackingOps.prefixRangeWidth(0L, 1L << 40) == (1L << 40) / PackingOps.PrefixRanges + 1)
+    // End-to-end on the band: correct AND quiet (no guard trip), with
+    // > GuardMinRows rows so the guard is armed.
+    val n = PackingOps.GuardMinRows + 2048
+    val band = spark.range(n).select(
+      (col("id") + lo).as("doc_id"),
+      concat(lit("l"), (col("id") % 3).cast("string")).as("lang"),
+      (col("id") % 7 + 1).as("toks")).cache()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = PackingOps.langPrefix(band, "cum")
+      .withColumn("_want", coalesce(sum("toks").over(win), lit(0L)))
+      .where(col("cum") =!= col("_want")).count()
+    assert(got == 0L, s"band layout diverges from the window form on $got rows")
+    band.unpersist()
+    // INTERIOR clustering the min/max anchor can't see: one outlier at 0
+    // widens the cut so the whole band lands in a single range — the
+    // guard must fail LOUD with its named error, not silently serialize.
+    val clustered = spark.range(n).select(
+      when(col("id") === 0, lit(0L)).otherwise(col("id") + lo).as("doc_id"),
+      lit("en").as("lang"), lit(1L).as("toks")).cache()
+    // Consume the offset column itself: a count()-only consumer prunes
+    // the offset projection (and the guard with it) — the guard rides
+    // the value every real caller reads.
+    val ex = intercept[Exception] {
+      PackingOps.langPrefix(clustered, "cum").select(sum("cum")).head()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("range cut collapsed"),
+      s"expected the named occupancy error, got: ${messages(ex).take(400)}")
+    clustered.unpersist()
+    // Below the guard floor the same layout is legal (small fixtures fit
+    // one range legitimately) — and still byte-exact.
+    val small = (0L until 64L).map(i =>
+      (if (i == 0) 0L else lo + i, "en", 1L)).toDF("doc_id", "lang", "toks").cache()
+    val cums = PackingOps.langPrefix(small, "cum")
+      .orderBy("doc_id").select("cum").collect().map(_.getLong(0)).toSeq
+    assert(cums == (0L until 64L).toSeq)
+    small.unpersist()
   }
 
   test("mix: range-offset rank equals the per-source window form") {
