@@ -515,7 +515,7 @@ object ScaleRehearsal {
     // pre-materialized (doc_id, lang, toks) frame under the skewed
     // 44 %-en / 8-minor-lang mix (tokenization excluded — it dominated
     // the corpus-level walls and hid the window), timing the old window
-    // form against the ranged form at 2M and 8M rows. The claim: the
+    // form against the ranged form at 2M, 8M and 32M rows. The claim: the
     // ranged form's wall parallelizes (flat-ish per row as N grows,
     // faster than the window form, whose en task serializes 44 % of the
     // sum). Byte-equality of the two forms is spec-pinned
@@ -556,6 +556,62 @@ object ScaleRehearsal {
         fullEval(graft.operators.PackingOps.langPrefix(docs, "cum"),
           "pack_prefix_ranged")
         docs.unpersist()
+      }
+    }
+
+    // Round-14: THE TOP-N PRE-PRUNE MEASUREMENT (r13 verdict finding #1).
+    // ns_corpus_source_cap's order key is a computed quality, so the
+    // monotone-axis range scan doesn't apply. Two exact forms compete on
+    // a SKEWED source mix (one source owns ~70 % of rows — the crawl
+    // top-domain shape; cached (doc_id, source, n_words, q_u) frame,
+    // 2M/8M/32M rows): the single per-source window + literal rank
+    // filter (whose physical plan Spark rewrites with a PARTIAL
+    // WindowGroupLimit — each map partition forwards ≤ cap rows per
+    // source BEFORE the exchange, i.e. the local per-(source, partition)
+    // top-cap prune, done by the planner), and the EXPLICIT two-level
+    // prune (SamplingOps.sourceCapRanked: local top-cap per (source,
+    // sample-key range), then the global rank). MEASURED VERDICT (the
+    // registered form follows it): the window form wins at every scale
+    // and shuffles ~0.1 MB at 32M rows, because the explicit first level
+    // multiplies the partial prune's group count by the range count
+    // (cap x sources x ranges rows survive per partition vs cap x
+    // sources). Byte-equality of the two forms is spec-pinned
+    // (SamplingOpsSpec); this arm records the PERFORMANCE comparison.
+    // Select with trailing arg `source_cap`.
+    if (only.isEmpty || only("source_cap")) {
+      for ((sfName, n) <- Seq(("rows2m", 2000000L), ("rows8m", 8000000L),
+          ("rows32m", 32000000L))) {
+        val scored = spark.range(n).select(
+          col("id").as("doc_id"),
+          when(pmod(hash(col("id") * 13), lit(10)) < 7, lit("hot"))
+            .otherwise(concat(lit("s"),
+              pmod(hash(col("id") * 29), lit(4)).cast("string"))).as("source"),
+          (pmod(hash(col("id") * 11), lit(200)) + 1).cast("long").as("n_words"),
+          pmod(hash(col("id") * 7), lit(1000000)).cast("long").as("q_u"))
+          .cache()
+        scored.count() // materialize outside both timed windows
+        def fullEval(build: => org.apache.spark.sql.DataFrame, tag: String): Double = {
+          readB.reset(); writeB.reset()
+          val t0 = System.nanoTime()
+          val df = build
+          df.queryExecution.toRdd.foreachPartition { it =>
+            while (it.hasNext) it.next()
+          }
+          val sec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+          val w = math.round(writeB.sum / 1e5) / 10.0
+          println(s"""{"query":"$tag","sf":"$sfName","rows":$n,"sec":$sec,"shuffle_write_mb":$w}""")
+          sec
+        }
+        val bySource = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("q_u").desc, col("doc_id").asc)
+        fullEval(scored
+          .withColumn("src_rank", row_number().over(bySource).cast("long"))
+          .where(col("src_rank") <= graft.operators.SamplingOps.SourceCap),
+          "source_cap_window")
+        fullEval(graft.operators.SamplingOps.sourceCapRanked(scored)
+          .where(col("src_rank") <= graft.operators.SamplingOps.SourceCap),
+          "source_cap_pruned")
+        scored.unpersist()
       }
     }
 

@@ -79,7 +79,19 @@ object PackingOps {
     * and the doc-row pass each read it.
     */
   private[graft] def rangedPrefix(
-      docs: DataFrame, partCol: String, valCol: String, outCol: String): DataFrame = {
+      docs: DataFrame, partCol: String, valCol: String, outCol: String): DataFrame =
+    rangedScan(docs, partCol, valCol, outCol)._1
+
+  /** [[rangedPrefix]] plus its tiny per-(key, range) aggregate
+    * (`partCol`, `_rg`, `_rg_val`, `_rg_rows`) — callers that ALSO need
+    * per-key totals (the global pack's shard offsets) derive them from
+    * this frame (sum of per-range sums) instead of paying a second
+    * corpus-scale aggregate pass; the shared exchange is reused between
+    * the two consumers.
+    */
+  private[graft] def rangedScan(
+      docs: DataFrame, partCol: String, valCol: String, outCol: String)
+      : (DataFrame, DataFrame) = {
     val bounds = docs.agg(
       coalesce(min("doc_id"), lit(0L)), coalesce(max("doc_id"), lit(0L))).head()
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
@@ -93,8 +105,9 @@ object PackingOps {
     // guard into the offset column keeps it alive through pruning.
     val perRange = Window.partitionBy("_rg")
     val whole = Window.partitionBy()
-    val rgOffsets = withRg.groupBy(partCol, "_rg")
+    val rgAgg = withRg.groupBy(partCol, "_rg")
       .agg(sum(valCol).as("_rg_val"), count(lit(1)).as("_rg_rows"))
+    val rgOffsets = rgAgg
       .withColumn("_rg_total", sum("_rg_rows").over(perRange))
       .withColumn("_n_total", sum("_rg_rows").over(whole))
       .withColumn("_guard", when(
@@ -109,11 +122,12 @@ object PackingOps {
       .select(partCol, "_rg", "_rg_offset")
     val inRg = Window.partitionBy(partCol, "_rg").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    withRg
+    val result = withRg
       .withColumn("_cum_in_rg", coalesce(sum(valCol).over(inRg), lit(0L)))
       .join(broadcast(rgOffsets), Seq(partCol, "_rg"))
       .withColumn(outCol, col("_rg_offset") + col("_cum_in_rg"))
       .drop("_rg", "_rg_offset", "_cum_in_rg")
+    (result, rgAgg)
   }
 
   /** [[rangedPrefix]] over the packing family's (doc_id, lang, toks)
@@ -142,7 +156,11 @@ object PackingOps {
     * [[langPrefix]] scan (doc rows ride (lang, range) windows);
     * everything else is arithmetic on the row. The token frame caches —
     * the prefix scan's three consumers share one tokenization pass, the
-    * same contract as the global sibling.
+    * same contract as the global sibling. NOTE: CONSTRUCTION IS EAGER
+    * (every nsPack entry point and packGlobalFrom) — the prefix scan's
+    * id-bounds scalar is a driver action, so building the frame launches
+    * Spark jobs and materializes the cached token frame; plan-only
+    * consumers (schema probes, plan tests) pay that one pass.
     */
   def nsPackChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -206,11 +224,17 @@ object PackingOps {
   private[graft] def packGlobalFrom(docs: DataFrame, base: Long = 0L): DataFrame = {
     val shardOrder = Window.orderBy("lang")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy("lang").agg(sum("toks").as("shard_toks"))
+    val (prefixed, rgAgg) = rangedScan(docs, "lang", "toks", "cum_in_shard")
+    // Shard totals DERIVE from the prefix scan's range aggregate (a
+    // per-lang sum of the per-(lang, range) sums) instead of a second
+    // corpus-scale aggregate pass — one doc-row aggregation serves both
+    // the shard offsets and the range offsets (r13 bench watch item:
+    // the swap's extra cache passes were the measured cost).
+    val offsets = rgAgg.groupBy("lang").agg(sum("_rg_val").as("shard_toks"))
       .withColumn("shard_offset",
         coalesce(sum("shard_toks").over(shardOrder), lit(0L)))
       .select("lang", "shard_offset")
-    langPrefix(docs, "cum_in_shard")
+    prefixed
       .join(broadcast(offsets), Seq("lang"))
       .withColumn("cum_before", lit(base) + col("shard_offset") + col("cum_in_shard"))
       .select(
@@ -684,6 +708,10 @@ object PackingOps {
     graft.ops.MergeSink.publishPartitionedCols(
       appended.withColumn("day", lit(1)),
       s"$root/export", Seq("day", "shard_id"), onePerPartition = true)
+    // appended is localCheckpointed (eager) — nothing reads packInput
+    // again; release it instead of pinning executor memory for the rest
+    // of a long Verify/Bench session (buildCrawlBase's twin does this).
+    packInput.unpersist()
     // Report ONLY the touched shards, from the cross-day read-back
     // (partition-pruned on shard_id): batch-proportional, and the
     // boundary shard mixes day-0 rows — the continuity proof.

@@ -167,44 +167,55 @@ object SamplingOps {
     * — exact Long arithmetic, so the rank order is engine-identical with
     * (q_u DESC, doc_id) tiebreaks and no float ever enters the ordering.
     *
-    * TWO-LEVEL TOP-N — sources are the classic skewed key (a crawl's top
-    * domain can be ~10% of the corpus), and the order key is a COMPUTED
-    * quality, so the monotone-axis range-offset rank doesn't apply. The
-    * scale-safe exact form is a local pre-prune: each (source,
-    * sample-key range) group keeps its local top-[[SourceCap]] — the
-    * only rows that can possibly survive globally (a global top-cap row
-    * is in the top cap of EVERY subgroup that contains it, for any
-    * partitioning) — under a (source, range) window whose parallelism is
-    * |sources| × [[SampleRanges]]; the global rank window then runs over
-    * the ≤ |sources| × ranges × cap remainder, a bounded metadata-scale
-    * frame, never over raw doc rows. The range key is the affine sample
-    * key's range (uniform by construction — no clustering pathology, no
-    * extra bounds pass); ANY deterministic row split is correct here
-    * because the prune needs no cross-range monotonicity, only
-    * subgroup-top-cap ⊇ global-top-cap. Byte-identical to the single
-    * per-source window form (SamplingOpsSpec pins the equality on a
-    * skewed fixture); WindowGroupLimit additionally prunes both windows
-    * map-side to cap rows per task.
+    * TOP-N PER SKEWED KEY — sources are the classic skewed key (a
+    * crawl's top domain can be ~10% of the corpus), the order key is a
+    * COMPUTED quality (so the monotone-axis range-offset rank doesn't
+    * apply), and the cap is a LITERAL — which makes this the shape
+    * Spark's WindowGroupLimit rewrite solves outright: the `rank <=`
+    * [[SourceCap]] filter inserts a PARTIAL group-limit before the
+    * exchange, so each map partition forwards at most cap rows per
+    * source (the local per-(source, partition) top-cap pre-prune,
+    * performed by the physical planner), and the per-source merge task
+    * ranks ≤ cap × partitions rows — bounded metadata-scale input, not
+    * doc rows. MEASURED against the explicit two-level pre-prune
+    * ([[sourceCapRanked]]) on a 70 %-one-source mix
+    * (`ScaleRehearsal source_cap`): the window form shuffles 0.1 MB at
+    * 32M rows and wins at every scale (0.46/0.61/2.30 s vs
+    * 0.83/0.83/2.71 s at 2M/8M/32M) because the explicit first-level
+    * window multiplies the partial prune's group count by the range
+    * count (42 MB shuffled). The plan rule + WindowGroupLimit spec pin
+    * the bounded shape structurally; quota-COLUMN selections (mixes,
+    * topics, corpus-build) cannot use WindowGroupLimit (literal-only)
+    * and keep the range-offset rank instead.
     */
   def nsCorpusSourceCap(spark: SparkSession, dir: String): DataFrame = {
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
     val stopHits =
       "size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','is','to','in')))"
-    val scored = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .where(size(ws) > 0)
       .select(
         col("doc_id"), col("source"),
         size(ws).cast("long").as("n_words"),
         expr(s"(CAST($stopHits AS BIGINT) * 1000000) DIV CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)")
           .as("q_u"))
-    sourceCapRanked(scored)
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("q_u").desc, col("doc_id").asc)).cast("long"))
       .where(col("src_rank") <= SourceCap)
       .orderBy("source", "src_rank")
   }
 
-  /** The pre-pruned per-source quality rank over a (doc_id, source, …,
-    * q_u) frame — split out so the scale rehearsal can time exactly this
-    * kernel against the single-window form.
+  /** The EXPLICIT two-level per-source quality rank (local top-cap per
+    * (source, sample-key range), then the global rank over the bounded
+    * remainder) — byte-identical to the single-window form (spec-pinned
+    * on a skewed fixture) but MEASURED SLOWER and shuffle-heavier than
+    * it, because WindowGroupLimit already performs the local prune at
+    * cap × |sources| rows per partition while this form's first level
+    * prunes at cap × |sources| × ranges (`ScaleRehearsal source_cap`
+    * table in docs/PLANS.md round 14). Kept as the recorded alternative
+    * and the rehearsal subject; [[nsCorpusSourceCap]] registers the
+    * winning form.
     */
   private[graft] def sourceCapRanked(scored: DataFrame): DataFrame =
     scored

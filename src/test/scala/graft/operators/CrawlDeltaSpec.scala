@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
   */
 class CrawlDeltaSpec extends SparkSpec {
 
-  private def exportFiles(root: String, day: Int): Map[String, Long] = {
+  /** Per-file (size, CRC32-of-bytes): an equal-length rewrite with
+    * different content must not pass the immutability pin.
+    */
+  private def exportFiles(root: String, day: Int): Map[String, (Long, Long)] = {
     val dir = new java.io.File(s"$root/export/day=$day")
     Option(dir.listFiles).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .flatMap(sh => sh.listFiles.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${sh.getName}/${f.getName}" -> f.length()))
+        .map { f =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+          s"${sh.getName}/${f.getName}" -> (f.length(), crc.getValue)
+        })
       .toMap
   }
 

@@ -194,10 +194,12 @@ class PackingOpsSpec extends SparkSpec {
   }
 
   /** A key-alone partition spec is legal only when the rows below it are
-    * already BOUNDED: an aggregated (metadata-scale) frame, or the
-    * remainder of a (key, range) pre-prune/pre-rank (the two-level top-N
-    * and range-offset forms — ≤ |key| × ranges × cap rows survive the
-    * local window's rank filter).
+    * already BOUNDED: an aggregated (metadata-scale) frame, a
+    * WindowGroupLimit partial prune (the physical planner's local
+    * top-cap-per-(key, partition) rewrite for literal rank filters —
+    * ≤ cap × partitions rows per key reach the key-only stage), or the
+    * remainder of a (key, range) pre-prune/pre-rank (the range-offset
+    * form for quota-column selections).
     */
   private def boundedBelow(
       plan: org.apache.spark.sql.execution.SparkPlan, key: String): Boolean = {
@@ -205,7 +207,8 @@ class PackingOpsSpec extends SparkSpec {
     collectAllPlans(plan).exists {
       case w: WindowExec => w.partitionSpec.size == 2 &&
         w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains(key)
-      case p => p.nodeName.toLowerCase.contains("aggregate")
+      case p => p.nodeName.toLowerCase.contains("aggregate") ||
+        p.nodeName.toLowerCase.contains("windowgrouplimit")
     }
   }
 
@@ -217,7 +220,7 @@ class PackingOpsSpec extends SparkSpec {
     */
   private def assertNoKeyOnlyDocWindow(
       nodes: Seq[org.apache.spark.sql.execution.SparkPlan],
-      tag: String, key: String): Unit = {
+      tag: String, key: String, expectRangeWindow: Boolean = true): Unit = {
     import org.apache.spark.sql.execution.window.WindowExec
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, s"$tag: no window found — pin vacuous")
@@ -228,11 +231,17 @@ class PackingOpsSpec extends SparkSpec {
         assert(boundedBelow(w.child, key),
           s"$tag: $key-only window over raw doc rows (parallelism = |$key|):\n$w")
     }
-    // And the doc-row prefix window actually exists in its parallel form:
-    // a window partitioned by BOTH the key and the range column.
-    assert(windows.exists(w => w.partitionSpec.size == 2 &&
-      w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains(key)),
-      s"$tag: no ($key, range) doc-row window — prefix scan missing")
+    if (expectRangeWindow)
+      // The doc-row prefix window actually exists in its parallel form:
+      // a window partitioned by BOTH the key and the range column.
+      assert(windows.exists(w => w.partitionSpec.size == 2 &&
+        w.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains(key)),
+        s"$tag: no ($key, range) doc-row window — prefix scan missing")
+    else
+      // Literal-cap top-N form: the bound is the WindowGroupLimit
+      // partial prune instead of a range window.
+      assert(nodes.exists(_.nodeName.toLowerCase.contains("windowgrouplimit")),
+        s"$tag: no WindowGroupLimit prune — top-N form unbounded")
   }
 
   test("pack/sample/mix plans: doc rows never ride low-cardinality-key-only windows or exchanges") {
@@ -249,7 +258,10 @@ class PackingOpsSpec extends SparkSpec {
       ("ns_corpus_topics", "topic", () => SimilarityOps.nsCorpusTopics(spark, sfDir)),
       ("ns_corpus_curriculum", "mean_p_u", () => TextOps.nsCorpusCurriculum(spark, sfDir)))) {
       val nodes = noAqeNodes(build())
-      assertNoKeyOnlyDocWindow(nodes, tag, key)
+      // source_cap is the literal-cap top-N: bounded by WindowGroupLimit,
+      // not a range window (measured faster — see SamplingOps scaladoc).
+      assertNoKeyOnlyDocWindow(nodes, tag, key,
+        expectRangeWindow = tag != "ns_corpus_source_cap")
       // Exchange form of the same rule: a hash exchange on the key alone
       // may only carry bounded (aggregated or pre-pruned) rows.
       nodes.collect { case e: ShuffleExchangeExec => e }.foreach { e =>

@@ -27,6 +27,14 @@ def main() -> None:
     base["sentinel_ms"] = merged_s
     base["value"] = sum(merged_q.values())
     base["total_full_s"] = sum(merged_f.values())
+    # Round-14: the deliberately-exact baseline series (absent in older
+    # recordings) min-merges the same way, outside the headline totals.
+    if "baselines" in passes[0]:
+        bq = sorted(passes[0]["baselines"].keys())
+        base["baselines"] = {q: min(d["baselines"][q] for d in passes) for q in bq}
+        base["baselines_full_s"] = {
+            q: min(d["baselines_full_s"][q] for d in passes) for q in bq}
+        base["total_baseline_full_s"] = sum(base["baselines_full_s"].values())
     base["sentinel_pre_ms"] = min(d["sentinel_pre_ms"] for d in passes)
     base["sentinel_verdict"] = (
         "quiet" if all(d["sentinel_verdict"] == "quiet" for d in passes)
