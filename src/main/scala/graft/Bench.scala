@@ -107,32 +107,36 @@ object Bench {
       clearState()
       (name, dt, probe, dtFull)
     }
-    // DELIBERATELY-EXACT BASELINES report as their own series: these
-    // queries exist as the brute-force truth their approximate twins
-    // (ns_sim_neardup_lsh etc.) are measured against, and their own
-    // documentation says never to run them at scale — at sf1 the O(N²)
-    // all-pairs row alone was ~30 % of the wall, which muddied the
-    // headline. Correctness registration is unchanged; only the bench
-    // accounting splits.
+    // DELIBERATELY-EXACT BASELINES additionally report as their own
+    // series: these queries exist as the brute-force truth their
+    // approximate twins (ns_sim_neardup_lsh etc.) are measured against,
+    // and their own documentation says never to run them at scale — at
+    // sf1 the O(N²) all-pairs row alone was ~30 % of the wall, which
+    // muddied the headline. The driver contract requires every
+    // registered query to stay in `queries`/`full_s` and the recorded
+    // totals, so the split is PURELY ADDITIVE: `baselines*` and
+    // `total_headline_full_s` (the wall minus the exact baselines) are
+    // extra keys; `value`/`total_full_s` still cover every query.
     val baselineQs = Set("ns_sim_neardup_pairs")
-    val (basePart, headline) = results.partition(r => baselineQs(r._1))
+    val basePart = results.filter(r => baselineQs(r._1))
     def obj(rs: Seq[(String, Double, Double, Double)], f: ((String, Double, Double, Double)) => Double) =
       rs.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = obj(headline, _._2)
+    val qs = obj(results, _._2)
     // Double.toString (locale-independent), never f"%.2f" inside JSON.
     val sent = results.map { case (k, _, p, _) =>
       s"\"" + k + "\":" + (math.round(p * 100) / 100.0)
     }.mkString("{", ",", "}")
-    val fulls = obj(headline, _._4)
+    val fulls = obj(results, _._4)
     val baseQs = obj(basePart, _._2)
     val baseFulls = obj(basePart, _._4)
-    val total = headline.map(_._2).filter(_ >= 0).sum
-    val totalFull = headline.map(_._4).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalFull = results.map(_._4).filter(_ >= 0).sum
     val totalBaseFull = basePart.map(_._4).filter(_ >= 0).sum
+    val totalHeadlineFull = totalFull - totalBaseFull
     val errors = results.collect { case (k, d, _, f) if d < 0 || f < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val preStr = (math.round(preMed * 100) / 100.0).toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"sentinel_pre_ms":$preStr,"sentinel_floor_ms":$quietFloorMs,"sentinel_verdict":"$sentinelVerdict","full_s":$fulls,"total_full_s":$totalFull,"baselines":$baseQs,"baselines_full_s":$baseFulls,"total_baseline_full_s":$totalBaseFull,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sentinel_ms":$sent,"sentinel_pre_ms":$preStr,"sentinel_floor_ms":$quietFloorMs,"sentinel_verdict":"$sentinelVerdict","full_s":$fulls,"total_full_s":$totalFull,"baselines":$baseQs,"baselines_full_s":$baseFulls,"total_baseline_full_s":$totalBaseFull,"total_headline_full_s":$totalHeadlineFull,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,8 @@ def main() -> None:
         base["baselines_full_s"] = {
             q: min(d["baselines_full_s"][q] for d in passes) for q in bq}
         base["total_baseline_full_s"] = sum(base["baselines_full_s"].values())
+        base["total_headline_full_s"] = (
+            base["total_full_s"] - base["total_baseline_full_s"])
     base["sentinel_pre_ms"] = min(d["sentinel_pre_ms"] for d in passes)
     base["sentinel_verdict"] = (
         "quiet" if all(d["sentinel_verdict"] == "quiet" for d in passes)
