@@ -51,9 +51,9 @@ object PackingOps {
     * ceiling is the key cardinality — the r12 `weak` kernel):
     *
     *  1. cut doc_id into ≤ [[PrefixRanges]]+1 equal-width ranges between
-    *     min(doc_id) and max(doc_id) (`div` on a width derived from a
-    *     1-row bounds aggregate cross-joined in-plan under a broadcast
-    *     hint — no driver action). Ranges are monotonic in doc_id, so per-(key, range) sums
+    *     min(doc_id) and max(doc_id) (`div` on a width derived from one
+    *     bounded driver scalar, the same class as the stored-stats
+    *     read). Ranges are monotonic in doc_id, so per-(key, range) sums
     *     compose into exact per-key offsets — and anchoring at the MIN
     *     keeps the cut parallel for id spaces clustered far from zero
     *     (snowflake-style ids sharing high bits collapse a 0-anchored
@@ -74,10 +74,9 @@ object PackingOps {
     * cut (PackingOpsSpec pins the equality on adversarial id layouts)
     * with zero key-cardinality stages over doc rows.
     *
-    * CALLER CONTRACT: `docs` must be cached — the offset aggregate and
-    * the doc-row pass (each carrying the tiny in-plan bounds aggregate)
-    * read it. Construction is plan-only since round 14 (the r13 form ran
-    * an eager bounds action here).
+    * CALLER CONTRACT: `docs` must be cached — the bounds scalar (an
+    * EAGER driver action at construction time), the offset aggregate,
+    * and the doc-row pass each read it.
     */
   private[graft] def rangedPrefix(
       docs: DataFrame, partCol: String, valCol: String, outCol: String): DataFrame =
@@ -93,22 +92,11 @@ object PackingOps {
   private[graft] def rangedScan(
       docs: DataFrame, partCol: String, valCol: String, outCol: String)
       : (DataFrame, DataFrame) = {
-    // Id bounds as an IN-PLAN broadcast scalar (round-14): the r13 form
-    // ran an eager `agg(min, max).head()` at DataFrame-construction
-    // time, which (a) made every pack-family constructor side-effectful
-    // (plan-only consumers paid a full materialization of the cached
-    // token frame — the r13 ADVICE item) and (b) cost a separate
-    // bounds-scan job per kernel call inside every timed evaluation.
-    // A 1-row aggregate cross-joined under a broadcast hint keeps the
-    // width computation in the same job as the scan that needs it; the
-    // formula mirrors [[prefixRangeWidth]] exactly (spec-pinned).
     val bounds = docs.agg(
-      coalesce(min("doc_id"), lit(0L)).as("_min_id"),
-      coalesce(max("doc_id"), lit(0L)).as("_max_id"))
-    val withRg = docs.crossJoin(broadcast(bounds))
-      .withColumn("_rg", expr(
-        s"(doc_id - _min_id) div ((_max_id - _min_id) div $PrefixRanges + 1)"))
-      .drop("_min_id", "_max_id")
+      coalesce(min("doc_id"), lit(0L)), coalesce(max("doc_id"), lit(0L))).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val width = prefixRangeWidth(minId, maxId)
+    val withRg = docs.withColumn("_rg", expr(s"(doc_id - $minId) div $width"))
     val rgOrder = Window.partitionBy(partCol).orderBy("_rg")
       .rowsBetween(Window.unboundedPreceding, -1)
     // Per-key window, but over the RANGE AGGREGATE (≤ |keys| x 1025
@@ -168,10 +156,11 @@ object PackingOps {
     * [[langPrefix]] scan (doc rows ride (lang, range) windows);
     * everything else is arithmetic on the row. The token frame caches —
     * the prefix scan's three consumers share one tokenization pass, the
-    * same contract as the global sibling. Construction is plan-only
-    * since round 14: the id bounds are an in-plan broadcast scalar, so
-    * no Spark job runs until an action (the r13 form launched the
-    * bounds job at construction time).
+    * same contract as the global sibling. NOTE: CONSTRUCTION IS EAGER
+    * (every nsPack entry point and packGlobalFrom) — the prefix scan's
+    * id-bounds scalar is a driver action, so building the frame launches
+    * Spark jobs and materializes the cached token frame; plan-only
+    * consumers (schema probes, plan tests) pay that one pass.
     */
   def nsPackChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -488,8 +488,8 @@ object TextOps {
     *     lang/source keys — and the decile is integer arithmetic
     *     against the broadcast total.
     * The oracle states the same semantics as one global window — the
-    * plan never runs one over doc rows. Construction is plan-only since
-    * round 14 (the prefix scan's id bounds are an in-plan scalar).
+    * plan never runs one over doc rows. Construction runs the prefix
+    * scan's bounded eager id-bounds action (rangedPrefix contract).
     */
   def nsCorpusCurriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

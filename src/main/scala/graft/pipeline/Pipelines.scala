@@ -494,9 +494,10 @@ object Pipelines {
     * packing running sum rides
     * [[graft.operators.PackingOps.rangedPrefix]] ((predicted_lang,
     * id-range) windows) — predicted_lang alone (en ≈ 44 % of a real
-    * corpus) never partitions doc-scale rows. Construction is plan-only
-    * since round 14 (the prefix scan's id bounds ride an in-plan
-    * broadcast scalar, not a driver action).
+    * corpus) never partitions doc-scale rows. NOTE: construction runs
+    * bounded EAGER driver actions (the prefix scan's id-bounds scalar),
+    * so building the frame launches Spark jobs — the rangedPrefix
+    * caller-contract class.
     */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val survivors = graft.operators.DedupOps.nsDedupCorpus(spark, dir).select("doc_id")
